@@ -1,0 +1,7 @@
+from stablediffusion_tpu.parallel.mesh import (
+    MeshSpec,
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_batch,
+)

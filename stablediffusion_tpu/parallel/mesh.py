@@ -1,0 +1,67 @@
+"""Device mesh and sharding rules — the distributed "backend".
+
+The reference's only parallelism is accelerate/NCCL data-parallel DDP
+(ref: train_lora_pipeline.py:194-197,363-376,470-476; SURVEY.md §2.10/§5.8).
+The TPU-native equivalent is not a comm library: it is a mesh + sharding
+module.  Collectives (grad psum/pmean, loss mean) are emitted by XLA from
+sharding annotations inside one jitted step and ride ICI within a slice.
+
+Axes:
+  * ``data``   — batch sharding (DP); the parity requirement.
+  * ``tensor`` — optional head/feature sharding (TP) for large UNets at high
+    batch; 1 by default.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TENSOR_AXIS = "tensor"
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    data: int = -1  # -1: all remaining devices
+    tensor: int = 1
+
+    def build(self, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+        return make_mesh(self.data, self.tensor, devices)
+
+
+def make_mesh(
+    data: int = -1,
+    tensor: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % tensor == 0, f"{n} devices not divisible by tensor={tensor}"
+        data = n // tensor
+    assert data * tensor == n, f"mesh {data}x{tensor} != {n} devices"
+    arr = np.asarray(devices).reshape(data, tensor)
+    return Mesh(arr, (DATA_AXIS, TENSOR_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of [B, ...] arrays with batch sharded over `data`."""
+
+    def place(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(place, batch)
