@@ -1,0 +1,71 @@
+"""Attention dispatch: XLA reference path + Pallas flash path.
+
+The reference relies on diffusers attention processors / optional xformers
+(SURVEY.md §2.9 D1, §5.7).  Here `attention()` is the single entry point used
+by CLIP, the UNet transformer blocks and the VAE mid-block; it routes to the
+Pallas flash kernel on TPU for shapes that fit its tiling, else to a
+well-fused XLA softmax(QK^T)V with fp32 accumulation.
+
+Layout: q [B, Sq, H, D], k/v [B, Skv, H, D] -> out [B, Sq, H, D].
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d)) v with fp32 softmax accumulation."""
+    B, Sq, H, D = q.shape
+    if scale is None:
+        scale = D**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(q.dtype), v, preferred_element_type=q.dtype
+    )
+    return out
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("SDTPU_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Route to the Pallas flash kernel when on TPU and the shape qualifies."""
+    if _use_pallas() and mask is None:
+        from stablediffusion_tpu.ops.flash_attention import (
+            flash_attention,
+            shape_supported,
+        )
+
+        if shape_supported(q.shape, k.shape):
+            return flash_attention(q, k, v, scale=scale)
+    return attention_xla(q, k, v, mask=mask, scale=scale)

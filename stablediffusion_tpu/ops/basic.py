@@ -1,0 +1,152 @@
+"""Primitive NN ops over plain param dicts.
+
+Conventions (TPU-canonical layouts, converted once at checkpoint load):
+  * activations are NHWC (channels-last — the TPU conv layout);
+  * conv kernels are HWIO;
+  * linear kernels are (in, out);
+  * norm statistics and softmax run in fp32 regardless of compute dtype.
+
+The reference gets these from torch/diffusers CUDA kernels (SURVEY.md §2.9
+D1/D2); here they are XLA ops shaped so the compiler fuses elementwise chains
+into the surrounding matmuls/convs, with Pallas kernels layered on the hot
+paths in ops/flash_attention.py and ops/fused_norm.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(params: dict, x: jax.Array) -> jax.Array:
+    """x [..., in] @ weight [in, out] + bias."""
+    w = params["weight"]
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv2d(
+    params: dict,
+    x: jax.Array,
+    stride: int = 1,
+    padding: int | str = "SAME",
+) -> jax.Array:
+    """NHWC conv with HWIO kernel."""
+    w = params["weight"].astype(x.dtype)
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def group_norm(
+    params: dict, x: jax.Array, num_groups: int, eps: float = 1e-5
+) -> jax.Array:
+    """GroupNorm over NHWC (stats in fp32)."""
+    B, H, W, C = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32).reshape(B, H, W, G, C // G)
+    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+    var = xf.var(axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(B, H, W, C)
+    out = xf * params["weight"].astype(jnp.float32) + params["bias"].astype(
+        jnp.float32
+    )
+    return out.astype(x.dtype)
+
+
+def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if "weight" in params:
+        out = out * params["weight"].astype(jnp.float32)
+    if "bias" in params and params["bias"] is not None:
+        out = out + params["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — OpenAI CLIP's activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def geglu(params: dict, x: jax.Array) -> jax.Array:
+    """GEGLU feed-forward gate (diffusers FeedForward 'geglu'): one projection
+    to 2*d_ff, split, x * gelu(gate)."""
+    h = linear(params, x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    return h * gelu(gate)
+
+
+ACTIVATIONS = {"silu": silu, "gelu": gelu, "quick_gelu": quick_gelu}
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+    scale: float = 1.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding (SD convention: half sin / half cos,
+    flip_sin_to_cos=True gives [cos, sin] ordering)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """NHWC nearest-neighbor 2x (UNet/VAE upsampler)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    B, H, W, C = x.shape
+    return x.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+
+
+def interpolate_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """NHWC nearest-neighbor resize to (out_h, out_w) — mask downsampling to
+    latent resolution (ref: sd_unified_pipeline.py:916-976)."""
+    B, H, W, C = x.shape
+    rows = (jnp.arange(out_h) * (H / out_h)).astype(jnp.int32)
+    cols = (jnp.arange(out_w) * (W / out_w)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]

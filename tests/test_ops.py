@@ -1,0 +1,157 @@
+"""Op parity tests vs torch (CPU) — the numeric anchors for model parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from stablediffusion_tpu.ops import (
+    attention_xla,
+    conv2d,
+    group_norm,
+    layer_norm,
+    linear,
+    quick_gelu,
+    silu,
+    timestep_embedding,
+    upsample_nearest_2x,
+    interpolate_nearest,
+)
+
+
+def test_linear_vs_torch(rng):
+    x = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    b = rng.standard_normal((8,)).astype(np.float32)
+    ours = linear({"weight": jnp.asarray(w), "bias": jnp.asarray(b)}, jnp.asarray(x))
+    theirs = F.linear(torch.from_numpy(x), torch.from_numpy(w.T), torch.from_numpy(b))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+
+
+def test_conv2d_vs_torch(rng):
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)  # NHWC
+    w = rng.standard_normal((3, 3, 4, 6)).astype(np.float32)  # HWIO
+    b = rng.standard_normal((6,)).astype(np.float32)
+    ours = conv2d(
+        {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}, jnp.asarray(x), padding=1
+    )
+    # torch: NCHW / OIHW
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    theirs = F.conv2d(xt, wt, torch.from_numpy(b), padding=1)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+    # strided (downsampler)
+    ours2 = conv2d({"weight": jnp.asarray(w)}, jnp.asarray(x), stride=2, padding=1)
+    theirs2 = F.conv2d(xt, wt, stride=2, padding=1)
+    np.testing.assert_allclose(
+        np.asarray(ours2), theirs2.numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+
+
+def test_group_norm_vs_torch(rng):
+    x = rng.standard_normal((2, 4, 4, 32)).astype(np.float32)
+    w = rng.standard_normal((32,)).astype(np.float32)
+    b = rng.standard_normal((32,)).astype(np.float32)
+    ours = group_norm(
+        {"weight": jnp.asarray(w), "bias": jnp.asarray(b)},
+        jnp.asarray(x),
+        num_groups=8,
+        eps=1e-5,
+    )
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    theirs = F.group_norm(xt, 8, torch.from_numpy(w), torch.from_numpy(b), eps=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+
+
+def test_layer_norm_vs_torch(rng):
+    x = rng.standard_normal((2, 7, 24)).astype(np.float32)
+    w = rng.standard_normal((24,)).astype(np.float32)
+    b = rng.standard_normal((24,)).astype(np.float32)
+    ours = layer_norm(
+        {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}, jnp.asarray(x)
+    )
+    theirs = F.layer_norm(
+        torch.from_numpy(x), (24,), torch.from_numpy(w), torch.from_numpy(b)
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+
+
+def test_attention_vs_torch_sdpa(rng):
+    B, Sq, Skv, H, D = 2, 16, 9, 4, 8
+    q = rng.standard_normal((B, Sq, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, Skv, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, Skv, H, D)).astype(np.float32)
+    ours = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    # torch SDPA: [B, H, S, D]
+    qt, kt, vt = (
+        torch.from_numpy(a.transpose(0, 2, 1, 3)) for a in (q, k, v)
+    )
+    theirs = F.scaled_dot_product_attention(qt, kt, vt)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 1, 3), atol=1e-5
+    )
+
+
+def test_attention_causal_mask(rng):
+    B, S, H, D = 1, 6, 2, 4
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    mask = jnp.where(
+        jnp.tril(jnp.ones((S, S), bool)), 0.0, -jnp.inf
+    )[None, None]
+    ours = attention_xla(q, q, q, mask=mask)
+    qt = torch.from_numpy(np.asarray(q).transpose(0, 2, 1, 3))
+    theirs = F.scaled_dot_product_attention(qt, qt, qt, is_causal=True)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 1, 3), atol=1e-5
+    )
+
+
+def test_flash_attention_interpret_matches_xla(rng):
+    from stablediffusion_tpu.ops import flash_attention as fa
+    import jax.experimental.pallas as pl  # noqa
+
+    B, Sq, Skv, H, D = 1, 64, 77, 2, 40
+    q = jnp.asarray(rng.standard_normal((B, Sq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
+    ref = attention_xla(q, k, v)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    assert fa.shape_supported(q.shape, k.shape)
+    # huge KV should be gated off
+    assert not fa.shape_supported((1, 65536, 8, 40), (1, 65536, 8, 40))
+
+
+def test_quick_gelu_matches_transformers():
+    from transformers.activations import ACT2FN
+
+    x = np.linspace(-3, 3, 101).astype(np.float32)
+    ours = quick_gelu(jnp.asarray(x))
+    theirs = ACT2FN["quick_gelu"](torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-6)
+
+
+def test_timestep_embedding_properties():
+    emb = timestep_embedding(jnp.asarray([0.0, 1.0, 500.0]), 320)
+    assert emb.shape == (3, 320)
+    # t=0: cos part = 1, sin part = 0 (flip_sin_to_cos -> [cos, sin])
+    np.testing.assert_allclose(np.asarray(emb[0, :160]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 160:]), 0.0, atol=1e-6)
+
+
+def test_upsample_and_resize():
+    x = jnp.arange(16, dtype=jnp.float32).reshape(1, 2, 2, 4)
+    up = upsample_nearest_2x(x)
+    assert up.shape == (1, 4, 4, 4)
+    np.testing.assert_array_equal(np.asarray(up[0, :2, :2, 0]), np.asarray(x[0, 0, 0, 0]))
+    down = interpolate_nearest(up, 2, 2)
+    np.testing.assert_array_equal(np.asarray(down), np.asarray(x))
