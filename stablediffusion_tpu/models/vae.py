@@ -1,0 +1,207 @@
+"""AutoencoderKL VAE — pure functional, NHWC.
+
+The reference binds diffusers' AutoencoderKL (models/stable_diffusion.py:
+113-116), encodes at sd_unified_pipeline.py:1017-1041 (with the force_upcast
+fp32 policy) and decodes at :511-523.  Param tree mirrors the diffusers
+checkpoint key structure (encoder.down_blocks.N.resnets.M.conv1 ...), with
+kernels in canonical HWIO/(in,out) layouts.
+
+Structure notes (diffusers AutoencoderKL):
+  * encoder down blocks: `layers_per_block` resnets + strided conv downsample
+    with asymmetric (0,1),(0,1) padding;
+  * decoder up blocks: `layers_per_block + 1` resnets + nearest-2x upsample
+    followed by conv;
+  * mid blocks: resnet / single-head full-channel attention / resnet;
+  * encode emits a DiagonalGaussian (mean, logvar) through quant_conv.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stablediffusion_tpu.core.config import VAEConfig
+from stablediffusion_tpu.ops import (
+    attention,
+    conv2d,
+    group_norm,
+    linear,
+    silu,
+    upsample_nearest_2x,
+)
+
+
+def _resnet(p: dict, x: jax.Array, groups: int, eps: float) -> jax.Array:
+    h = silu(group_norm(p["norm1"], x, groups, eps))
+    h = conv2d(p["conv1"], h, padding=1)
+    h = silu(group_norm(p["norm2"], h, groups, eps))
+    h = conv2d(p["conv2"], h, padding=1)
+    if "conv_shortcut" in p:
+        x = conv2d(p["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def _mid_attention(p: dict, x: jax.Array, groups: int, eps: float) -> jax.Array:
+    B, H, W, C = x.shape
+    h = group_norm(p["group_norm"], x, groups, eps)
+    h = h.reshape(B, H * W, C)
+    q = linear(p["to_q"], h)[:, :, None, :]  # single head, head_dim = C
+    k = linear(p["to_k"], h)[:, :, None, :]
+    v = linear(p["to_v"], h)[:, :, None, :]
+    o = attention(q, k, v)[:, :, 0, :]
+    o = linear(p["to_out"]["0"], o)
+    return x + o.reshape(B, H, W, C)
+
+
+def _mid_block(p: dict, x: jax.Array, groups: int, eps: float) -> jax.Array:
+    x = _resnet(p["resnets"]["0"], x, groups, eps)
+    x = _mid_attention(p["attentions"]["0"], x, groups, eps)
+    x = _resnet(p["resnets"]["1"], x, groups, eps)
+    return x
+
+
+def encode(
+    params: dict, config: VAEConfig, image: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """image NHWC in [-1, 1] -> (mean, logvar), each [B, h/8, w/8, latent_ch]."""
+    p = params["encoder"]
+    g, eps = config.norm_num_groups, config.norm_eps
+    x = conv2d(p["conv_in"], image, padding=1)
+    n_blocks = len(config.block_out_channels)
+    for i in range(n_blocks):
+        bp = p["down_blocks"][str(i)]
+        for j in range(config.layers_per_block):
+            x = _resnet(bp["resnets"][str(j)], x, g, eps)
+        if i < n_blocks - 1:
+            # asymmetric pad then stride-2 valid conv (diffusers Downsample2D
+            # with padding=0 in the VAE encoder)
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = conv2d(bp["downsamplers"]["0"]["conv"], x, stride=2, padding="VALID")
+    x = _mid_block(p["mid_block"], x, g, eps)
+    x = silu(group_norm(p["conv_norm_out"], x, g, eps))
+    x = conv2d(p["conv_out"], x, padding=1)
+    moments = conv2d(params["quant_conv"], x, padding=0)
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    return mean, jnp.clip(logvar, -30.0, 20.0)
+
+
+def sample_latent(mean: jax.Array, logvar: jax.Array, key: jax.Array) -> jax.Array:
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def decode(params: dict, config: VAEConfig, latents: jax.Array) -> jax.Array:
+    """latents NHWC [B, h, w, latent_ch] -> image NHWC in [-1, 1] range."""
+    p = params["decoder"]
+    g, eps = config.norm_num_groups, config.norm_eps
+    x = conv2d(params["post_quant_conv"], latents, padding=0)
+    x = conv2d(p["conv_in"], x, padding=1)
+    x = _mid_block(p["mid_block"], x, g, eps)
+    n_blocks = len(config.block_out_channels)
+    for i in range(n_blocks):
+        bp = p["up_blocks"][str(i)]
+        for j in range(config.layers_per_block + 1):
+            x = _resnet(bp["resnets"][str(j)], x, g, eps)
+        if i < n_blocks - 1:
+            x = upsample_nearest_2x(x)
+            x = conv2d(bp["upsamplers"]["0"]["conv"], x, padding=1)
+    x = silu(group_norm(p["conv_norm_out"], x, g, eps))
+    return conv2d(p["conv_out"], x, padding=1)
+
+
+# ---------------------------------------------------------------------------
+# init (tests)
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, config: VAEConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 4096))
+
+    def conv(ci, co, k=3):
+        return {
+            "weight": jax.random.normal(next(keys), (k, k, ci, co), dtype)
+            * (0.3 / (k * (ci**0.5))),
+            "bias": jnp.zeros((co,), dtype),
+        }
+
+    def lin(ci, co):
+        return {
+            "weight": jax.random.normal(next(keys), (ci, co), dtype) * (ci**-0.5),
+            "bias": jnp.zeros((co,), dtype),
+        }
+
+    def norm(c):
+        return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+    def resnet(ci, co):
+        p = {
+            "norm1": norm(ci),
+            "conv1": conv(ci, co),
+            "norm2": norm(co),
+            "conv2": conv(co, co),
+        }
+        if ci != co:
+            p["conv_shortcut"] = conv(ci, co, k=1)
+        return p
+
+    def mid(c):
+        return {
+            "resnets": {"0": resnet(c, c), "1": resnet(c, c)},
+            "attentions": {
+                "0": {
+                    "group_norm": norm(c),
+                    "to_q": lin(c, c),
+                    "to_k": lin(c, c),
+                    "to_v": lin(c, c),
+                    "to_out": {"0": lin(c, c)},
+                }
+            },
+        }
+
+    ch = config.block_out_channels
+    L = config.layers_per_block
+    lc = config.latent_channels
+
+    enc_blocks = {}
+    c_in = ch[0]
+    for i, c in enumerate(ch):
+        b = {"resnets": {}}
+        for j in range(L):
+            b["resnets"][str(j)] = resnet(c_in if j == 0 else c, c)
+        if i < len(ch) - 1:
+            b["downsamplers"] = {"0": {"conv": conv(c, c)}}
+        enc_blocks[str(i)] = b
+        c_in = c
+
+    dec_ch = tuple(reversed(ch))
+    dec_blocks = {}
+    c_in = dec_ch[0]
+    for i, c in enumerate(dec_ch):
+        b = {"resnets": {}}
+        for j in range(L + 1):
+            b["resnets"][str(j)] = resnet(c_in if j == 0 else c, c)
+        if i < len(ch) - 1:
+            b["upsamplers"] = {"0": {"conv": conv(c, c)}}
+        dec_blocks[str(i)] = b
+        c_in = c
+
+    return {
+        "encoder": {
+            "conv_in": conv(config.in_channels, ch[0]),
+            "down_blocks": enc_blocks,
+            "mid_block": mid(ch[-1]),
+            "conv_norm_out": norm(ch[-1]),
+            "conv_out": conv(ch[-1], 2 * lc),
+        },
+        "quant_conv": conv(2 * lc, 2 * lc, k=1),
+        "post_quant_conv": conv(lc, lc, k=1),
+        "decoder": {
+            "conv_in": conv(lc, ch[-1]),
+            "mid_block": mid(ch[-1]),
+            "up_blocks": dec_blocks,
+            "conv_norm_out": norm(dec_ch[-1]),
+            "conv_out": conv(dec_ch[-1], config.out_channels),
+        },
+    }

@@ -1,0 +1,170 @@
+"""First-party CLIP BPE tokenizer.
+
+The reference gets tokenization from HF `tokenizers`' Rust core via
+CLIPTokenizer (models/stable_diffusion.py:128-135; pad-to-77 + truncation at
+sd_unified_pipeline.py:583-589).  This is a standalone implementation of the
+CLIP BPE scheme: byte-level-free word BPE over a lowercased, whitespace-
+normalized text with the `</w>` end-of-word marker, vocab.json + merges.txt
+files, bos/eos wrapping, truncation to max_length and right-padding.
+
+SD1.5 / SDXL encoder-1 pad with the eos token (49407); SDXL encoder-2
+(OpenCLIP) pads with token 0 — `pad_token_id` is a constructor argument.
+
+Validated against transformers' CLIPTokenizer in tests/test_tokenizer.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import html
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import regex as re
+except ImportError:  # pragma: no cover
+    import re  # type: ignore
+
+_PATTERN = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    re.IGNORECASE,
+)
+
+_WHITESPACE = re.compile(r"\s+")
+
+
+def _clean(text: str) -> str:
+    # CLIP's whitespace_clean + basic_clean (sans ftfy mojibake repair)
+    text = html.unescape(html.unescape(text))
+    return _WHITESPACE.sub(" ", text).strip()
+
+
+class CLIPTokenizer:
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        merges: List[Tuple[str, str]],
+        pad_token_id: Optional[int] = None,
+        bos_token: str = "<|startoftext|>",
+        eos_token: str = "<|endoftext|>",
+        model_max_length: int = 77,
+    ):
+        self.vocab = vocab
+        self.decoder = {v: k for k, v in vocab.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.bos_token_id = vocab[bos_token]
+        self.eos_token_id = vocab[eos_token]
+        self.pad_token_id = self.eos_token_id if pad_token_id is None else pad_token_id
+        self.model_max_length = model_max_length
+        self._cache: Dict[str, List[str]] = {}
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_files(cls, vocab_file: str, merges_file: str, **kw) -> "CLIPTokenizer":
+        with open(vocab_file, encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges: List[Tuple[str, str]] = []
+        with open(merges_file, encoding="utf-8") as f:
+            for line in f.read().split("\n"):
+                if not line or line.startswith("#version"):
+                    continue
+                a, b = line.split()
+                merges.append((a, b))
+        return cls(vocab, merges, **kw)
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kw) -> "CLIPTokenizer":
+        """Load from a diffusers-layout tokenizer folder."""
+        cfg_path = os.path.join(path, "tokenizer_config.json")
+        special_path = os.path.join(path, "special_tokens_map.json")
+        pad_token_id = kw.pop("pad_token_id", None)
+        if pad_token_id is None and os.path.exists(special_path):
+            with open(special_path, encoding="utf-8") as f:
+                special = json.load(f)
+            pad = special.get("pad_token")
+            if isinstance(pad, dict):
+                pad = pad.get("content")
+            if pad == "!":
+                pad_token_id = 0
+        return cls.from_files(
+            os.path.join(path, "vocab.json"),
+            os.path.join(path, "merges.txt"),
+            pad_token_id=pad_token_id,
+            **kw,
+        )
+
+    # -- BPE -----------------------------------------------------------------
+    def _bpe(self, token: str) -> List[str]:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        word: Tuple[str, ...] = tuple(token[:-1]) + (token[-1] + "</w>",)
+        if len(word) == 1:
+            self._cache[token] = list(word)
+            return list(word)
+        while True:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if best not in self.bpe_ranks:
+                break
+            a, b = best
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    new_word.append(a + b)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+        out = list(word)
+        self._cache[token] = out
+        return out
+
+    def tokenize(self, text: str) -> List[int]:
+        text = _clean(text).lower()
+        ids: List[int] = []
+        unk = self.vocab.get("<|endoftext|>")
+        for tok in _PATTERN.findall(text):
+            for piece in self._bpe(tok):
+                ids.append(self.vocab.get(piece, unk))
+        return ids
+
+    # -- pipeline API --------------------------------------------------------
+    def __call__(
+        self,
+        texts: Sequence[str] | str,
+        max_length: Optional[int] = None,
+        padding: str = "max_length",
+        truncation: bool = True,
+    ) -> np.ndarray:
+        """Batch encode to int32 [B, max_length] — pad-to-max + truncate, the
+        reference's invocation (sd_unified_pipeline.py:583-589)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        max_length = max_length or self.model_max_length
+        rows = []
+        for t in texts:
+            ids = self.tokenize(t)
+            if truncation and len(ids) > max_length - 2:
+                ids = ids[: max_length - 2]
+            row = [self.bos_token_id] + ids + [self.eos_token_id]
+            if padding == "max_length" and len(row) < max_length:
+                row = row + [self.pad_token_id] * (max_length - len(row))
+            rows.append(row)
+        return np.asarray(rows, dtype=np.int32)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        toks = [
+            self.decoder.get(int(i), "")
+            for i in ids
+            if int(i) not in (self.bos_token_id, self.pad_token_id)
+        ]
+        text = "".join(t for t in toks if t != "<|endoftext|>")
+        return text.replace("</w>", " ").strip()

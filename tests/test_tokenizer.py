@@ -1,0 +1,101 @@
+"""CLIP BPE tokenizer parity vs transformers' CLIPTokenizer (offline,
+from synthetic local vocab/merges files)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from stablediffusion_tpu.tokenizer.clip_bpe import CLIPTokenizer
+
+
+@pytest.fixture(scope="module")
+def vocab_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tok")
+    # character-level base vocab + a few merges, CLIP-style
+    chars = list("abcdefghijklmnopqrstuvwxyz0123456789.,!?'-")
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    merges = [
+        ("t", "h"),
+        ("th", "e</w>"),
+        ("a", "n"),
+        ("an", "d</w>"),
+        ("c", "a"),
+        ("ca", "t</w>"),
+        ("d", "o"),
+        ("do", "g</w>"),
+        ("i", "n"),
+        ("in", "g</w>"),
+        ("r", "u"),
+        ("ru", "n"),
+        ("run", "n"),
+        ("runn", "ing</w>"),
+    ]
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges)
+    )
+    return str(d / "vocab.json"), str(d / "merges.txt")
+
+
+@pytest.fixture(scope="module")
+def both(vocab_files):
+    from transformers import CLIPTokenizer as HFTok
+
+    ours = CLIPTokenizer.from_files(*vocab_files)
+    theirs = HFTok(vocab_files[0], vocab_files[1])
+    return ours, theirs
+
+
+SAMPLES = [
+    "the cat and the dog",
+    "a running dog, the cat!",
+    "The    CAT   and the DOG?",  # case + whitespace normalization
+    "running running running",
+    "cat" * 60,  # forces truncation
+    "",
+    "zzz qqq 123",  # unmergeable chars and digits
+    "it's the cat's dog",
+]
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_tokenizer_parity(both, text):
+    ours, theirs = both
+    got = ours([text], max_length=77)[0]
+    want = theirs(
+        [text], padding="max_length", max_length=77, truncation=True,
+        return_tensors="np",
+    )["input_ids"][0]
+    np.testing.assert_array_equal(got, want, err_msg=f"text={text!r}")
+
+
+def test_batch_shape_and_padding(both):
+    ours, _ = both
+    out = ours(["the cat", "a dog and the cat running"])
+    assert out.shape == (2, 77)
+    assert out.dtype == np.int32
+    assert out[0, 0] == ours.bos_token_id
+    assert (out[:, -1] == ours.pad_token_id).all()
+
+
+def test_openclip_zero_padding(vocab_files):
+    ours = CLIPTokenizer.from_files(*vocab_files, pad_token_id=0)
+    out = ours(["the cat"])
+    assert out[0, -1] == 0
+
+
+def test_decode_roundtrip(both):
+    ours, _ = both
+    ids = ours(["the cat and the dog"])[0]
+    assert ours.decode(ids) == "the cat and the dog"
