@@ -1,0 +1,632 @@
+"""StableDiffusionUnifiedPipeline — txt2img / img2img / inpaint, SD1.5 + SDXL.
+
+The TPU-native rebuild of the reference's unified pipeline
+(pipelines/sd_unified_pipeline.py:115-529): one `__call__` whose mode is
+inferred from inputs (no image -> txt2img; image without mask -> img2img;
+both -> inpaint), CFG, clip-skip, strength / denoising_start / denoising_end
+windows, SDXL dual-encoder + micro-conditioning, seeded RNG with seed echo.
+
+Compilation model (the design goal of SURVEY.md §3.1): text encode, the whole
+denoise loop (UNet + CFG + scheduler step + inpaint blend inside one
+`lax.scan`), and VAE decode each compile to one XLA program; everything else
+is host-side numpy orchestration.  Latents are NHWC on device.
+
+Differences from the reference, per SURVEY.md's behavior-vs-bug ledger:
+  * guidance_rescale is actually applied when nonzero (the reference defines
+    rescale_noise_cfg but never calls it — sd_unified_pipeline.py:46-57);
+  * the 9-channel inpaint UNet path really concatenates
+    [latents, mask, masked_image_latents] into the UNet input (the reference
+    validates the channel sum at :359-374 but feeds only the 4-ch blend).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusion_tpu.core.config import CLIPTextConfig, UNetConfig, VAEConfig
+from stablediffusion_tpu.core.rng import as_key, randn
+from stablediffusion_tpu.models import clip as clip_model
+from stablediffusion_tpu.models import unet as unet_model
+from stablediffusion_tpu.models import vae as vae_model
+from stablediffusion_tpu.models.wrapper import SDModel
+from stablediffusion_tpu.schedulers.common import BaseScheduler, Plan
+from stablediffusion_tpu.utils import images as img_utils
+
+
+@dataclass
+class SDPipelineOutput:
+    images: Optional[np.ndarray]  # [B, H, W, 3] float32 in [0, 1]
+    latents: Optional[jax.Array]  # NHWC latents (when output_type="latents")
+    seed: int
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
+    """arXiv 2305.08891 §3.4 — fix CFG overexposure
+    (ref defines at sd_unified_pipeline.py:46-57; wired here)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+def _denoising_valid(v) -> bool:
+    return isinstance(v, float) and 0.0 < v < 1.0
+
+
+# ---------------------------------------------------------------------------
+# jitted stages (module-level so the compile cache is shared across pipelines)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mode", "clip_skip"))
+def _clip_encode(params, ids, *, config: CLIPTextConfig, mode: str, clip_skip):
+    """mode: 'last' (sd15 default) | 'skip_renorm' (sd15 clip-skip)
+    | 'penultimate' (sdxl, clip_skip optional)."""
+    out = clip_model.apply(params, config, ids)
+    pooled = (
+        out.projected_pooled if config.with_projection else out.pooled_output
+    )
+    if mode == "last":
+        h = out.last_hidden_state
+    elif mode == "skip_renorm":
+        h = clip_model.final_layer_norm(
+            params, config, out.hidden_states[-(clip_skip + 1)]
+        )
+    elif mode == "penultimate":
+        h = out.skip_layer(clip_skip or 0)
+    else:
+        raise ValueError(mode)
+    return h, pooled
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "force_upcast", "sample")
+)
+def _vae_encode(params, image, key, *, config: VAEConfig, force_upcast, sample):
+    if force_upcast:
+        image = image.astype(jnp.float32)
+    mean, logvar = vae_model.encode(params, config, image)
+    z = vae_model.sample_latent(mean, logvar, key) if sample else mean
+    return z * config.scaling_factor
+
+
+@functools.partial(jax.jit, static_argnames=("config", "force_upcast"))
+def _vae_decode(params, latents, *, config: VAEConfig, force_upcast):
+    if config.latents_mean is not None and config.latents_std is not None:
+        mean = jnp.asarray(config.latents_mean).reshape(1, 1, 1, -1)
+        std = jnp.asarray(config.latents_std).reshape(1, 1, 1, -1)
+        latents = latents * std / config.scaling_factor + mean
+    else:
+        latents = latents / config.scaling_factor
+    if force_upcast:
+        latents = latents.astype(jnp.float32)
+    return vae_model.decode(params, config, latents)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "unet_config",
+        "scheduler",
+        "do_cfg",
+        "inpaint_mode",
+        "use_rescale",
+    ),
+)
+def _denoise(
+    unet_params,
+    latents,
+    embeds,
+    plan: Plan,
+    keys,
+    guidance_scale,
+    guidance_rescale,
+    added_cond,  # None | {"text_embeds": [2B or B, P], "time_ids": [2B or B, 6]}
+    mask,  # None | [B, h, w, 1]
+    masked_image_latents,  # None | [B, h, w, 4]
+    image_latents,  # None | [B, h, w, 4] (4ch blend path)
+    noise,  # None | [B, h, w, 4] (4ch blend path re-noising)
+    *,
+    unet_config: UNetConfig,
+    scheduler: BaseScheduler,
+    do_cfg: bool,
+    inpaint_mode: str,  # "none" | "blend4" | "concat9"
+    use_rescale: bool,
+):
+    """The hot loop (ref: sd_unified_pipeline.py:465-507) as one lax.scan."""
+    N = plan.num_steps
+    state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
+
+    def body(carry, inp):
+        lat, state = carry
+        i, key = inp
+        x = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+        x = scheduler.scale_model_input(plan, x, i)
+        if inpaint_mode == "concat9":
+            m = jnp.concatenate([mask, mask], axis=0) if do_cfg else mask
+            mi = (
+                jnp.concatenate([masked_image_latents] * 2, axis=0)
+                if do_cfg
+                else masked_image_latents
+            )
+            x = jnp.concatenate([x, m.astype(x.dtype), mi.astype(x.dtype)], axis=-1)
+        t = plan.timesteps[i]
+        pred = unet_model.apply(
+            unet_params, unet_config, x, t, embeds, added_cond=added_cond
+        )
+        if do_cfg:
+            uncond, text = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance_scale * (text - uncond)
+            if use_rescale:
+                pred = rescale_noise_cfg(pred, text, guidance_rescale)
+        lat_new, state = scheduler.step(plan, state, i, pred, lat, key=key)
+        if inpaint_mode == "blend4":
+            init_prop = jnp.where(
+                i < N - 1,
+                scheduler.add_noise_index(
+                    plan, image_latents, noise, jnp.clip(i + 1, 0, N - 1)
+                ),
+                image_latents,
+            )
+            lat_new = (1.0 - mask) * init_prop.astype(lat_new.dtype) + mask * lat_new
+        return (lat_new, state), ()
+
+    (final, _), _ = jax.lax.scan(body, (latents, state0), (jnp.arange(N), keys))
+    return final
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+
+class StableDiffusionUnifiedPipeline:
+    """Unified inference pipeline (ref: sd_unified_pipeline.py:115-134)."""
+
+    def __init__(
+        self,
+        do_cfg: bool = True,
+        output_type: str = "np",  # "np" (decoded [0,1]) | "latents"
+        dtype=None,  # compute dtype; default fp32 on CPU, bf16 on TPU
+    ):
+        self.do_cfg = do_cfg
+        self.output_type = output_type
+        if dtype is None:
+            platform = jax.devices()[0].platform
+            dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+        self.dtype = dtype
+
+    # -- prompt encoding (ref: sd_unified_pipeline.py:532-719) --------------
+    def encode_prompt(
+        self,
+        model: SDModel,
+        prompt: Union[str, List[str]],
+        prompt_2=None,
+        negative_prompt=None,
+        negative_prompt_2=None,
+        num_images_per_prompt: int = 1,
+        clip_skip: Optional[int] = None,
+        do_cfg: bool = True,
+    ):
+        prompt = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompt)
+
+        towers = [(model.tokenizer, model.text_encoder_config, model.text_encoder_params)]
+        prompts = [prompt]
+        if model.is_sdxl:
+            prompt_2 = prompt_2 or prompt
+            prompt_2 = [prompt_2] if isinstance(prompt_2, str) else list(prompt_2)
+            towers.append(
+                (model.tokenizer_2, model.text_encoder_2_config, model.text_encoder_2_params)
+            )
+            prompts = [prompt, prompt_2]
+
+        def encode(texts, towerset, use_clip_skip):
+            embeds_list, pooled = [], None
+            for txts, (tok, cfg, par) in zip(texts, towerset):
+                ids = jnp.asarray(tok(txts))
+                if model.is_sdxl:
+                    mode, skip = "penultimate", (clip_skip if use_clip_skip else 0)
+                elif use_clip_skip and clip_skip:
+                    mode, skip = "skip_renorm", clip_skip
+                else:
+                    mode, skip = "last", None
+                h, p = _clip_encode(par, ids, config=cfg, mode=mode, clip_skip=skip)
+                pooled = p  # last tower's pooled (SDXL: projected bigG)
+                embeds_list.append(h)
+            return jnp.concatenate(embeds_list, axis=-1), pooled
+
+        embeds, pooled = encode(prompts, towers, use_clip_skip=True)
+
+        neg_embeds = neg_pooled = None
+        if do_cfg:
+            negative_prompt = negative_prompt or ""
+            negative_prompt_2 = negative_prompt_2 or negative_prompt
+            neg = (
+                [negative_prompt] * B
+                if isinstance(negative_prompt, str)
+                else list(negative_prompt)
+            )
+            if len(neg) != B:
+                raise ValueError(
+                    f"negative_prompt batch {len(neg)} != prompt batch {B}"
+                )
+            neg2 = (
+                [negative_prompt_2] * B
+                if isinstance(negative_prompt_2, str)
+                else list(negative_prompt_2)
+            )
+            negs = [neg, neg2] if model.is_sdxl else [neg]
+            # reference: clip_skip NOT applied to negatives (:617-674)
+            neg_embeds, neg_pooled = encode(negs, towers, use_clip_skip=False)
+
+        n = num_images_per_prompt
+        tile = lambda x: jnp.repeat(x, n, axis=0) if x is not None else None
+        return tile(embeds), tile(neg_embeds), tile(pooled), tile(neg_pooled)
+
+    # -- timestep windows (ref: sd_unified_pipeline.py:722-761) -------------
+    def get_timesteps(
+        self,
+        scheduler: BaseScheduler,
+        num_inference_steps: int,
+        strength: float,
+        denoising_start: Optional[float],
+    ) -> Tuple[Plan, int]:
+        plan = scheduler.plan(num_inference_steps)
+        ts = np.asarray(plan.timesteps)
+        if denoising_start is None:
+            t_start = max(
+                int(plan.num_steps - int(num_inference_steps * strength)), 0
+            )
+        else:
+            T = scheduler.config.num_train_timesteps
+            cutoff = int(round(T - denoising_start * T))
+            t_start = int((ts >= cutoff).sum())
+        if t_start > 0:
+            plan = self._slice_plan(plan, t_start)
+        if plan.num_steps < 1:
+            raise ValueError(
+                f"strength {strength} leaves {plan.num_steps} steps (<1)"
+            )
+        return plan, t_start
+
+    @staticmethod
+    def _slice_plan(plan: Plan, t_start: int) -> Plan:
+        return Plan(
+            timesteps=plan.timesteps[t_start:],
+            sigmas=plan.sigmas[t_start:],
+            alphas_cumprod=plan.alphas_cumprod,
+            init_noise_sigma=plan.init_noise_sigma,
+            final_alpha_cumprod=plan.final_alpha_cumprod,
+            num_steps=plan.num_steps - t_start,
+            order=plan.order,
+        )
+
+    @staticmethod
+    def _apply_denoising_end(
+        plan: Plan, scheduler: BaseScheduler, denoising_end: float
+    ) -> Plan:
+        T = scheduler.config.num_train_timesteps
+        cutoff = int(round(T - denoising_end * T))
+        ts = np.asarray(plan.timesteps)
+        keep = int((ts >= cutoff).sum())
+        return Plan(
+            timesteps=plan.timesteps[:keep],
+            sigmas=plan.sigmas[: keep + 1],
+            alphas_cumprod=plan.alphas_cumprod,
+            init_noise_sigma=plan.init_noise_sigma,
+            final_alpha_cumprod=plan.final_alpha_cumprod,
+            num_steps=keep,
+            order=plan.order,
+        )
+
+    # -- SDXL micro-conditioning (ref: sd_unified_pipeline.py:979-1014) -----
+    @staticmethod
+    def _add_time_ids(model: SDModel, height, width, batch):
+        cfg = model.unet_config
+        expected = cfg.projection_class_embeddings_input_dim
+        proj_dim = model.text_encoder_2_config.projection_dim
+        # refiner-style UNets (2560 = 1280 + 5*256) take an aesthetic score
+        # instead of target_size
+        if expected == proj_dim + 5 * cfg.addition_time_embed_dim:
+            pos = [height, width, 0, 0, 6.0]
+            neg = [height, width, 0, 0, 2.5]
+        else:
+            pos = [height, width, 0, 0, height, width]
+            neg = pos
+            got = proj_dim + len(pos) * cfg.addition_time_embed_dim
+            if got != expected:
+                raise ValueError(
+                    f"add_embedding expects {expected}, constructed {got}"
+                )
+        mk = lambda v: jnp.tile(jnp.asarray(v, jnp.float32)[None], (batch, 1))
+        return mk(pos), mk(neg)
+
+    # -- main entry (ref: sd_unified_pipeline.py:137-529) -------------------
+    def __call__(
+        self,
+        model: SDModel,
+        prompt: Union[str, List[str]] = None,
+        prompt_2=None,
+        negative_prompt=None,
+        negative_prompt_2=None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_images_per_prompt: int = 1,
+        num_inference_steps: int = 50,
+        denoising_start: Optional[float] = None,
+        denoising_end: Optional[float] = None,
+        guidance_scale: float = 5.0,
+        guidance_rescale: float = 0.0,
+        clip_skip: Optional[int] = None,
+        seed: Optional[int] = None,
+        latents: Optional[jax.Array] = None,
+        output_type: Optional[str] = None,
+        # img2img
+        image=None,
+        strength: float = 1.0,
+        # inpaint
+        mask_image=None,
+        masked_image_latents=None,
+        padding_mask_crop: Optional[int] = None,
+    ) -> SDPipelineOutput:
+        scheduler = model.scheduler
+        vf = model.vae_scale_factor
+        height = height or model.unet_config.sample_size * vf
+        width = width or model.unet_config.sample_size * vf
+
+        if prompt is None:
+            raise ValueError("prompt is required")
+        B = 1 if isinstance(prompt, str) else len(prompt)
+        n = num_images_per_prompt
+        do_cfg = self.do_cfg and guidance_scale > 1.0
+
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        key = as_key(seed)
+        k_latent, k_encode, k_steps, k_mask = jax.random.split(key, 4)
+
+        # 2. prompts
+        embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
+            model,
+            prompt,
+            prompt_2,
+            negative_prompt,
+            negative_prompt_2,
+            num_images_per_prompt=n,
+            clip_skip=clip_skip,
+            do_cfg=do_cfg,
+        )
+        embeds = embeds.astype(self.dtype)
+
+        lat_c = model.vae_config.latent_channels
+        unet_c = model.unet_config.in_channels
+        inpaint_mode = "none"
+        mask_lat = masked_lat = image_lat = noise4 = None
+        crop = None
+        original_image_np = None
+
+        # 3/4. mode dispatch + latents
+        if image is None:
+            plan = scheduler.plan(num_inference_steps)
+            if denoising_start is not None and _denoising_valid(denoising_start):
+                plan, _ = self.get_timesteps(
+                    scheduler, num_inference_steps, 1.0, denoising_start
+                )
+            shape = (B * n, height // vf, width // vf, unet_c)
+            if latents is None:
+                latents = randn(k_latent, shape, jnp.float32)
+            else:
+                latents = self._to_nhwc(latents, unet_c).astype(jnp.float32)
+            # provided latents are scaled too (ref: sd_unified_pipeline.py:785)
+            latents = latents * plan.init_noise_sigma
+        elif mask_image is None:
+            # img2img
+            image_arr = self._image_or_latents(image, lat_c)
+            plan, _ = self.get_timesteps(
+                scheduler,
+                num_inference_steps,
+                strength,
+                denoising_start if _denoising_valid(denoising_start) else None,
+            )
+            if getattr(image_arr, "ndim", 0) == 4 and image_arr.shape[-1] == lat_c:
+                init_latents = jnp.asarray(image_arr)
+            else:
+                img = jnp.asarray(
+                    img_utils.preprocess_image(image_arr, height, width)
+                )
+                init_latents = _vae_encode(
+                    model.vae_params,
+                    img,
+                    k_encode,
+                    config=model.vae_config,
+                    force_upcast=model.vae_config.force_upcast,
+                    sample=True,
+                )
+            init_latents = jnp.tile(
+                init_latents, (B * n // init_latents.shape[0], 1, 1, 1)
+            )
+            if denoising_start is None:
+                noise = randn(k_latent, init_latents.shape, jnp.float32)
+                latents = scheduler.add_noise_index(
+                    plan, init_latents.astype(jnp.float32), noise, 0
+                )
+            else:
+                latents = init_latents
+            height, width = latents.shape[1] * vf, latents.shape[2] * vf
+        else:
+            # inpaint
+            if padding_mask_crop is not None:
+                mask_np = img_utils.preprocess_mask(mask_image, height, width)
+                crop = img_utils.get_crop_region(
+                    mask_np[0], width, height, pad=padding_mask_crop
+                )
+                x1, y1, x2, y2 = crop
+                original_image_np = img_utils.postprocess_image(
+                    img_utils.preprocess_image(image, height, width)
+                )[0]
+                image = original_image_np[y1:y2, x1:x2]
+                mask_image = mask_np[0, y1:y2, x1:x2]
+            init_image = img_utils.preprocess_image(image, height, width)
+            mask_np = img_utils.preprocess_mask(mask_image, height, width)
+
+            plan, _ = self.get_timesteps(
+                scheduler,
+                num_inference_steps,
+                strength,
+                denoising_start if _denoising_valid(denoising_start) else None,
+            )
+            is_strength_max = strength == 1.0
+
+            if unet_c == 9:
+                inpaint_mode = "concat9"
+            elif unet_c == 4:
+                inpaint_mode = "blend4"
+            else:
+                raise ValueError(f"inpaint UNet must have 4 or 9 channels, got {unet_c}")
+
+            img = jnp.asarray(init_image)
+            image_lat = _vae_encode(
+                model.vae_params,
+                img,
+                k_encode,
+                config=model.vae_config,
+                force_upcast=model.vae_config.force_upcast,
+                sample=True,
+            )
+            image_lat = jnp.tile(image_lat, (B * n // image_lat.shape[0], 1, 1, 1))
+            shape = (B * n, height // vf, width // vf, lat_c)
+            noise4 = randn(k_latent, shape, jnp.float32)
+            if latents is not None:
+                # provided latents act as the noise, scaled
+                # (ref: sd_unified_pipeline.py:895-897)
+                noise4 = self._to_nhwc(latents, lat_c).astype(jnp.float32)
+                latents = noise4 * plan.init_noise_sigma
+            elif is_strength_max:
+                latents = noise4 * plan.init_noise_sigma
+            elif denoising_start is None:
+                latents = scheduler.add_noise_index(
+                    plan, image_lat.astype(jnp.float32), noise4, 0
+                )
+            else:
+                latents = image_lat
+
+            # mask at latent res + masked-image latents
+            # (ref: sd_unified_pipeline.py:916-976)
+            mask_small = img_utils.preprocess_mask(
+                mask_np, height // vf, width // vf
+            )
+            mask_lat = jnp.tile(jnp.asarray(mask_small), (B * n, 1, 1, 1))
+            if masked_image_latents is not None:
+                masked_lat = self._to_nhwc(jnp.asarray(masked_image_latents), lat_c)
+            elif inpaint_mode == "concat9":
+                masked_np = init_image * (mask_np < 0.5)
+                masked_lat = _vae_encode(
+                    model.vae_params,
+                    jnp.asarray(masked_np),
+                    k_mask,
+                    config=model.vae_config,
+                    force_upcast=model.vae_config.force_upcast,
+                    sample=True,
+                )
+                masked_lat = jnp.tile(
+                    masked_lat, (B * n // masked_lat.shape[0], 1, 1, 1)
+                )
+
+        # 9.1 denoising_end
+        if denoising_end is not None and _denoising_valid(denoising_end):
+            if _denoising_valid(denoising_start) and denoising_start >= denoising_end:
+                raise ValueError(
+                    f"denoising_start {denoising_start} >= denoising_end {denoising_end}"
+                )
+            plan = self._apply_denoising_end(plan, scheduler, denoising_end)
+
+        # SDXL added conditioning
+        added_cond = None
+        if model.is_sdxl:
+            add_ids, add_neg_ids = self._add_time_ids(model, height, width, B * n)
+            text_embeds = pooled
+            if do_cfg:
+                text_embeds = jnp.concatenate([neg_pooled, pooled], axis=0)
+                add_ids = jnp.concatenate([add_neg_ids, add_ids], axis=0)
+            added_cond = {
+                "text_embeds": text_embeds.astype(self.dtype),
+                "time_ids": add_ids,
+            }
+
+        if do_cfg:
+            embeds = jnp.concatenate(
+                [neg_embeds.astype(self.dtype), embeds], axis=0
+            )
+
+        # hot loop
+        step_keys = jax.random.split(k_steps, plan.num_steps)
+        latents = _denoise(
+            model.unet_params,
+            latents.astype(self.dtype),
+            embeds,
+            plan,
+            step_keys,
+            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(guidance_rescale, jnp.float32),
+            added_cond,
+            mask_lat,
+            masked_lat,
+            image_lat,
+            noise4,
+            unet_config=model.unet_config,
+            scheduler=scheduler,
+            do_cfg=do_cfg,
+            inpaint_mode=inpaint_mode,
+            use_rescale=bool(guidance_rescale > 0.0),
+        )
+
+        # decode
+        output_type = output_type or self.output_type
+        if output_type == "latents":
+            return SDPipelineOutput(images=None, latents=latents, seed=seed)
+        images = _vae_decode(
+            model.vae_params,
+            latents,
+            config=model.vae_config,
+            force_upcast=model.vae_config.force_upcast,
+        )
+        images_np = img_utils.postprocess_image(np.asarray(images, np.float32))
+        if crop is not None:
+            images_np = np.stack(
+                [
+                    img_utils.apply_overlay(
+                        original_image_np, im, mask_np[0], crop
+                    )
+                    for im in images_np
+                ]
+            )
+        return SDPipelineOutput(images=images_np, latents=None, seed=seed)
+
+    # -- helpers -------------------------------------------------------------
+    @staticmethod
+    def _to_nhwc(x, channels: int):
+        x = jnp.asarray(x)
+        if x.ndim == 4 and x.shape[-1] == channels:
+            return x
+        if x.ndim == 4 and x.shape[1] == channels:
+            return jnp.transpose(x, (0, 2, 3, 1))
+        raise ValueError(f"cannot interpret latents of shape {x.shape}")
+
+    @staticmethod
+    def _image_or_latents(image, lat_c: int):
+        arr = np.asarray(image) if not hasattr(image, "shape") else image
+        if hasattr(arr, "ndim") and arr.ndim == 4 and (
+            arr.shape[-1] == lat_c or arr.shape[1] == lat_c
+        ):
+            if arr.shape[1] == lat_c and arr.shape[-1] != lat_c:
+                arr = np.transpose(np.asarray(arr), (0, 2, 3, 1))
+            return arr
+        return image

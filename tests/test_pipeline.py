@@ -1,0 +1,269 @@
+"""End-to-end unified pipeline tests (tiny models, CPU).
+
+Mirrors the reference's task dispatch (sd_unified_pipeline.py:137-529):
+txt2img / img2img / inpaint for sd15 and sdxl model types, seed semantics,
+strength windows, denoising_start/end refiner-style split, scheduler sweep.
+"""
+
+import numpy as np
+import pytest
+
+from stablediffusion_tpu.pipelines.unified import StableDiffusionUnifiedPipeline
+
+from helpers import make_tiny_model
+
+H = W = 32  # tiny VAE scale factor is 2 -> latents 16x16 (= tiny unet sample size)
+
+
+@pytest.fixture(scope="module")
+def sd15():
+    return make_tiny_model("sd15")
+
+
+@pytest.fixture(scope="module")
+def sdxl():
+    return make_tiny_model("sdxl")
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return StableDiffusionUnifiedPipeline(do_cfg=True)
+
+
+def test_txt2img_sd15(pipe, sd15):
+    out = pipe(
+        sd15, prompt="a cat", height=H, width=W, num_inference_steps=4, seed=42
+    )
+    assert out.images.shape == (1, H, W, 3)
+    assert out.seed == 42
+    assert np.isfinite(out.images).all()
+    assert 0.0 <= out.images.min() and out.images.max() <= 1.0
+
+
+def test_txt2img_determinism_and_seed_sensitivity(pipe, sd15):
+    a = pipe(sd15, prompt="a cat", height=H, width=W, num_inference_steps=3, seed=1)
+    b = pipe(sd15, prompt="a cat", height=H, width=W, num_inference_steps=3, seed=1)
+    c = pipe(sd15, prompt="a cat", height=H, width=W, num_inference_steps=3, seed=2)
+    np.testing.assert_array_equal(a.images, b.images)
+    assert np.abs(a.images - c.images).max() > 1e-4
+
+
+def test_txt2img_batch_and_num_images(pipe, sd15):
+    out = pipe(
+        sd15,
+        prompt=["a cat", "a dog"],
+        negative_prompt="bad",
+        num_images_per_prompt=2,
+        height=H,
+        width=W,
+        num_inference_steps=2,
+        seed=0,
+    )
+    assert out.images.shape == (4, H, W, 3)
+
+
+def test_txt2img_auto_seed_echo(pipe, sd15):
+    out = pipe(sd15, prompt="a cat", height=H, width=W, num_inference_steps=2)
+    assert isinstance(out.seed, int) and 0 <= out.seed < 2**31
+
+
+def test_guidance_scale_and_rescale(pipe, sd15):
+    base = pipe(sd15, prompt="cat", height=H, width=W, num_inference_steps=3, seed=5)
+    hi = pipe(
+        sd15,
+        prompt="cat",
+        height=H,
+        width=W,
+        num_inference_steps=3,
+        seed=5,
+        guidance_scale=12.0,
+    )
+    res = pipe(
+        sd15,
+        prompt="cat",
+        height=H,
+        width=W,
+        num_inference_steps=3,
+        seed=5,
+        guidance_scale=12.0,
+        guidance_rescale=0.7,
+    )
+    assert np.abs(base.images - hi.images).max() > 1e-5
+    assert np.abs(hi.images - res.images).max() > 1e-6
+
+
+def test_clip_skip(pipe, sd15):
+    a = pipe(sd15, prompt="cat", height=H, width=W, num_inference_steps=2, seed=3)
+    b = pipe(
+        sd15, prompt="cat", height=H, width=W, num_inference_steps=2, seed=3,
+        clip_skip=1,
+    )
+    assert np.abs(a.images - b.images).max() > 1e-6
+
+
+def test_img2img(pipe, sd15, rng):
+    init = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    out = pipe(
+        sd15,
+        prompt="a cat",
+        image=init,
+        strength=0.5,
+        num_inference_steps=4,
+        height=H,
+        width=W,
+        seed=7,
+    )
+    assert out.images.shape == (1, H, W, 3)
+    # strength=0.5 of 4 steps -> 2 steps actually run; low strength keeps
+    # output closer to init than strength=1
+    far = pipe(
+        sd15, prompt="a cat", image=init, strength=1.0,
+        num_inference_steps=4, height=H, width=W, seed=7,
+    )
+    d_near = np.abs(out.images - init).mean()
+    d_far = np.abs(far.images - init).mean()
+    assert d_near < d_far
+
+
+def test_img2img_latents_passthrough(pipe, sd15, rng):
+    lat = rng.standard_normal((1, H // 2, W // 2, 4)).astype(np.float32)
+    out = pipe(
+        sd15, prompt="cat", image=lat, strength=0.5, num_inference_steps=4, seed=1
+    )
+    assert out.images.shape == (1, H, W, 3)
+
+
+def test_inpaint_blend4(pipe, sd15, rng):
+    init = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    mask = np.zeros((H, W), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = pipe(
+        sd15,
+        prompt="a cat",
+        image=init,
+        mask_image=mask,
+        strength=1.0,
+        num_inference_steps=4,
+        height=H,
+        width=W,
+        seed=9,
+    )
+    assert out.images.shape == (1, H, W, 3)
+    assert np.isfinite(out.images).all()
+
+
+def test_inpaint_9ch_concat(rng):
+    model = make_tiny_model("sd15", in_channels=9)
+    pipe = StableDiffusionUnifiedPipeline()
+    init = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    mask = np.zeros((H, W), np.float32)
+    mask[0:16, :] = 1.0
+    out = pipe(
+        model,
+        prompt="dog",
+        image=init,
+        mask_image=mask,
+        num_inference_steps=3,
+        height=H,
+        width=W,
+        seed=2,
+    )
+    assert out.images.shape == (1, H, W, 3)
+    assert np.isfinite(out.images).all()
+
+
+def test_inpaint_padding_mask_crop(pipe, sd15, rng):
+    init = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    mask = np.zeros((H, W), np.float32)
+    mask[12:20, 12:20] = 1.0
+    out = pipe(
+        sd15,
+        prompt="cat",
+        image=init,
+        mask_image=mask,
+        num_inference_steps=2,
+        height=H,
+        width=W,
+        seed=4,
+        padding_mask_crop=4,
+    )
+    assert out.images.shape == (1, H, W, 3)
+    # unmasked corner must be exactly the original (pasted back)
+    np.testing.assert_allclose(out.images[0, :4, :4], init[0, :4, :4], atol=1e-5)
+
+
+def test_sdxl_txt2img(pipe, sdxl):
+    out = pipe(
+        sdxl,
+        prompt="a cat",
+        prompt_2="a feline",
+        negative_prompt="blurry",
+        height=H,
+        width=W,
+        num_inference_steps=3,
+        seed=11,
+    )
+    assert out.images.shape == (1, H, W, 3)
+    assert np.isfinite(out.images).all()
+
+
+def test_sdxl_refiner_style_split(pipe, sdxl):
+    # base: txt2img stopped at 60%, latents out
+    base = pipe(
+        sdxl,
+        prompt="a cat",
+        height=H,
+        width=W,
+        num_inference_steps=6,
+        denoising_end=0.6,
+        output_type="latents",
+        seed=13,
+    )
+    assert base.latents is not None
+    # "refiner": img2img continuing from 60%
+    final = pipe(
+        sdxl,
+        prompt="a cat",
+        image=np.asarray(base.latents),
+        num_inference_steps=6,
+        denoising_start=0.6,
+        height=H,
+        width=W,
+        seed=13,
+    )
+    assert final.images.shape == (1, H, W, 3)
+
+
+@pytest.mark.parametrize(
+    "name", ["DDIM", "euler", "euler_a", "DPM++ 2M", "DPM++ 2M SDE Karras", "PNDM", "uni_pc"]
+)
+def test_all_schedulers_through_pipeline(sd15, name, pipe):
+    sd15.set_scheduler(name)
+    try:
+        out = pipe(
+            sd15, prompt="cat", height=H, width=W, num_inference_steps=4, seed=1
+        )
+        assert np.isfinite(out.images).all()
+    finally:
+        sd15.set_scheduler("DDIM")
+
+
+def test_output_type_latents(pipe, sd15):
+    out = pipe(
+        sd15, prompt="cat", height=H, width=W, num_inference_steps=2, seed=1,
+        output_type="latents",
+    )
+    assert out.images is None
+    assert out.latents.shape == (1, H // 2, W // 2, 4)
+
+
+def test_negative_prompt_batch_mismatch(pipe, sd15):
+    with pytest.raises(ValueError):
+        pipe(
+            sd15,
+            prompt=["a", "b"],
+            negative_prompt=["x"],
+            height=H,
+            width=W,
+            num_inference_steps=1,
+        )
