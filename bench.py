@@ -1,0 +1,123 @@
+"""Benchmark: SD1.5 512² 20-step txt2img throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The measured program is the framework's real hot path: the 20-step CFG
+denoise `lax.scan` (full-size SD1.5 UNet, bf16, Pallas attention) plus the
+VAE decode — i.e. everything between prompt embeddings and pixels.  Weights
+are random (no hub access in this environment); FLOPs and memory traffic are
+identical to real weights.
+
+`vs_baseline`: ratio to an A100 fp16/xformers reference for the same
+workload.  The reference repo publishes no numbers (BASELINE.md), so the
+baseline constant is the commonly reported ~2.0 images/sec for batched SD1.5
+512² 20-step on A100; the north-star target is vs_baseline >= 1.5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_IMG_PER_SEC = 2.0
+STEPS = 20
+
+
+def build(batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusion_tpu.core.config import (
+        SD15_UNET,
+        SD15_VAE,
+        SchedulerConfig,
+    )
+    from stablediffusion_tpu.models import unet, vae
+    from stablediffusion_tpu.pipelines.unified import _denoise, _vae_decode
+    from stablediffusion_tpu.schedulers import make_scheduler
+
+    from stablediffusion_tpu.utils.testing import random_model_params
+
+    dtype = jnp.bfloat16
+    unet_params = random_model_params(unet.init_params, SD15_UNET, dtype=dtype)
+    vae_params = random_model_params(vae.init_params, SD15_VAE, dtype=jnp.float32)
+
+    scheduler = make_scheduler("DDIM", SchedulerConfig())
+    plan = scheduler.plan(STEPS)
+    latents = jax.random.normal(jax.random.key(2), (batch, 64, 64, 4), dtype)
+    embeds = jax.random.normal(jax.random.key(3), (2 * batch, 77, 768), dtype)
+    keys = jax.random.split(jax.random.key(4), STEPS)
+
+    def run():
+        lat = _denoise(
+            unet_params,
+            latents,
+            embeds,
+            plan,
+            keys,
+            7.5,
+            0.0,
+            None,
+            None,
+            None,
+            None,
+            None,
+            unet_config=SD15_UNET,
+            scheduler=scheduler,
+            do_cfg=True,
+            inpaint_mode="none",
+            use_rescale=False,
+        )
+        img = _vae_decode(
+            vae_params, lat, config=SD15_VAE, force_upcast=False
+        )
+        return img
+
+    return run
+
+
+def measure(batch: int, iters: int = 3):
+    """block_until_ready is not reliably synchronous on this environment's
+    tunneled TPU backend — force completion by fetching a scalar to host."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    run = build(batch)
+    float(jnp.mean(run()))  # compile + warm up (host fetch forces execution)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        val = float(jnp.mean(run()))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(val)
+    best = min(times)
+    return batch / best, best
+
+
+def main():
+    best_ips = 0.0
+    detail = {}
+    for batch in (1, 4, 8):
+        try:
+            ips, t = measure(batch)
+            detail[f"batch{batch}_sec"] = round(t, 3)
+            best_ips = max(best_ips, ips)
+        except Exception as e:  # OOM or compile failure at larger batch
+            detail[f"batch{batch}_error"] = type(e).__name__
+            break
+    print(
+        json.dumps(
+            {
+                "metric": "sd15_512px_20step_images_per_sec_per_chip",
+                "value": round(best_ips, 4),
+                "unit": "images/sec",
+                "vs_baseline": round(best_ips / A100_BASELINE_IMG_PER_SEC, 4),
+                "detail": detail,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Diffusers-layout checkpoint loader -> SDModel.
+
+The reference loads vae/unet/text_encoder(s)/tokenizer(s)/scheduler from HF
+hub subfolders with the fp16 safetensors variant
+(models/stable_diffusion.py:106-156), with the OnMoon/{type}_{name} registry
+convention (:78-88).  Here the same folder layout is read with our own
+safetensors codec and converted to canonical layouts; hub access goes through
+huggingface_hub when available and falls back to a local model directory
+(SDTPU_MODEL_DIR) in air-gapped environments.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from stablediffusion_tpu.core.config import (
+    CLIPTextConfig,
+    SchedulerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from stablediffusion_tpu.io.safetensors_io import SafetensorsFile
+from stablediffusion_tpu.io.torch_convert import convert_state_dict
+from stablediffusion_tpu.models.wrapper import SDModel
+from stablediffusion_tpu.tokenizer.clip_bpe import CLIPTokenizer
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CHECKPOINTS = {
+    # ref: models/stable_diffusion.py:78-88
+    "sd15": "runwayml/stable-diffusion-v1-5",
+    "sdxl": "stabilityai/stable-diffusion-xl-base-1.0",
+}
+REGISTRY_PREFIX = "OnMoon"
+
+
+def resolve_checkpoint(
+    model_type: str, model_name: Optional[str] = None, cache_dir: Optional[str] = None
+) -> str:
+    """model_name -> local path.  Registry convention: {type}_{name} under
+    the local model dir (hub id OnMoon/{type}_{name} when hub access exists)."""
+    cache_dir = cache_dir or os.environ.get("SDTPU_MODEL_DIR", "models")
+    if model_name is None:
+        repo = DEFAULT_CHECKPOINTS[model_type]
+        local = os.path.join(cache_dir, repo.split("/")[-1])
+    else:
+        local = os.path.join(cache_dir, f"{model_type}_{model_name}")
+        repo = f"{REGISTRY_PREFIX}/{model_type}_{model_name}"
+    if os.path.isdir(local):
+        return local
+    try:  # hub path (no-op in air-gapped envs)
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(repo, cache_dir=cache_dir)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"checkpoint {repo!r} not found locally at {local} and hub "
+            f"download failed ({type(e).__name__})"
+        ) from e
+
+
+def _read_json(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _find_weights(folder: str, variant: Optional[str] = "fp16"):
+    """Pick the weight file(s) in a subfolder, preferring the fp16 variant
+    (ref loads variant='fp16' safetensors, models/stable_diffusion.py:113-146).
+    Handles sharded checkpoints via the index json."""
+    names = os.listdir(folder)
+    for base in ("diffusion_pytorch_model", "model"):
+        for v in ([f".{variant}", ""] if variant else [""]):
+            idx = f"{base}{v}.safetensors.index.json"
+            if idx in names:
+                index = _read_json(os.path.join(folder, idx))
+                shards = sorted(set(index["weight_map"].values()))
+                return [os.path.join(folder, s) for s in shards]
+            fn = f"{base}{v}.safetensors"
+            if fn in names:
+                return [os.path.join(folder, fn)]
+    raise FileNotFoundError(f"no safetensors weights in {folder}")
+
+
+def load_component_state(folder: str, variant="fp16", dtype=None) -> dict:
+    flat: Dict[str, np.ndarray] = {}
+    for path in _find_weights(folder, variant):
+        with SafetensorsFile(path) as f:
+            for name in f.keys():
+                flat[name] = np.array(f.tensor(name))
+    return convert_state_dict(flat, dtype=dtype)
+
+
+def load_sd_model(
+    path: str,
+    model_type: Optional[str] = None,
+    dtype=None,
+    variant: Optional[str] = "fp16",
+    scheduler_name: str = "DDIM",
+) -> SDModel:
+    """Load a diffusers-layout folder (load_hf_checkpoint analog)."""
+    if model_type is None:
+        model_type = "sdxl" if os.path.isdir(os.path.join(path, "text_encoder_2")) else "sd15"
+
+    unet_cfg = UNetConfig.from_diffusers_dict(
+        _read_json(os.path.join(path, "unet", "config.json"))
+    )
+    vae_cfg = VAEConfig.from_diffusers_dict(
+        _read_json(os.path.join(path, "vae", "config.json"))
+    )
+    te_cfg = CLIPTextConfig.from_diffusers_dict(
+        _read_json(os.path.join(path, "text_encoder", "config.json"))
+    )
+    sched_path = os.path.join(path, "scheduler", "scheduler_config.json")
+    sched_cfg = (
+        SchedulerConfig.from_diffusers_dict(_read_json(sched_path))
+        if os.path.exists(sched_path)
+        else SchedulerConfig()
+    )
+
+    def _load(sub):
+        return load_component_state(os.path.join(path, sub), variant, dtype)
+
+    kwargs: Dict[str, Any] = {}
+    if model_type == "sdxl":
+        te2_cfg = CLIPTextConfig.from_diffusers_dict(
+            _read_json(os.path.join(path, "text_encoder_2", "config.json"))
+        )
+        kwargs.update(
+            text_encoder_2_config=te2_cfg,
+            text_encoder_2_params=_load("text_encoder_2"),
+            tokenizer_2=CLIPTokenizer.from_pretrained(
+                os.path.join(path, "tokenizer_2")
+            ),
+        )
+
+    model = SDModel(
+        model_type=model_type,
+        unet_config=unet_cfg,
+        unet_params=_load("unet"),
+        vae_config=vae_cfg,
+        vae_params=_load("vae"),
+        text_encoder_config=te_cfg,
+        text_encoder_params=_load("text_encoder"),
+        tokenizer=CLIPTokenizer.from_pretrained(os.path.join(path, "tokenizer")),
+        scheduler_config=sched_cfg,
+        scheduler_name=scheduler_name,
+        path=path,
+        **kwargs,
+    )
+    return model
+
+
+def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> None:
+    """Write a diffusers-layout folder (save_pretrained analog) readable by
+    the torch ecosystem: torch layouts, per-component subfolders + configs."""
+    import dataclasses
+
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(sub, params, cfg_dict, fname="diffusion_pytorch_model"):
+        d = os.path.join(path, sub)
+        os.makedirs(d, exist_ok=True)
+        flat = {
+            k: deconvert_tensor(k, np.asarray(v)) for k, v in flatten(params).items()
+        }
+        suffix = f".{variant}" if variant else ""
+        save_safetensors(flat, os.path.join(d, f"{fname}{suffix}.safetensors"))
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(cfg_dict, f, indent=2)
+
+    dump("unet", model.unet_params, _unet_cfg_dict(model.unet_config))
+    dump("vae", model.vae_params, _vae_cfg_dict(model.vae_config))
+    dump(
+        "text_encoder",
+        model.text_encoder_params,
+        _clip_cfg_dict(model.text_encoder_config),
+        fname="model",
+    )
+    if model.is_sdxl:
+        dump(
+            "text_encoder_2",
+            model.text_encoder_2_params,
+            _clip_cfg_dict(model.text_encoder_2_config),
+            fname="model",
+        )
+    os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
+    with open(os.path.join(path, "scheduler", "scheduler_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(model.scheduler_config), f, indent=2)
+    with open(os.path.join(path, "model_index.json"), "w") as f:
+        json.dump(
+            {
+                "_class_name": "StableDiffusionXLPipeline"
+                if model.is_sdxl
+                else "StableDiffusionPipeline"
+            },
+            f,
+        )
+
+
+def _unet_cfg_dict(c: UNetConfig) -> dict:
+    import dataclasses
+
+    d = dataclasses.asdict(c)
+    d["down_block_types"] = list(c.down_block_types)
+    d["up_block_types"] = list(c.up_block_types)
+    d["block_out_channels"] = list(c.block_out_channels)
+    if isinstance(c.num_attention_heads, tuple):
+        d["num_attention_heads"] = list(c.num_attention_heads)
+    if isinstance(c.transformer_layers_per_block, tuple):
+        d["transformer_layers_per_block"] = list(c.transformer_layers_per_block)
+    return d
+
+
+def _vae_cfg_dict(c: VAEConfig) -> dict:
+    import dataclasses
+
+    d = dataclasses.asdict(c)
+    d["block_out_channels"] = list(c.block_out_channels)
+    return d
+
+
+def _clip_cfg_dict(c: CLIPTextConfig) -> dict:
+    import dataclasses
+
+    d = dataclasses.asdict(c)
+    d["architectures"] = [
+        "CLIPTextModelWithProjection" if c.with_projection else "CLIPTextModel"
+    ]
+    return d

@@ -76,3 +76,86 @@ class SDModel:
 
     def get_list_adapters(self) -> Dict[str, float]:
         return dict(self.adapters)
+
+    # -- LoRA adapter management (ref: models/stable_diffusion.py:230-335) --
+    # Pristine base params are kept so adapter swaps re-fuse from the
+    # originals (no drift from repeated add/subtract).
+    _base_params: Optional[Dict[str, Any]] = None
+    _adapter_store: Dict[str, Dict[str, dict]] = None  # name -> component tree
+
+    def _ensure_base(self):
+        if self._base_params is None:
+            self._base_params = {
+                "unet": self.unet_params,
+                "text_encoder": self.text_encoder_params,
+                "text_encoder_2": self.text_encoder_2_params,
+            }
+        if self._adapter_store is None:
+            self._adapter_store = {}
+
+    def load_lora_weights(self, name: str, adapter: Dict[str, Dict[str, dict]]):
+        """Register a parsed adapter ({component: {module_path: factors}})
+        under `name` (load_lora_weights analog)."""
+        self._ensure_base()
+        self._adapter_store[name] = adapter
+
+    def set_adapters(self, weights: Dict[str, float]):
+        """Fuse the named adapters at the given scales into working params
+        (set_adapters analog; replaces any previous fusion)."""
+        from stablediffusion_tpu.lora.core import fuse
+
+        self._ensure_base()
+        unknown = [n for n in weights if n not in self._adapter_store]
+        if unknown:
+            raise ValueError(f"unknown adapters {unknown}; loaded: "
+                             f"{sorted(self._adapter_store)}")
+        for component, attr in (
+            ("unet", "unet_params"),
+            ("text_encoder", "text_encoder_params"),
+            ("text_encoder_2", "text_encoder_2_params"),
+        ):
+            base = self._base_params[component]
+            if base is None:
+                continue
+            comp_adapters = {
+                n: self._adapter_store[n][component]
+                for n in weights
+                if component in self._adapter_store[n]
+            }
+            setattr(
+                self,
+                attr,
+                fuse(base, comp_adapters, weights) if comp_adapters else base,
+            )
+        self.adapters = dict(weights)
+
+    def delete_adapters(self):
+        """Drop all adapters and restore pristine weights
+        (delete_adapters analog)."""
+        if self._base_params is not None:
+            self.unet_params = self._base_params["unet"]
+            self.text_encoder_params = self._base_params["text_encoder"]
+            self.text_encoder_2_params = self._base_params["text_encoder_2"]
+        self._adapter_store = {}
+        self.adapters = {}
+
+    def load_loras(self, loras, lora_dir: Optional[str] = None):
+        """str / list / {name: weight} -> download-or-load + fuse
+        (load_loras analog, models/stable_diffusion.py:230-249).  Files are
+        resolved as {lora_dir}/{model_type}_{name}.safetensors."""
+        import os
+
+        from stablediffusion_tpu.lora.formats import load_lora_file
+
+        if isinstance(loras, str):
+            loras = {loras: 1.0}
+        elif isinstance(loras, (list, tuple)):
+            loras = {n: 1.0 for n in loras}
+        self.delete_adapters()
+        self._ensure_base()
+        for name in loras:
+            if name not in self._adapter_store:
+                fname = f"{self.model_type}_{name}.safetensors"
+                path = os.path.join(lora_dir or ".", fname)
+                self.load_lora_weights(name, load_lora_file(path))
+        self.set_adapters(dict(loras))

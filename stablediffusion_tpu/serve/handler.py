@@ -1,0 +1,252 @@
+"""Serving request router — the runpod-worker analog (L5).
+
+Mirrors the reference's handler (runpod-worker/handler_logic.py:54-151):
+  * request schema {id, input: {mode?, model?, params?, prompt...}};
+  * modes: "inference" (default) | "inference_wandb" | "constructor" | "train";
+  * optional model block {type, name, loras, scheduler} hot-reloads the model
+    (maybe_reload_model, :135-151);
+  * `params` merge into top-level args; auto-seed when absent, seed echoed
+    (:94-96);
+  * images returned as base64 JPEG.
+
+Fixed vs the reference (SURVEY.md behavior-vs-bug ledger): the wandb-mode
+arity mismatch (crash, :108 vs :196) and constructor_mode's undefined
+`self.last_adapters` (:253) — adapters are tracked on the model wrapper.
+The model-reload mutation is the one critical section (SURVEY.md §5.2);
+requests are serialized by the worker loop (single-writer).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import logging
+import time
+import traceback
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from stablediffusion_tpu.io.loader import load_sd_model, resolve_checkpoint
+from stablediffusion_tpu.models.wrapper import SDModel
+from stablediffusion_tpu.pipelines.unified import StableDiffusionUnifiedPipeline
+from stablediffusion_tpu.utils.images import to_uint8
+
+logger = logging.getLogger(__name__)
+
+INFERENCE_ARG_KEYS = (
+    "prompt",
+    "prompt_2",
+    "negative_prompt",
+    "negative_prompt_2",
+    "height",
+    "width",
+    "num_images_per_prompt",
+    "num_inference_steps",
+    "denoising_start",
+    "denoising_end",
+    "guidance_scale",
+    "guidance_rescale",
+    "clip_skip",
+    "seed",
+    "image",
+    "strength",
+    "mask_image",
+    "masked_image_latents",
+    "padding_mask_crop",
+)
+
+
+def encode_images_b64(images01: np.ndarray, fmt: str = "JPEG") -> list:
+    """[B,H,W,3] in [0,1] -> list of base64 strings
+    (convert_pt_to_numpy + JPEG/base64, handler_logic.py:21-29,177-191)."""
+    from PIL import Image
+
+    out = []
+    for im in (images01 * 255).round().astype(np.uint8):
+        buf = io.BytesIO()
+        Image.fromarray(im).save(buf, format=fmt, quality=95)
+        out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+    return out
+
+
+def decode_image_b64(data: str) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
+    return np.asarray(im, np.float32) / 255.0
+
+
+class Handler:
+    """Request router bound to one model slot."""
+
+    def __init__(
+        self,
+        model: Optional[SDModel] = None,
+        model_dir: Optional[str] = None,
+        lora_dir: Optional[str] = None,
+    ):
+        self.model = model
+        self.model_dir = model_dir
+        self.lora_dir = lora_dir or model_dir
+
+    # -- model hot-swap (maybe_reload_model analog) --------------------------
+    def maybe_reload_model(self, model_cfg: Dict[str, Any]) -> None:
+        mtype = model_cfg.get("type", getattr(self.model, "model_type", "sdxl"))
+        name = model_cfg.get("name")
+        if name is not None:
+            path = resolve_checkpoint(mtype, name, cache_dir=self.model_dir)
+            if self.model is None or self.model.path != path:
+                logger.info("loading model %s (%s)", name, path)
+                self.model = load_sd_model(path, model_type=mtype)
+        if self.model is None:
+            raise ValueError("no model loaded and no model.name provided")
+        if "loras" in model_cfg:
+            loras = model_cfg["loras"]
+            if loras:
+                self.model.load_loras(loras, lora_dir=self.lora_dir)
+            else:
+                self.model.delete_adapters()
+        if "scheduler" in model_cfg:
+            self.model.set_scheduler(model_cfg["scheduler"])
+
+    # -- entry ----------------------------------------------------------------
+    def __call__(self, request_input: Dict[str, Any], request_id: str = "") -> Dict:
+        t0 = time.time()
+        try:
+            mode = request_input.get("mode", "inference")
+            if "model" in request_input and request_input["model"]:
+                self.maybe_reload_model(request_input["model"])
+            if self.model is None:
+                raise ValueError("no model loaded")
+
+            args = dict(request_input.get("params") or {})
+            for k in INFERENCE_ARG_KEYS:
+                if k in request_input:
+                    args[k] = request_input[k]
+            # auto-seed + echo (ref: handler_logic.py:94-96)
+            if args.get("seed") is None:
+                args["seed"] = int(np.random.randint(0, int(1e9)))
+
+            if mode == "inference":
+                return self.inference_mode(args, t0)
+            if mode == "inference_wandb":
+                return self.inference_wandb_mode(args, t0)
+            if mode == "constructor":
+                return self.constructor_mode(args, t0)
+            if mode == "train":
+                return self.train_mode(request_input)
+            raise ValueError(f"unknown mode {mode!r}")
+        except Exception as e:  # error channel (ref: handler_logic.py:90-92)
+            logger.error("request %s failed: %s", request_id, e)
+            return {
+                "error": f"{type(e).__name__}: {e}",
+                "traceback": traceback.format_exc(),
+            }
+
+    # -- modes ----------------------------------------------------------------
+    def _generate(self, args: Dict[str, Any]):
+        if "image" in args and isinstance(args["image"], str):
+            args = dict(args, image=decode_image_b64(args["image"]))
+        if "mask_image" in args and isinstance(args["mask_image"], str):
+            args = dict(args, mask_image=decode_image_b64(args["mask_image"]))
+        pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
+        return pipe(self.model, **args)
+
+    def inference_mode(self, args: Dict[str, Any], t0: float) -> Dict:
+        out = self._generate(args)
+        return {
+            "images": encode_images_b64(out.images),
+            "seed": out.seed,
+            "time_sec": round(time.time() - t0, 3),
+        }
+
+    def inference_wandb_mode(self, args: Dict[str, Any], t0: float) -> Dict:
+        """Generation + experiment logging.  wandb is optional; without it the
+        run config is returned inline (the reference crashes here — fixed)."""
+        out = self._generate(args)
+        config = {
+            "prompt": args.get("prompt"),
+            "negative_prompt": args.get("negative_prompt"),
+            "scheduler": self.model.scheduler_name,
+            "steps": args.get("num_inference_steps", 50),
+            "cfg": args.get("guidance_scale", 5.0),
+            "clip_skip": args.get("clip_skip"),
+            "seed": out.seed,
+            "adapters": self.model.get_list_adapters(),
+        }
+        run_url = None
+        try:
+            import wandb
+
+            run = wandb.init(project="sdtpu-inference", config=config)
+            run.log(
+                {"images": [wandb.Image(im) for im in out.images]}
+            )
+            run_url = run.get_url()
+            run.finish()
+        except ImportError:
+            logger.info("wandb unavailable; returning config inline")
+        return {
+            "images": encode_images_b64(out.images),
+            "seed": out.seed,
+            "config": config,
+            "wandb_url": run_url,
+            "time_sec": round(time.time() - t0, 3),
+        }
+
+    def constructor_mode(self, args: Dict[str, Any], t0: float) -> Dict:
+        """Hyperparameter grid sweep (ref: handler_logic.py:241-290).
+        Defaults mirror the reference (:244-251)."""
+        schedulers = args.pop("schedulers", ["DPM++ 2M SDE Karras"])
+        lora_scales = args.pop("lora_scales", [0.7])
+        steps_grid = args.pop("steps_grid", [30])
+        cfg_grid = args.pop("guidance_grid", [7])
+        base_adapters = self.model.get_list_adapters()
+        results = []
+        for sched in schedulers:
+            self.model.set_scheduler(sched)
+            for scale in lora_scales:
+                if base_adapters:
+                    self.model.set_adapters(
+                        {n: scale for n in base_adapters}
+                    )
+                for steps in steps_grid:
+                    for cfg in cfg_grid:
+                        out = self._generate(
+                            dict(
+                                args,
+                                num_inference_steps=int(steps),
+                                guidance_scale=float(cfg),
+                            )
+                        )
+                        results.append(
+                            {
+                                "scheduler": sched,
+                                "lora_scale": scale,
+                                "steps": steps,
+                                "guidance_scale": cfg,
+                                "seed": out.seed,
+                                "images": encode_images_b64(out.images),
+                            }
+                        )
+        if base_adapters:
+            self.model.set_adapters(base_adapters)
+        return {"grid": results, "time_sec": round(time.time() - t0, 3)}
+
+    def train_mode(self, request_input: Dict[str, Any]) -> Dict:
+        """In-process LoRA training (the reference's mode is an empty stub,
+        handler_logic.py:125-127 — implemented here)."""
+        from stablediffusion_tpu.train.trainer import SDLoRATrainer, SDTrainingArgs
+
+        cfg = request_input.get("train") or {}
+        data_dir = cfg.pop("data_dir", None)
+        if not data_dir:
+            raise ValueError("train mode requires train.data_dir")
+        args = SDTrainingArgs(**cfg)
+        trainer = SDLoRATrainer(self.model, args, data_dir)
+        trainer.train()
+        return {
+            "lora_path": f"{args.output_dir}/pytorch_lora_weights.safetensors",
+            "history": trainer.history,
+        }

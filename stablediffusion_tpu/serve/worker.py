@@ -1,0 +1,107 @@
+"""Serverless-style worker (rp_handler analog).
+
+The reference wires Handler into runpod.serverless
+(runpod-worker/rp_handler.py:44-63).  Here the same handler is exposed two
+ways:
+  * `trigger_fn(request)` — the job-queue entry point, signature-compatible
+    with runpod's {id, input} schema; if the `runpod` package is present it
+    is registered with runpod.serverless.start, otherwise
+  * a built-in threaded HTTP server (POST / with the same JSON schema),
+    usable standalone:  python -m stablediffusion_tpu.serve.worker --port 8000
+
+Requests are handled one at a time (single-writer model slot; SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from stablediffusion_tpu.serve.handler import Handler
+
+logger = logging.getLogger(__name__)
+
+_LOCK = threading.Lock()
+HANDLER: Optional[Handler] = None
+
+
+def get_handler(**kw) -> Handler:
+    global HANDLER
+    if HANDLER is None:
+        HANDLER = Handler(**kw)
+    return HANDLER
+
+
+def trigger_fn(request: Dict[str, Any]) -> Dict[str, Any]:
+    """Job entry: {id, input: {mode?, model?, params?, prompt...}}
+    (ref schema: rp_handler.py:48-60)."""
+    handler = get_handler()
+    with _LOCK:  # serialize: the model slot is single-writer
+        return handler(request.get("input") or {}, request.get("id", ""))
+
+
+class _HTTPHandler(BaseHTTPRequestHandler):
+    def do_POST(self):  # noqa: N802
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            request = json.loads(self.rfile.read(length) or b"{}")
+        except json.JSONDecodeError as e:
+            self._reply(400, {"error": f"bad json: {e}"})
+            return
+        result = trigger_fn(request)
+        self._reply(200 if "error" not in result else 500, result)
+
+    def do_GET(self):  # noqa: N802 — health check
+        self._reply(200, {"status": "ok", "model": getattr(
+            get_handler().model, "model_type", None)})
+
+    def _reply(self, code: int, obj: Dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):
+        logger.info("%s " + fmt, self.client_address[0], *args)
+
+
+def serve_http(port: int = 8000, **handler_kw):
+    get_handler(**handler_kw)
+    server = ThreadingHTTPServer(("0.0.0.0", port), _HTTPHandler)
+    logger.info("serving on :%d", port)
+    server.serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--model_dir", type=str, default=None)
+    p.add_argument("--lora_dir", type=str, default=None)
+    p.add_argument("--model_type", type=str, default="sdxl")
+    p.add_argument("--model_name", type=str, default=None,
+                   help="preload this checkpoint (ref preloads AnimaPencil)")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    handler = get_handler(model_dir=args.model_dir, lora_dir=args.lora_dir)
+    if args.model_name:
+        handler.maybe_reload_model(
+            {"type": args.model_type, "name": args.model_name}
+        )
+
+    try:
+        import runpod  # serverless platform, if present
+
+        runpod.serverless.start({"handler": trigger_fn})
+    except ImportError:
+        serve_http(args.port, model_dir=args.model_dir, lora_dir=args.lora_dir)
+
+
+if __name__ == "__main__":
+    main()

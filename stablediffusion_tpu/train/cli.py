@@ -1,0 +1,186 @@
+"""Standalone LoRA training CLI — the train_text_to_image_lora(_sdxl) analog.
+
+Mirrors the reference CLIs' flag surface (diffusers_scripts/
+train_text_to_image_lora.py:147-440 and _sdxl.py) where meaningful on TPU:
+dataset dir, resolution/crop/flip, batch/epochs/max_steps, grad accumulation,
+lr + schedules + warmup, snr_gamma, adam hyperparams, max_grad_norm,
+checkpointing/resume, rank, mixed precision, validation prompts, seed.
+CUDA-only flags (xformers, TF32, 8-bit Adam, DeepSpeed) are accepted and
+mapped to TPU equivalents or no-ops so existing launch scripts keep working.
+
+Usage:
+    python -m stablediffusion_tpu.train.cli --pretrained_model_name_or_path
+        /path/to/diffusers-layout --train_data_dir /path/to/imgs --rank 16 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="TPU LoRA fine-tuning")
+    # model / data
+    p.add_argument("--pretrained_model_name_or_path", type=str, required=True,
+                   help="diffusers-layout checkpoint folder")
+    p.add_argument("--model_type", type=str, default=None,
+                   choices=[None, "sd15", "sdxl"],
+                   help="override auto-detection")
+    p.add_argument("--train_data_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="lora-out")
+    # image pipeline
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--center_crop", action="store_true")
+    p.add_argument("--random_flip", action="store_true")
+    # optimization
+    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--noise_offset", type=float, default=0.0)
+    p.add_argument("--prediction_type", type=str, default=None)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--rank", type=int, default=4)
+    p.add_argument("--train_text_encoder", action="store_true")
+    p.add_argument("--mixed_precision", type=str, default="bf16",
+                   choices=["no", "fp16", "bf16"])
+    # checkpointing
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    # misc
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--validation_prompt", type=str, default=None)
+    p.add_argument("--num_validation_images", type=int, default=4)
+    p.add_argument("--validation_epochs", type=int, default=1)
+    p.add_argument("--dataloader_num_workers", type=int, default=0)
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--logging_dir", type=str, default="logs")
+    # CUDA-era flags accepted as no-ops for launch-script compatibility
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="no TPU analog; maps to AdamW")
+    p.add_argument("--enable_xformers_memory_efficient_attention",
+                   action="store_true", help="no-op: Pallas attention is default")
+    p.add_argument("--allow_tf32", action="store_true", help="no-op on TPU")
+    p.add_argument("--local_rank", type=int,
+                   default=int(os.environ.get("LOCAL_RANK", -1)))
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if jax_process_index() == 0 else logging.ERROR,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    import dataclasses
+
+    import jax
+
+    from stablediffusion_tpu.io.loader import load_sd_model
+    from stablediffusion_tpu.parallel import make_mesh
+    from stablediffusion_tpu.train.trainer import SDLoRATrainer, SDTrainingArgs
+
+    model = load_sd_model(
+        args.pretrained_model_name_or_path, model_type=args.model_type
+    )
+    if args.prediction_type:
+        model.scheduler_config = dataclasses.replace(
+            model.scheduler_config, prediction_type=args.prediction_type
+        )
+
+    lr = args.learning_rate
+    if args.scale_lr:
+        lr *= args.gradient_accumulation_steps * args.train_batch_size * jax.device_count()
+
+    mixed = "bf16" if args.mixed_precision in ("bf16", "fp16") else "no"
+    targs = SDTrainingArgs(
+        train_batch_size=args.train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        mixed_precision=mixed,
+        rank=args.rank,
+        train_text_encoder=args.train_text_encoder,
+        learning_rate=lr,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_epsilon=args.adam_epsilon,
+        adam_weight_decay=args.adam_weight_decay,
+        num_train_epochs=args.num_train_epochs,
+        max_train_steps=args.max_train_steps,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        resolution=args.resolution,
+        max_grad_norm=args.max_grad_norm,
+        seed=args.seed,
+        snr_gamma=args.snr_gamma,
+        noise_offset=args.noise_offset,
+        random_flip=args.random_flip,
+        center_crop=args.center_crop,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+        output_dir=args.output_dir,
+    )
+    # data-axis size must divide the batch; use the largest divisor
+    import math
+
+    n_data = math.gcd(args.train_batch_size, jax.device_count())
+    if n_data < jax.device_count():
+        logging.getLogger(__name__).warning(
+            "batch %d not divisible by %d devices; using %d-device data mesh",
+            args.train_batch_size, jax.device_count(), n_data,
+        )
+    mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
+    trainer = SDLoRATrainer(model, targs, args.train_data_dir, mesh=mesh)
+    trainer.train()
+
+    if args.validation_prompt and jax_process_index() == 0:
+        from stablediffusion_tpu.lora.formats import load_lora_file
+        from stablediffusion_tpu.pipelines.unified import (
+            StableDiffusionUnifiedPipeline,
+        )
+        from stablediffusion_tpu.utils.images import to_uint8
+
+        model.load_lora_weights(
+            "trained",
+            load_lora_file(f"{args.output_dir}/pytorch_lora_weights.safetensors"),
+        )
+        model.set_adapters({"trained": 1.0})
+        pipe = StableDiffusionUnifiedPipeline()
+        out = pipe(
+            model,
+            prompt=args.validation_prompt,
+            num_images_per_prompt=args.num_validation_images,
+            num_inference_steps=25,
+            seed=args.seed,
+        )
+        from PIL import Image
+
+        os.makedirs(f"{args.output_dir}/validation", exist_ok=True)
+        for i, im in enumerate(to_uint8(out.images * 2 - 1)):
+            Image.fromarray(im).save(f"{args.output_dir}/validation/{i}.png")
+
+
+def jax_process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+if __name__ == "__main__":
+    main()

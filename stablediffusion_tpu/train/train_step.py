@@ -1,0 +1,211 @@
+"""Jitted LoRA train step with data-parallel mesh sharding.
+
+The reference's hot loop (train_lora_pipeline.py:408-493; CLI variants with
+Min-SNR at train_text_to_image_lora.py:845-862): VAE-encode -> noise + random
+timestep -> add_noise -> text encode -> UNet predict -> epsilon/velocity MSE
+-> backward/clip/step, with accelerate DDP allreduce.
+
+TPU-native: ONE jitted function containing the whole chain; gradients flow to
+the LoRA factors only (base weights are constants re-fused inside the step);
+the batch is sharded over the `data` mesh axis so XLA emits the gradient
+all-reduce over ICI — there is no explicit collective code (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stablediffusion_tpu.core.config import (
+    CLIPTextConfig,
+    SchedulerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from stablediffusion_tpu.lora.core import apply_lora_for_training
+from stablediffusion_tpu.models import clip as clip_model
+from stablediffusion_tpu.models import unet as unet_model
+from stablediffusion_tpu.models import vae as vae_model
+from stablediffusion_tpu.schedulers.common import BaseScheduler
+
+
+def compute_snr(alphas_cumprod: jax.Array, timesteps: jax.Array) -> jax.Array:
+    """SNR(t) = alpha_bar / (1 - alpha_bar) (diffusers compute_snr analog)."""
+    ac = alphas_cumprod[timesteps]
+    return ac / (1.0 - ac)
+
+
+def min_snr_weight(
+    snr: jax.Array, gamma: float, prediction_type: str
+) -> jax.Array:
+    """Min-SNR-gamma loss weighting (arXiv 2303.09556;
+    ref: train_text_to_image_lora.py:845-862)."""
+    capped = jnp.minimum(snr, gamma)
+    if prediction_type == "v_prediction":
+        return capped / (snr + 1.0)
+    return capped / jnp.maximum(snr, 1e-8)
+
+
+@dataclass(frozen=True)
+class TrainStatics:
+    """Hashable static bundle for the jitted step."""
+
+    unet_config: UNetConfig
+    vae_config: VAEConfig
+    text_config: CLIPTextConfig
+    text_config_2: Optional[CLIPTextConfig]
+    scheduler_config: SchedulerConfig
+    train_text_encoder: bool
+    snr_gamma: Optional[float]
+    noise_offset: float = 0.0
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def is_sdxl(self) -> bool:
+        return self.text_config_2 is not None
+
+
+def encode_prompt_train(
+    statics: TrainStatics,
+    text_params,
+    text_params_2,
+    input_ids,
+    input_ids_2,
+):
+    """Train-time prompt encoding (no negatives/CFG; SDXL penultimate +
+    pooled — ref: train_lora_pipeline.py:139-180)."""
+    if not statics.is_sdxl:
+        out = clip_model.apply(text_params, statics.text_config, input_ids)
+        return out.last_hidden_state, None
+    out1 = clip_model.apply(text_params, statics.text_config, input_ids)
+    out2 = clip_model.apply(text_params_2, statics.text_config_2, input_ids_2)
+    embeds = jnp.concatenate(
+        [out1.hidden_states[-2], out2.hidden_states[-2]], axis=-1
+    )
+    return embeds, out2.projected_pooled
+
+
+def loss_fn(
+    lora,
+    frozen: Dict[str, Any],  # unet/vae/text_encoder(_2) base params
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    statics: TrainStatics,
+    scheduler: BaseScheduler,
+):
+    """Forward diffusion + prediction loss (T4)."""
+    k_sample, k_noise, k_t, k_offset = jax.random.split(key, 4)
+    dt = statics.compute_dtype
+
+    # 1. VAE encode (always fp32 — ref dtype policy train_lora_pipeline.py:238)
+    pixels = batch["pixel_values"].astype(jnp.float32)
+    mean, logvar = vae_model.encode(frozen["vae"], statics.vae_config, pixels)
+    latents = vae_model.sample_latent(mean, logvar, k_sample)
+    latents = latents * statics.vae_config.scaling_factor
+
+    # 2. noise + random timesteps
+    noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+    if statics.noise_offset:
+        # offset noise (ref: train_text_to_image_lora.py:812-816)
+        B, _, _, C = latents.shape
+        noise = noise + statics.noise_offset * jax.random.normal(
+            k_offset, (B, 1, 1, C), jnp.float32
+        )
+    B = latents.shape[0]
+    timesteps = jax.random.randint(
+        k_t, (B,), 0, statics.scheduler_config.num_train_timesteps
+    )
+    noisy = scheduler.add_noise(latents, noise, timesteps)
+
+    # 3. text encode (per step, matching T4's no-caching behavior)
+    te = frozen["text_encoder"]
+    te2 = frozen.get("text_encoder_2")
+    if statics.train_text_encoder:
+        if "text_encoder" in lora:
+            te = apply_lora_for_training(te, lora["text_encoder"])
+        if te2 is not None and "text_encoder_2" in lora:
+            te2 = apply_lora_for_training(te2, lora["text_encoder_2"])
+    embeds, pooled = encode_prompt_train(
+        statics, te, te2, batch["input_ids"], batch.get("input_ids_2")
+    )
+
+    # 4. SDXL micro-conditioning (ref: train_lora_pipeline.py:432-447)
+    added_cond = None
+    if statics.is_sdxl:
+        time_ids = jnp.concatenate(
+            [
+                batch["original_sizes"],
+                batch["crop_top_lefts"],
+                batch["target_sizes"],
+            ],
+            axis=-1,
+        )
+        added_cond = {"text_embeds": pooled.astype(dt), "time_ids": time_ids}
+
+    # 5. UNet predict with LoRA-fused weights
+    unet_params = apply_lora_for_training(frozen["unet"], lora["unet"])
+    pred = unet_model.apply(
+        unet_params,
+        statics.unet_config,
+        noisy.astype(dt),
+        timesteps,
+        embeds.astype(dt),
+        added_cond=added_cond,
+    ).astype(jnp.float32)
+
+    # 6. target (epsilon | velocity) + MSE with optional Min-SNR weighting
+    if statics.scheduler_config.prediction_type == "v_prediction":
+        target = scheduler.get_velocity(latents, noise, timesteps)
+    else:
+        target = noise
+    per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+    if statics.snr_gamma is not None:
+        snr = compute_snr(scheduler.alphas_cumprod, timesteps)
+        per_sample = per_sample * min_snr_weight(
+            snr, statics.snr_gamma, statics.scheduler_config.prediction_type
+        )
+    return jnp.mean(per_sample)
+
+
+def make_train_step(
+    statics: TrainStatics,
+    scheduler: BaseScheduler,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+):
+    """Build the jitted train step.  With a mesh, batch inputs are expected
+    sharded over the `data` axis and params/opt-state replicated; XLA inserts
+    the gradient all-reduce."""
+
+    def step(lora, opt_state, frozen, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora, frozen, batch, key, statics, scheduler
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        grad_norm = optax.global_norm(grads)
+        return lora, opt_state, {"loss": loss, "grad_norm": grad_norm}
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+
+        def batch_sharding(b):
+            return {
+                k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+                for k, v in b.items()
+            }
+
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, None, repl),
+            out_shardings=(repl, repl, repl),
+        )
+    return jax.jit(step)

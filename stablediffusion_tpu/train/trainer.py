@@ -1,0 +1,254 @@
+"""SDLoRATrainer — in-process LoRA fine-tuning (T1/T3/T4 analog).
+
+Mirrors the reference's 10-step procedure (train_lora_pipeline.py:127-533):
+args -> seed -> freeze -> dtype policy -> LoRA injection (UNet to_q/k/v/out,
+text encoders q/k/v/out_proj) -> AdamW -> dataloader with micro-conditioning
+collation -> LR schedule -> prepare -> jitted loop -> LoRA safetensors save.
+
+TPU-native differences: the "prepare/DDP" stage is a Mesh + NamedSharding and
+the whole step is one jitted function (SURVEY.md §3.3); mixed precision is
+bf16 with fp32 LoRA factors and an always-fp32 VAE; no GradScaler exists or
+is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusion_tpu.core.rng import as_key
+from stablediffusion_tpu.lora.core import (
+    TEXT_TARGET_SUFFIXES,
+    UNET_TARGET_SUFFIXES,
+    init_lora,
+)
+from stablediffusion_tpu.lora.formats import save_lora_file
+from stablediffusion_tpu.models.wrapper import SDModel
+from stablediffusion_tpu.schedulers import DDPMScheduler
+from stablediffusion_tpu.train import checkpoint as ckpt
+from stablediffusion_tpu.train.dataset import SDLoRADataset
+from stablediffusion_tpu.train.optim import make_lr_schedule, make_optimizer
+from stablediffusion_tpu.train.train_step import TrainStatics, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SDTrainingArgs:
+    """Defaults mirror the reference (train_lora_pipeline.py:36-57)."""
+
+    train_batch_size: int = 4
+    gradient_accumulation_steps: int = 1
+    mixed_precision: str = "bf16"  # "bf16" | "no" (fp16 maps to bf16 on TPU)
+    rank: int = 16
+    train_text_encoder: bool = True
+    learning_rate: float = 1e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    adam_weight_decay: float = 1e-2
+    num_train_epochs: int = 100
+    max_train_steps: Optional[int] = None
+    lr_scheduler: str = "constant_with_warmup"
+    lr_warmup_steps: int = 500
+    resolution: int = 1024
+    max_grad_norm: float = 1.0
+    use_8bit_adam: bool = False  # accepted for parity; maps to plain AdamW
+    seed: int = 0
+    snr_gamma: Optional[float] = None
+    noise_offset: float = 0.0
+    random_flip: bool = True
+    center_crop: bool = False
+    checkpointing_steps: Optional[int] = None
+    checkpoints_total_limit: Optional[int] = None
+    resume_from_checkpoint: Optional[str] = None  # path | "latest"
+    output_dir: str = "lora-out"
+    log_every: int = 10
+
+
+class SDLoRATrainer:
+    def __init__(
+        self,
+        model: SDModel,
+        args: SDTrainingArgs,
+        data_dir: str,
+        mesh=None,
+    ):
+        self.model = model
+        self.args = args
+        self.data_dir = data_dir
+        self.mesh = mesh
+
+    def train(self) -> Dict[str, Dict[str, dict]]:
+        args = self.args
+        model = self.model
+        key = as_key(args.seed)
+        k_unet, k_te, k_te2, k_loop = jax.random.split(key, 4)
+
+        dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+
+        # LoRA factors (fp32 trainables over frozen bases —
+        # ref: train_lora_pipeline.py:219-278)
+        lora: Dict[str, dict] = {
+            "unet": init_lora(
+                k_unet, model.unet_params, args.rank, UNET_TARGET_SUFFIXES,
+                store_alpha=False,
+            )
+        }
+        if args.train_text_encoder:
+            lora["text_encoder"] = init_lora(
+                k_te, model.text_encoder_params, args.rank, TEXT_TARGET_SUFFIXES,
+                store_alpha=False,
+            )
+            if model.is_sdxl:
+                lora["text_encoder_2"] = init_lora(
+                    k_te2, model.text_encoder_2_params, args.rank,
+                    TEXT_TARGET_SUFFIXES, store_alpha=False,
+                )
+
+        # data
+        dataset = SDLoRADataset(
+            self.data_dir,
+            resolution=args.resolution,
+            random_flip=args.random_flip,
+            center_crop=args.center_crop,
+            seed=args.seed,
+        )
+        steps_per_epoch = max(len(dataset) // args.train_batch_size, 1)
+        total_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
+
+        # optimizer
+        schedule = make_lr_schedule(
+            args.lr_scheduler, args.learning_rate, args.lr_warmup_steps, total_steps
+        )
+        optimizer = make_optimizer(
+            schedule,
+            args.adam_beta1,
+            args.adam_beta2,
+            args.adam_epsilon,
+            args.adam_weight_decay,
+            args.max_grad_norm,
+            args.gradient_accumulation_steps,
+        )
+        opt_state = optimizer.init(lora)
+
+        # DDPM forward-diffusion scheduler (training side)
+        scheduler = DDPMScheduler(model.scheduler_config)
+        statics = TrainStatics(
+            unet_config=model.unet_config,
+            vae_config=model.vae_config,
+            text_config=model.text_encoder_config,
+            text_config_2=model.text_encoder_2_config if model.is_sdxl else None,
+            scheduler_config=model.scheduler_config,
+            train_text_encoder=args.train_text_encoder,
+            snr_gamma=args.snr_gamma,
+            noise_offset=args.noise_offset,
+            compute_dtype=dtype,
+        )
+        step_fn = make_train_step(statics, scheduler, optimizer, mesh=self.mesh)
+
+        frozen = {
+            "unet": model.unet_params,
+            "vae": model.vae_params,
+            "text_encoder": model.text_encoder_params,
+        }
+        if model.is_sdxl:
+            frozen["text_encoder_2"] = model.text_encoder_2_params
+
+        # resume
+        start_step = 0
+        if args.resume_from_checkpoint:
+            if args.resume_from_checkpoint == "latest":
+                found = ckpt.latest_checkpoint(args.output_dir)
+            else:
+                import re as _re
+
+                m = _re.search(r"checkpoint-(\d+)$", args.resume_from_checkpoint)
+                found = (
+                    (int(m.group(1)), args.resume_from_checkpoint) if m else None
+                )
+            if found:
+                start_step, path = found
+                state = ckpt.load_checkpoint(
+                    path, {"lora": lora, "opt_state": opt_state}
+                )
+                lora, opt_state = state["lora"], state["opt_state"]
+                logger.info("resumed from %s at step %d", path, start_step)
+
+        # loop
+        step = start_step
+        t0 = time.time()
+        history = []
+        for batch in dataset.batches(
+            args.train_batch_size,
+            epochs=None,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
+        ):
+            if step >= total_steps:
+                break
+            jb = self._prepare_batch(batch)
+            k_loop, k_step = jax.random.split(k_loop)
+            lora, opt_state, metrics = step_fn(lora, opt_state, frozen, jb, k_step)
+            step += 1
+            if step % args.log_every == 0 or step == total_steps:
+                loss = float(metrics["loss"])
+                history.append((step, loss))
+                logger.info(
+                    "step %d/%d loss %.5f lr %.2e %.2f s/it",
+                    step,
+                    total_steps,
+                    loss,
+                    float(schedule(step)),
+                    (time.time() - t0) / max(step - start_step, 1),
+                )
+            if (
+                args.checkpointing_steps
+                and step % args.checkpointing_steps == 0
+                and jax.process_index() == 0
+            ):
+                ckpt.save_checkpoint(
+                    args.output_dir,
+                    step,
+                    {"lora": lora, "opt_state": opt_state},
+                    args.checkpoints_total_limit,
+                )
+
+        self.history = history
+        self.lora = lora
+        # final save in diffusers interchange format
+        # (ref: train_lora_pipeline.py:497-528)
+        if jax.process_index() == 0:
+            import os
+
+            os.makedirs(args.output_dir, exist_ok=True)
+            save_lora_file(
+                lora,
+                f"{args.output_dir}/pytorch_lora_weights.safetensors",
+                metadata={"format": "pt", "rank": str(args.rank)},
+            )
+        return lora
+
+    def _prepare_batch(self, batch) -> Dict[str, jax.Array]:
+        model = self.model
+        jb: Dict[str, Any] = {
+            "pixel_values": jnp.asarray(batch["pixel_values"]),
+            "input_ids": jnp.asarray(model.tokenizer(batch["captions"])),
+        }
+        if model.is_sdxl:
+            jb["input_ids_2"] = jnp.asarray(model.tokenizer_2(batch["captions"]))
+            jb["original_sizes"] = jnp.asarray(batch["original_sizes"])
+            jb["crop_top_lefts"] = jnp.asarray(batch["crop_top_lefts"])
+            jb["target_sizes"] = jnp.asarray(batch["target_sizes"])
+        if self.mesh is not None:
+            from stablediffusion_tpu.parallel import shard_batch
+
+            jb = shard_batch(self.mesh, jb)
+        return jb

@@ -1,0 +1,134 @@
+"""Serving layer: router modes, seed echo, model hot-swap, HTTP worker."""
+
+import base64
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from stablediffusion_tpu.serve.handler import (
+    Handler,
+    decode_image_b64,
+    encode_images_b64,
+)
+
+from helpers import make_tiny_model
+
+ARGS = dict(prompt="a cat", height=32, width=32, num_inference_steps=2)
+
+
+@pytest.fixture(scope="module")
+def handler():
+    return Handler(model=make_tiny_model("sd15"))
+
+
+def test_inference_mode(handler):
+    resp = handler({**ARGS, "seed": 7}, "req-1")
+    assert "error" not in resp, resp.get("traceback")
+    assert resp["seed"] == 7
+    assert len(resp["images"]) == 1
+    img = decode_image_b64(resp["images"][0])
+    assert img.shape == (32, 32, 3)
+
+
+def test_auto_seed_echo(handler):
+    resp = handler(dict(ARGS), "req-2")
+    assert isinstance(resp["seed"], int) and 0 <= resp["seed"] < 1e9
+
+
+def test_params_merge(handler):
+    resp = handler({"prompt": "x", "params": {**ARGS, "seed": 3}}, "req-3")
+    assert resp["seed"] == 3
+
+
+def test_img2img_base64_roundtrip(handler):
+    first = handler({**ARGS, "seed": 1}, "r")
+    resp = handler(
+        {**ARGS, "seed": 2, "image": first["images"][0], "strength": 0.5},
+        "req-4",
+    )
+    assert "error" not in resp, resp.get("traceback")
+    assert len(resp["images"]) == 1
+
+
+def test_scheduler_swap_via_model_block(handler):
+    resp = handler(
+        {**ARGS, "seed": 1, "model": {"scheduler": "euler"}}, "req-5"
+    )
+    assert "error" not in resp
+    assert handler.model.scheduler_name == "euler"
+    handler.model.set_scheduler("DDIM")
+
+
+def test_inference_wandb_mode_without_wandb(handler):
+    resp = handler({**ARGS, "seed": 5, "mode": "inference_wandb"}, "req-6")
+    assert "error" not in resp, resp.get("traceback")
+    assert resp["config"]["seed"] == 5
+    assert resp["config"]["scheduler"] == "DDIM"
+    assert resp["wandb_url"] is None  # package absent -> inline config
+
+
+def test_constructor_mode_grid(handler):
+    resp = handler(
+        {
+            **ARGS,
+            "mode": "constructor",
+            "seed": 1,
+            "params": {
+                "schedulers": ["DDIM", "euler"],
+                "steps_grid": [2],
+                "guidance_grid": [5.0, 9.0],
+            },
+        },
+        "req-7",
+    )
+    assert "error" not in resp, resp.get("traceback")
+    assert len(resp["grid"]) == 4  # 2 schedulers x 1 steps x 2 cfg
+    assert {g["scheduler"] for g in resp["grid"]} == {"DDIM", "euler"}
+
+
+def test_unknown_mode_is_error(handler):
+    resp = handler({**ARGS, "mode": "nope"}, "req-8")
+    assert "error" in resp and "unknown mode" in resp["error"]
+
+
+def test_missing_model():
+    h = Handler(model=None)
+    resp = h(dict(ARGS), "req-9")
+    assert "error" in resp and "no model" in resp["error"]
+
+
+def test_http_worker_roundtrip(handler):
+    """Drive the real HTTP surface on a local port."""
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+
+    import stablediffusion_tpu.serve.worker as worker
+
+    worker.HANDLER = handler
+    server = ThreadingHTTPServer(("127.0.0.1", 0), worker._HTTPHandler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+
+        body = json.dumps({"id": "job-1", "input": {**ARGS, "seed": 9}})
+        conn.request("POST", "/", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert resp["seed"] == 9 and len(resp["images"]) == 1
+
+        # malformed json -> 400
+        conn.request("POST", "/", body="{not json",
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+    finally:
+        server.shutdown()
