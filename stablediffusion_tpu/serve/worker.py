@@ -55,7 +55,17 @@ class _HTTPHandler(BaseHTTPRequestHandler):
         result = trigger_fn(request)
         self._reply(200 if "error" not in result else 500, result)
 
-    def do_GET(self):  # noqa: N802 — health check
+    def do_GET(self):  # noqa: N802 — health check + UI
+        if self.path.rstrip("/") == "/ui":
+            from stablediffusion_tpu.serve.webapp import index_html
+
+            body = index_html().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         self._reply(200, {"status": "ok", "model": getattr(
             get_handler().model, "model_type", None)})
 

@@ -132,3 +132,25 @@ def test_http_worker_roundtrip(handler):
         r.read()
     finally:
         server.shutdown()
+
+
+def test_ui_endpoint(handler):
+    import http.client
+    from http.server import ThreadingHTTPServer
+
+    import stablediffusion_tpu.serve.worker as worker
+
+    worker.HANDLER = handler
+    server = ThreadingHTTPServer(("127.0.0.1", 0), worker._HTTPHandler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/ui")
+        r = conn.getresponse()
+        assert r.status == 200
+        html = r.read().decode()
+        assert "Generate" in html and "DPM++ 2M Karras" in html
+    finally:
+        server.shutdown()
