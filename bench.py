@@ -98,7 +98,7 @@ def measure(batch: int, iters: int = 3):
 def main():
     best_ips = 0.0
     detail = {}
-    for batch in (1, 4, 8):
+    for batch in (1, 8, 16, 32):
         try:
             ips, t = measure(batch)
             detail[f"batch{batch}_sec"] = round(t, 3)

@@ -343,6 +343,55 @@ def convert_ldm_vae(
 
 
 # ---------------------------------------------------------------------------
+# K6: ControlNet
+# ---------------------------------------------------------------------------
+
+
+def convert_controlnet(
+    state: Mapping[str, np.ndarray],
+    config: Mapping,
+    prefix: str = "control_model.",
+) -> Dict[str, np.ndarray]:
+    """ControlNet single-file -> diffusers keys (convert_controlnet_checkpoint
+    analog, convert_from_A1111.py:714-755).  The trunk reuses the UNet
+    mapping; extras are the conditioning embedder (input_hint_block), the
+    per-block zero convs and the mid zero conv."""
+    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    if not src:
+        raise ValueError(f"no keys under {prefix!r}")
+    trunk = {
+        k: v
+        for k, v in src.items()
+        if k.startswith(("time_embed", "label_emb", "input_blocks",
+                         "middle_block.0", "middle_block.1", "middle_block.2"))
+    }
+    out = convert_ldm_unet(
+        {f"model.diffusion_model.{k}": v for k, v in trunk.items()}, config
+    )
+    # conv_norm_out/conv_out don't exist in controlnets
+    for key, val in src.items():
+        if key.startswith("input_hint_block."):
+            # hint block: convs at even indices 0,2,...,14
+            idx = int(key.split(".")[1])
+            rest = key.split(".", 2)[2]
+            n = idx // 2
+            if n == 0:
+                new = f"controlnet_cond_embedding.conv_in.{rest}"
+            elif n == 7:
+                new = f"controlnet_cond_embedding.conv_out.{rest}"
+            else:
+                new = f"controlnet_cond_embedding.blocks.{n - 1}.{rest}"
+            out[new] = val
+        elif key.startswith("zero_convs."):
+            i = int(key.split(".")[1])
+            rest = key.split(".", 3)[3]  # zero_convs.N.0.<rest>
+            out[f"controlnet_down_blocks.{i}.{rest}"] = val
+        elif key.startswith("middle_block_out.0."):
+            out[f"controlnet_mid_block.{key[len('middle_block_out.0.'):]}"] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
 # K5: text encoders
 # ---------------------------------------------------------------------------
 

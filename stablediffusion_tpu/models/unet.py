@@ -31,6 +31,7 @@ from stablediffusion_tpu.ops import (
     conv2d,
     geglu,
     group_norm,
+    group_norm_silu,
     layer_norm,
     linear,
     silu,
@@ -45,11 +46,11 @@ from stablediffusion_tpu.ops import (
 
 
 def _resnet(p: dict, x: jax.Array, temb: jax.Array, groups: int, eps: float):
-    h = silu(group_norm(p["norm1"], x, groups, eps))
+    h = group_norm_silu(p["norm1"], x, groups, eps)
     h = conv2d(p["conv1"], h, padding=1)
     t = linear(p["time_emb_proj"], silu(temb))
     h = h + t[:, None, None, :]
-    h = silu(group_norm(p["norm2"], h, groups, eps))
+    h = group_norm_silu(p["norm2"], h, groups, eps)
     h = conv2d(p["conv2"], h, padding=1)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
@@ -213,7 +214,7 @@ def apply(
             x = upsample_nearest_2x(x)
             x = conv2d(bp["upsamplers"]["0"]["conv"], x, padding=1)
 
-    x = silu(group_norm(params["conv_norm_out"], x, g, eps))
+    x = group_norm_silu(params["conv_norm_out"], x, g, eps)
     return conv2d(params["conv_out"], x, padding=1)
 
 

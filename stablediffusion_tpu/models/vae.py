@@ -27,6 +27,7 @@ from stablediffusion_tpu.ops import (
     attention,
     conv2d,
     group_norm,
+    group_norm_silu,
     linear,
     silu,
     upsample_nearest_2x,
@@ -34,9 +35,9 @@ from stablediffusion_tpu.ops import (
 
 
 def _resnet(p: dict, x: jax.Array, groups: int, eps: float) -> jax.Array:
-    h = silu(group_norm(p["norm1"], x, groups, eps))
+    h = group_norm_silu(p["norm1"], x, groups, eps)
     h = conv2d(p["conv1"], h, padding=1)
-    h = silu(group_norm(p["norm2"], h, groups, eps))
+    h = group_norm_silu(p["norm2"], h, groups, eps)
     h = conv2d(p["conv2"], h, padding=1)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
@@ -80,7 +81,7 @@ def encode(
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             x = conv2d(bp["downsamplers"]["0"]["conv"], x, stride=2, padding="VALID")
     x = _mid_block(p["mid_block"], x, g, eps)
-    x = silu(group_norm(p["conv_norm_out"], x, g, eps))
+    x = group_norm_silu(p["conv_norm_out"], x, g, eps)
     x = conv2d(p["conv_out"], x, padding=1)
     moments = conv2d(params["quant_conv"], x, padding=0)
     mean, logvar = jnp.split(moments, 2, axis=-1)
@@ -107,7 +108,7 @@ def decode(params: dict, config: VAEConfig, latents: jax.Array) -> jax.Array:
         if i < n_blocks - 1:
             x = upsample_nearest_2x(x)
             x = conv2d(bp["upsamplers"]["0"]["conv"], x, padding=1)
-    x = silu(group_norm(p["conv_norm_out"], x, g, eps))
+    x = group_norm_silu(p["conv_norm_out"], x, g, eps)
     return conv2d(p["conv_out"], x, padding=1)
 
 

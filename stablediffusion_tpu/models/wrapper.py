@@ -77,6 +77,28 @@ class SDModel:
     def get_list_adapters(self) -> Dict[str, float]:
         return dict(self.adapters)
 
+    def load_refiner(self, path: Optional[str] = None) -> None:
+        """Lazily load a refiner UNet (ref: models/stable_diffusion.py:159-171
+        loads stabilityai/stable-diffusion-xl-refiner-1.0).  `path` is a
+        diffusers-layout folder; only the unet subfolder is read."""
+        if self.refiner_params is not None:
+            return
+        import os
+
+        from stablediffusion_tpu.core.config import UNetConfig
+        from stablediffusion_tpu.io.loader import (
+            load_component_state,
+            resolve_checkpoint,
+            _read_json,
+        )
+
+        if path is None:
+            path = resolve_checkpoint(self.model_type, "refiner")
+        self.refiner_config = UNetConfig.from_diffusers_dict(
+            _read_json(os.path.join(path, "unet", "config.json"))
+        )
+        self.refiner_params = load_component_state(os.path.join(path, "unet"))
+
     # -- LoRA adapter management (ref: models/stable_diffusion.py:230-335) --
     # Pristine base params are kept so adapter swaps re-fuse from the
     # originals (no drift from repeated add/subtract).

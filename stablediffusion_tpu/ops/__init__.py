@@ -5,6 +5,7 @@ from stablediffusion_tpu.ops.basic import (
     geglu,
     gelu,
     group_norm,
+    group_norm_silu,
     interpolate_nearest,
     layer_norm,
     linear,

@@ -44,7 +44,10 @@ def attention_xla(
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("SDTPU_DISABLE_PALLAS"):
+    """Pallas attention is opt-in (SDTPU_PALLAS_ATTN=1): measured on v5e,
+    XLA's own attention fusion beats our exact-softmax kernel at SD shapes
+    (148 vs 167-177 ms/step batch-16 SD1.5); see benchmarks/ablate_unet.py."""
+    if not os.environ.get("SDTPU_PALLAS_ATTN"):
         return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")

@@ -73,6 +73,27 @@ def group_norm(
     return out.astype(x.dtype)
 
 
+def group_norm_silu(
+    params: dict, x: jax.Array, num_groups: int, eps: float = 1e-5
+) -> jax.Array:
+    """GroupNorm followed by SiLU — the resnet prologue.  The fused Pallas
+    kernel is opt-in (SDTPU_FUSED_GN=1): its win is small (~1 ms/step of HBM
+    traffic) and its compile is pathologically slow through this
+    environment's remote-compile tunnel."""
+    import os
+
+    from stablediffusion_tpu.ops.attention import _use_pallas
+
+    if os.environ.get("SDTPU_FUSED_GN") and _use_pallas():
+        from stablediffusion_tpu.ops import fused_norm
+
+        if fused_norm.shape_supported(x.shape, x.dtype.itemsize):
+            return fused_norm.group_norm_silu_pallas(
+                x, params["weight"], params["bias"], num_groups, eps
+            )
+    return silu(group_norm(params, x, num_groups, eps))
+
+
 def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)

@@ -30,18 +30,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_VMEM_BUDGET = 10 * 1024 * 1024  # bytes of explicit buffers per program
+_VMEM_BUDGET = 12 * 1024 * 1024  # bytes of explicit buffers per program
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _block_q(sq: int) -> int:
-    for bq in (512, 256, 128):
-        if sq % bq == 0 or sq > bq:
-            return min(bq, _round_up(sq, 128))
-    return _round_up(sq, 8)
+def _buffer_bytes(bq: int, skv_pad: int, d_pad: int, itemsize: int = 2) -> int:
+    kv_bytes = 2 * skv_pad * d_pad * itemsize  # k + v
+    logits_bytes = bq * skv_pad * 4  # fp32 scores
+    q_out_bytes = 2 * bq * d_pad * 4
+    return kv_bytes + logits_bytes + q_out_bytes
+
+
+def _block_q(sq: int, skv_pad: int, d_pad: int) -> Optional[int]:
+    """Largest q block that fits the VMEM budget.  Long-KV shapes cap at 256
+    to keep the fp32 score block small (peak liveness drives VMEM spills)."""
+    cap = 256 if skv_pad >= 2048 else 1024
+    for bq in (1024, 512, 256, 128):
+        if bq <= cap and _buffer_bytes(bq, skv_pad, d_pad) < _VMEM_BUDGET:
+            return min(bq, _round_up(sq, 8))
+    return None
 
 
 def shape_supported(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
@@ -49,11 +59,7 @@ def shape_supported(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
     _, skv, _, _ = k_shape
     d_pad = _round_up(d, _LANE)
     skv_pad = _round_up(skv, _LANE)
-    bq = min(_block_q(sq), _round_up(sq, 8))
-    kv_bytes = 2 * skv_pad * d_pad * 2  # k + v bf16
-    logits_bytes = bq * skv_pad * 4
-    q_out_bytes = 2 * bq * d_pad * 4
-    return kv_bytes + logits_bytes + q_out_bytes < _VMEM_BUDGET
+    return _block_q(sq, skv_pad, d_pad) is not None
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
@@ -73,15 +79,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < kv_len, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
+    # cast probabilities to the value dtype immediately (halves liveness);
+    # normalize on the small [BQ, D] output, not the [BQ, SKV] matrix
+    p = jnp.exp(s - m).astype(v.dtype)
+    ones = jnp.ones((skv_pad, 1), v.dtype)
+    denom = jax.lax.dot_general(
+        p, ones, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, 1] fp32 accumulation on the MXU
     o = jax.lax.dot_general(
-        p.astype(v.dtype),
+        p,
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    o = o / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -100,7 +111,8 @@ def flash_attention(
 
     d_pad = _round_up(D, _LANE)
     skv_pad = _round_up(Skv, _LANE)
-    bq = _block_q(Sq)
+    bq = _block_q(Sq, skv_pad, d_pad)
+    assert bq is not None, "shape not supported; gate with shape_supported()"
     sq_pad = _round_up(Sq, bq)
 
     def to_bh(x, s_pad, s):

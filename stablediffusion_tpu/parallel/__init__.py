@@ -5,3 +5,5 @@ from stablediffusion_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from stablediffusion_tpu.parallel.mesh import maybe_initialize_distributed
+

@@ -25,6 +25,33 @@ DATA_AXIS = "data"
 TENSOR_AXIS = "tensor"
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed from environment when running multi-host
+    (the accelerate process-group init analog, SURVEY.md §5.8).  On TPU pods
+    jax.distributed.initialize() discovers coordinates automatically; on
+    other platforms it needs JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID.  Returns True if distributed mode is active."""
+    import os
+
+    import jax
+
+    if jax.process_count() > 1:
+        return True
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
+    if coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    if on_pod:
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 @dataclass(frozen=True)
 class MeshSpec:
     data: int = -1  # -1: all remaining devices

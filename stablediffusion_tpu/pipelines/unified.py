@@ -214,6 +214,7 @@ class StableDiffusionUnifiedPipeline:
         num_images_per_prompt: int = 1,
         clip_skip: Optional[int] = None,
         do_cfg: bool = True,
+        refiner_mode: bool = False,
     ):
         prompt = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompt)
@@ -227,6 +228,10 @@ class StableDiffusionUnifiedPipeline:
                 (model.tokenizer_2, model.text_encoder_2_config, model.text_encoder_2_params)
             )
             prompts = [prompt, prompt_2]
+            if refiner_mode:
+                # the SDXL refiner conditions on encoder-2 only (1280-dim)
+                towers = towers[1:]
+                prompts = [prompt_2]
 
         def encode(texts, towerset, use_clip_skip):
             embeds_list, pooled = [], None
@@ -264,6 +269,8 @@ class StableDiffusionUnifiedPipeline:
                 else list(negative_prompt_2)
             )
             negs = [neg, neg2] if model.is_sdxl else [neg]
+            if refiner_mode:
+                negs = [neg2]
             # reference: clip_skip NOT applied to negatives (:617-674)
             neg_embeds, neg_pooled = encode(negs, towers, use_clip_skip=False)
 
@@ -307,6 +314,7 @@ class StableDiffusionUnifiedPipeline:
             final_alpha_cumprod=plan.final_alpha_cumprod,
             num_steps=plan.num_steps - t_start,
             order=plan.order,
+            step_ratio=plan.step_ratio,
         )
 
     @staticmethod
@@ -325,12 +333,12 @@ class StableDiffusionUnifiedPipeline:
             final_alpha_cumprod=plan.final_alpha_cumprod,
             num_steps=keep,
             order=plan.order,
+            step_ratio=plan.step_ratio,
         )
 
     # -- SDXL micro-conditioning (ref: sd_unified_pipeline.py:979-1014) -----
     @staticmethod
-    def _add_time_ids(model: SDModel, height, width, batch):
-        cfg = model.unet_config
+    def _add_time_ids(model: SDModel, cfg: UNetConfig, height, width, batch):
         expected = cfg.projection_class_embeddings_input_dim
         proj_dim = model.text_encoder_2_config.projection_dim
         # refiner-style UNets (2560 = 1280 + 5*256) take an aesthetic score
@@ -376,11 +384,19 @@ class StableDiffusionUnifiedPipeline:
         mask_image=None,
         masked_image_latents=None,
         padding_mask_crop: Optional[int] = None,
+        use_refiner: bool = False,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
         vf = model.vae_scale_factor
-        height = height or model.unet_config.sample_size * vf
-        width = width or model.unet_config.sample_size * vf
+        if use_refiner:
+            if model.refiner_params is None:
+                raise ValueError("use_refiner=True but no refiner loaded "
+                                 "(call model.load_refiner())")
+            unet_config, unet_params = model.refiner_config, model.refiner_params
+        else:
+            unet_config, unet_params = model.unet_config, model.unet_params
+        height = height or unet_config.sample_size * vf
+        width = width or unet_config.sample_size * vf
 
         if prompt is None:
             raise ValueError("prompt is required")
@@ -403,11 +419,12 @@ class StableDiffusionUnifiedPipeline:
             num_images_per_prompt=n,
             clip_skip=clip_skip,
             do_cfg=do_cfg,
+            refiner_mode=use_refiner,
         )
         embeds = embeds.astype(self.dtype)
 
         lat_c = model.vae_config.latent_channels
-        unet_c = model.unet_config.in_channels
+        unet_c = unet_config.in_channels
         inpaint_mode = "none"
         mask_lat = masked_lat = image_lat = noise4 = None
         crop = None
@@ -551,7 +568,9 @@ class StableDiffusionUnifiedPipeline:
         # SDXL added conditioning
         added_cond = None
         if model.is_sdxl:
-            add_ids, add_neg_ids = self._add_time_ids(model, height, width, B * n)
+            add_ids, add_neg_ids = self._add_time_ids(
+                model, unet_config, height, width, B * n
+            )
             text_embeds = pooled
             if do_cfg:
                 text_embeds = jnp.concatenate([neg_pooled, pooled], axis=0)
@@ -569,7 +588,7 @@ class StableDiffusionUnifiedPipeline:
         # hot loop
         step_keys = jax.random.split(k_steps, plan.num_steps)
         latents = _denoise(
-            model.unet_params,
+            unet_params,
             latents.astype(self.dtype),
             embeds,
             plan,
@@ -581,7 +600,7 @@ class StableDiffusionUnifiedPipeline:
             masked_lat,
             image_lat,
             noise4,
-            unet_config=model.unet_config,
+            unet_config=unet_config,
             scheduler=scheduler,
             do_cfg=do_cfg,
             inpaint_mode=inpaint_mode,

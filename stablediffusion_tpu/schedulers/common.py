@@ -145,6 +145,11 @@ class Plan:
     final_alpha_cumprod: jax.Array  # scalar float32 (DDIM-family)
     num_steps: int = dataclasses.field(metadata=dict(static=True))
     order: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # train-timesteps per inference step of the ORIGINAL (unsliced) grid;
+    # DDIM/PNDM/DDPM prev-timestep math must keep using it after an img2img
+    # strength slice shortens num_steps (diffusers uses the requested step
+    # count, not the remaining one)
+    step_ratio: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 def prediction_to_x0_eps(

@@ -39,6 +39,7 @@ class DDIMScheduler(BaseScheduler):
             init_noise_sigma=jnp.asarray(1.0, jnp.float32),
             final_alpha_cumprod=jnp.asarray(final_alpha, jnp.float32),
             num_steps=len(timesteps),
+            step_ratio=self.config.num_train_timesteps // num_steps,
         )
 
     def init_state(self, plan: Plan, sample_shape, dtype=jnp.float32):
@@ -46,7 +47,10 @@ class DDIMScheduler(BaseScheduler):
 
     def step(self, plan: Plan, state, i, model_output, sample, key=None):
         t = plan.timesteps[i]
-        prev_t = t - self.config.num_train_timesteps // plan.num_steps
+        ratio = plan.step_ratio or (
+            self.config.num_train_timesteps // plan.num_steps
+        )
+        prev_t = t - ratio
 
         ac_t = plan.alphas_cumprod[t]
         ac_prev = jnp.where(

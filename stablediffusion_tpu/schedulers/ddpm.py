@@ -42,12 +42,16 @@ class DDPMScheduler(BaseScheduler):
             init_noise_sigma=jnp.asarray(1.0, jnp.float32),
             final_alpha_cumprod=jnp.asarray(1.0, jnp.float32),
             num_steps=len(timesteps),
+            step_ratio=self.config.num_train_timesteps // num_steps,
         )
 
     def step(self, plan: Plan, state, i, model_output, sample, key=None):
         assert key is not None, "DDPM step needs a PRNG key"
         t = plan.timesteps[i]
-        prev_t = t - self.config.num_train_timesteps // plan.num_steps
+        ratio = plan.step_ratio or (
+            self.config.num_train_timesteps // plan.num_steps
+        )
+        prev_t = t - ratio
 
         ac_t = plan.alphas_cumprod[t]
         ac_prev = jnp.where(prev_t >= 0, plan.alphas_cumprod[jnp.clip(prev_t, 0)], 1.0)

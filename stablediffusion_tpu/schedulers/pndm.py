@@ -42,6 +42,7 @@ class PNDMScheduler(BaseScheduler):
                 float(self._alphas_cumprod_np[0]), jnp.float32
             ),
             num_steps=len(ts),
+            step_ratio=self.config.num_train_timesteps // num_steps,
         )
 
     def init_state(self, plan: Plan, sample_shape, dtype=jnp.float32):
@@ -79,7 +80,9 @@ class PNDMScheduler(BaseScheduler):
         sample32 = sample.astype(jnp.float32)
         out32 = model_output.astype(jnp.float32)
         # base-grid step ratio (plan has N+1 plms steps for N base steps)
-        ratio = self.config.num_train_timesteps // (plan.num_steps - 1)
+        ratio = plan.step_ratio or (
+            self.config.num_train_timesteps // (plan.num_steps - 1)
+        )
 
         t = plan.timesteps[i]
         is_warm = i == 1  # the duplicated warm-up evaluation

@@ -60,6 +60,15 @@ class CLIPTokenizer:
         self.pad_token_id = self.eos_token_id if pad_token_id is None else pad_token_id
         self.model_max_length = model_max_length
         self._cache: Dict[str, List[str]] = {}
+        # native C++ merge loop (ctypes) when compilable; silently falls back
+        self._native = None
+        try:
+            from stablediffusion_tpu.tokenizer.bpe_native import NativeBPE, available
+
+            if available():
+                self._native = NativeBPE(vocab, merges)
+        except Exception:
+            self._native = None
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -132,9 +141,23 @@ class CLIPTokenizer:
         ids: List[int] = []
         unk = self.vocab.get("<|endoftext|>")
         for tok in _PATTERN.findall(text):
-            for piece in self._bpe(tok):
-                ids.append(self.vocab.get(piece, unk))
+            native_ids = self._tokenize_native(tok)
+            if native_ids is not None:
+                ids.extend(native_ids)
+            else:
+                for piece in self._bpe(tok):
+                    ids.append(self.vocab.get(piece, unk))
         return ids
+
+    def _tokenize_native(self, tok: str) -> Optional[List[int]]:
+        if self._native is None:
+            return None
+        try:
+            syms = [self.vocab[c] for c in tok[:-1]]
+            syms.append(self.vocab[tok[-1] + "</w>"])
+        except KeyError:  # unknown char -> python path handles unk
+            return None
+        return self._native.encode_word(syms)
 
     # -- pipeline API --------------------------------------------------------
     def __call__(

@@ -91,7 +91,10 @@ def main(argv=None):
 
     from stablediffusion_tpu.io.loader import load_sd_model
     from stablediffusion_tpu.parallel import make_mesh
+    from stablediffusion_tpu.parallel.mesh import maybe_initialize_distributed
     from stablediffusion_tpu.train.trainer import SDLoRATrainer, SDTrainingArgs
+
+    maybe_initialize_distributed()
 
     model = load_sd_model(
         args.pretrained_model_name_or_path, model_type=args.model_type
@@ -122,6 +125,7 @@ def main(argv=None):
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         resolution=args.resolution,
+        gradient_checkpointing=args.gradient_checkpointing,
         max_grad_norm=args.max_grad_norm,
         seed=args.seed,
         snr_gamma=args.snr_gamma,

@@ -64,6 +64,9 @@ class TrainStatics:
     snr_gamma: Optional[float]
     noise_offset: float = 0.0
     compute_dtype: Any = jnp.bfloat16
+    # remat the UNet forward during backprop (SURVEY.md D12; the reference's
+    # --gradient_checkpointing flag, train_text_to_image_lora.py:560-561)
+    gradient_checkpointing: bool = False
 
     @property
     def is_sdxl(self) -> bool:
@@ -149,13 +152,22 @@ def loss_fn(
 
     # 5. UNet predict with LoRA-fused weights
     unet_params = apply_lora_for_training(frozen["unet"], lora["unet"])
-    pred = unet_model.apply(
+
+    def unet_fwd(p, x, t, ctx, added):
+        return unet_model.apply(
+            p, statics.unet_config, x, t, ctx, added_cond=added
+        )
+
+    if statics.gradient_checkpointing:
+        unet_fwd = jax.checkpoint(
+            unet_fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    pred = unet_fwd(
         unet_params,
-        statics.unet_config,
         noisy.astype(dt),
         timesteps,
         embeds.astype(dt),
-        added_cond=added_cond,
+        added_cond,
     ).astype(jnp.float32)
 
     # 6. target (epsilon | velocity) + MSE with optional Min-SNR weighting

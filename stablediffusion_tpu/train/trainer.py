@@ -66,6 +66,7 @@ class SDTrainingArgs:
     noise_offset: float = 0.0
     random_flip: bool = True
     center_crop: bool = False
+    gradient_checkpointing: bool = False
     checkpointing_steps: Optional[int] = None
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None  # path | "latest"
@@ -151,6 +152,7 @@ class SDLoRATrainer:
             snr_gamma=args.snr_gamma,
             noise_offset=args.noise_offset,
             compute_dtype=dtype,
+            gradient_checkpointing=args.gradient_checkpointing,
         )
         step_fn = make_train_step(statics, scheduler, optimizer, mesh=self.mesh)
 

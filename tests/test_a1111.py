@@ -340,3 +340,51 @@ def test_convert_cli_output_loads_and_runs(tiny_state, tmp_path):
                num_inference_steps=2, seed=1)
     assert out.images.shape == (1, 32, 32, 3)
     assert np.isfinite(out.images).all()
+
+
+def test_controlnet_conversion(tiny_state):
+    from stablediffusion_tpu.io.a1111 import convert_controlnet
+
+    state, uflat, _, ucfg = tiny_state
+    # synthesize a controlnet: unet trunk (down+mid only) + hint block + zero convs
+    ctrl = {}
+    for k, v in state.items():
+        rest = k[len("model.diffusion_model."):]
+        if rest.startswith(("time_embed", "input_blocks", "middle_block")):
+            ctrl["control_model." + rest] = v
+    ctrl["control_model.input_hint_block.0.weight"] = np.zeros((16, 3, 3, 3), np.float32)
+    ctrl["control_model.input_hint_block.0.bias"] = np.zeros(16, np.float32)
+    ctrl["control_model.input_hint_block.14.weight"] = np.zeros((16, 16, 3, 3), np.float32)
+    ctrl["control_model.zero_convs.0.0.weight"] = np.zeros((16, 16, 1, 1), np.float32)
+    ctrl["control_model.zero_convs.0.0.bias"] = np.zeros(16, np.float32)
+    ctrl["control_model.middle_block_out.0.weight"] = np.zeros((32, 32, 1, 1), np.float32)
+
+    cfg = dict(
+        block_out_channels=list(ucfg.block_out_channels),
+        layers_per_block=ucfg.layers_per_block,
+        down_block_types=list(ucfg.down_block_types),
+        up_block_types=list(ucfg.up_block_types),
+    )
+    got = convert_controlnet(ctrl, cfg)
+    assert "controlnet_cond_embedding.conv_in.weight" in got
+    assert "controlnet_cond_embedding.conv_out.weight" in got
+    assert "controlnet_down_blocks.0.weight" in got
+    assert "controlnet_mid_block.weight" in got
+    # trunk mapped like the unet
+    assert "down_blocks.0.resnets.0.conv1.weight" in got
+    assert "time_embedding.linear_1.weight" in got
+
+
+def test_model_card(tmp_path):
+    from stablediffusion_tpu.train.model_card import save_model_card
+
+    path = save_model_card(
+        str(tmp_path),
+        base_model="sd15_Test",
+        prompt="a cat",
+        images=[np.zeros((8, 8, 3), np.float32)],
+        train_info={"rank": 4, "steps": 100},
+    )
+    text = open(path).read()
+    assert "sd15_Test" in text and "rank" in text and "image_0" in text
+    assert (tmp_path / "image_0.png").exists()

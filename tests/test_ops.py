@@ -155,3 +155,23 @@ def test_upsample_and_resize():
     np.testing.assert_array_equal(np.asarray(up[0, :2, :2, 0]), np.asarray(x[0, 0, 0, 0]))
     down = interpolate_nearest(up, 2, 2)
     np.testing.assert_array_equal(np.asarray(down), np.asarray(x))
+
+
+def test_fused_group_norm_silu_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stablediffusion_tpu.ops import group_norm, silu
+    from stablediffusion_tpu.ops.fused_norm import (
+        group_norm_silu_pallas,
+        shape_supported,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    ref = silu(group_norm({"weight": w, "bias": b}, x, 8, 1e-5))
+    with pltpu.force_tpu_interpret_mode():
+        out = group_norm_silu_pallas(x, w, b, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    assert shape_supported((16, 32, 32, 640))
+    assert not shape_supported((1, 512, 512, 128))  # big VAE level -> XLA

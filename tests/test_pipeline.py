@@ -267,3 +267,48 @@ def test_negative_prompt_batch_mismatch(pipe, sd15):
             width=W,
             num_inference_steps=1,
         )
+
+
+def test_refiner_path(pipe):
+    """Refiner UNet: encoder-2-only conditioning + aesthetic-score time ids."""
+    import dataclasses
+
+    import jax
+
+    from stablediffusion_tpu.core.config import tiny_unet_config
+    from stablediffusion_tpu.models import unet as unet_model
+
+    model = make_tiny_model("sdxl")
+    t2 = model.text_encoder_2_config
+    rcfg = tiny_unet_config(sdxl=True, cross_attention_dim=t2.hidden_size)
+    rcfg = dataclasses.replace(
+        rcfg,
+        # refiner convention: pooled + 5 ids (orig, crop, aesthetic score)
+        projection_class_embeddings_input_dim=t2.projection_dim + 5 * 8,
+    )
+    model.refiner_config = rcfg
+    model.refiner_params = unet_model.init_params(jax.random.key(42), rcfg)
+
+    base = pipe(
+        model, prompt="a cat", height=H, width=W, num_inference_steps=4,
+        denoising_end=0.5, output_type="latents", seed=21,
+    )
+    out = pipe(
+        model,
+        prompt="a cat",
+        image=np.asarray(base.latents),
+        num_inference_steps=4,
+        denoising_start=0.5,
+        height=H,
+        width=W,
+        seed=21,
+        use_refiner=True,
+    )
+    assert out.images.shape == (1, H, W, 3)
+    assert np.isfinite(out.images).all()
+
+
+def test_use_refiner_without_loading_raises(pipe, sdxl):
+    with pytest.raises(ValueError):
+        pipe(sdxl, prompt="x", height=H, width=W, num_inference_steps=1,
+             use_refiner=True)

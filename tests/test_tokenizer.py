@@ -99,3 +99,21 @@ def test_decode_roundtrip(both):
     ours, _ = both
     ids = ours(["the cat and the dog"])[0]
     assert ours.decode(ids) == "the cat and the dog"
+
+
+def test_native_bpe_matches_python(both):
+    from stablediffusion_tpu.tokenizer import bpe_native
+
+    assert bpe_native.available(), "g++ toolchain present; native must build"
+    ours, theirs = both
+    assert ours._native is not None
+    # force-python twin
+    import stablediffusion_tpu.tokenizer.clip_bpe as cb
+
+    merges = [m for m, _ in sorted(ours.bpe_ranks.items(), key=lambda kv: kv[1])]
+    py = cb.CLIPTokenizer(ours.vocab, merges)
+    py._native = None
+    for text in SAMPLES:
+        np.testing.assert_array_equal(
+            ours([text]), py([text]), err_msg=f"text={text!r}"
+        )

@@ -136,3 +136,19 @@ def test_checkpoint_resume(data_dir, tmp_path):
     t2.train()
     # resumed from step 2, trained to 4
     assert t2.history[-1][0] == 4
+
+
+def test_gradient_checkpointing(data_dir, tmp_path):
+    model = make_tiny_model("sd15")
+    args = SDTrainingArgs(
+        train_batch_size=2, rank=2, resolution=32, max_train_steps=2,
+        learning_rate=1e-3, lr_scheduler="constant", lr_warmup_steps=0,
+        mixed_precision="no", train_text_encoder=False,
+        gradient_checkpointing=True,
+        output_dir=str(tmp_path / "remat"), seed=8,
+    )
+    t = SDLoRATrainer(model, args, data_dir)
+    lora = t.train()
+    assert all(np.isfinite(l) for _, l in t.history)
+    up_norm = sum(float(jnp.abs(f["up"]).sum()) for f in lora["unet"].values())
+    assert up_norm > 0.0
