@@ -154,3 +154,44 @@ def test_ui_endpoint(handler):
         assert "Generate" in html and "DPM++ 2M Karras" in html
     finally:
         server.shutdown()
+
+
+def test_train_mode(handler, tmp_path):
+    rng2 = np.random.default_rng(0)
+    from PIL import Image
+
+    d = tmp_path / "tdata"
+    d.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            (rng2.uniform(size=(40, 40, 3)) * 255).astype(np.uint8)
+        ).save(d / f"{i}.jpg")
+        (d / f"{i}.txt").write_text("a cat")
+    resp = handler(
+        {
+            "mode": "train",
+            "prompt": "unused",
+            "train": {
+                "data_dir": str(d),
+                "train_batch_size": 2,
+                "max_train_steps": 1,
+                "rank": 2,
+                "resolution": 32,
+                "mixed_precision": "no",
+                "train_text_encoder": False,
+                "lr_scheduler": "constant",
+                "lr_warmup_steps": 0,
+                "output_dir": str(tmp_path / "tout"),
+            },
+        },
+        "req-train",
+    )
+    assert "error" not in resp, resp.get("traceback")
+    import os
+
+    assert os.path.exists(resp["lora_path"])
+
+
+def test_train_mode_requires_data_dir(handler):
+    resp = handler({"mode": "train", "train": {}}, "req-train2")
+    assert "error" in resp and "data_dir" in resp["error"]
