@@ -251,6 +251,24 @@ SD15_UNET = UNetConfig()
 # reference validates this channel layout at sd_unified_pipeline.py:359-374.
 SD15_INPAINT_UNET = dataclasses.replace(SD15_UNET, in_channels=9)
 
+# stabilityai/stable-diffusion-2-1 (v-prediction, OpenCLIP-H text encoder,
+# linear transformer projections, 64-channel heads)
+SD21_UNET = UNetConfig(
+    sample_size=96,
+    num_attention_heads=(5, 10, 20, 20),
+    cross_attention_dim=1024,
+    use_linear_projection=True,
+)
+
+SD21_TEXT_ENCODER = CLIPTextConfig(
+    hidden_size=1024,
+    intermediate_size=4096,
+    num_hidden_layers=23,
+    num_attention_heads=16,
+    hidden_act="gelu",
+    projection_dim=512,
+)
+
 SDXL_UNET = UNetConfig(
     sample_size=128,
     down_block_types=(

@@ -26,10 +26,19 @@ def attention_xla(
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """softmax(q k^T / sqrt(d)) v with fp32 softmax accumulation."""
+    """softmax(q k^T / sqrt(d)) v.
+
+    Matmul accumulation is always fp32 (MXU native).  For bf16 inputs the
+    materialized logits/probs tensors are stored bf16 — they dominate HBM
+    traffic at the 4096-token SD level (an [B,H,4096,4096] tensor) and the
+    single extra rounding matches what fp16 CUDA pipelines do.  fp32 inputs
+    keep fp32 end to end (the parity path)."""
     B, Sq, H, D = q.shape
     if scale is None:
         scale = D**-0.5
+    # Measured on v5e (benchmarks/, SD1.5 batch 8-32): fp32 logits + XLA's
+    # own softmax fusion is the fastest formulation; storing logits bf16
+    # regressed large batches because XLA materializes the fp32 exp anyway.
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )

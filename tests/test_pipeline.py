@@ -312,3 +312,27 @@ def test_use_refiner_without_loading_raises(pipe, sdxl):
     with pytest.raises(ValueError):
         pipe(sdxl, prompt="x", height=H, width=W, num_inference_steps=1,
              use_refiner=True)
+
+
+def test_sd21_style_model(pipe):
+    """SD2.1-style: single encoder, linear transformer projections,
+    v-prediction scheduler."""
+    import dataclasses
+
+    import jax
+
+    from stablediffusion_tpu.core.config import SchedulerConfig, tiny_unet_config
+    from stablediffusion_tpu.models import unet as unet_model
+
+    model = make_tiny_model("sd15")
+    cfg = dataclasses.replace(
+        tiny_unet_config(), use_linear_projection=True
+    )
+    model.unet_config = cfg
+    model.unet_params = unet_model.init_params(jax.random.key(9), cfg)
+    model.scheduler_config = SchedulerConfig(prediction_type="v_prediction")
+    model._scheduler = None  # rebuild with the new config
+    out = pipe(model, prompt="a cat", height=H, width=W,
+               num_inference_steps=3, seed=17)
+    assert out.images.shape == (1, H, W, 3)
+    assert np.isfinite(out.images).all()
