@@ -195,6 +195,7 @@ class StableDiffusionUnifiedPipeline:
         do_cfg: bool = True,
         output_type: str = "np",  # "np" (decoded [0,1]) | "latents"
         dtype=None,  # compute dtype; default fp32 on CPU, bf16 on TPU
+        mesh=None,  # optional jax.sharding.Mesh: shard the batch over `data`
     ):
         self.do_cfg = do_cfg
         self.output_type = output_type
@@ -202,6 +203,21 @@ class StableDiffusionUnifiedPipeline:
             platform = jax.devices()[0].platform
             dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
         self.dtype = dtype
+        self.mesh = mesh
+
+    def _shard(self, x):
+        """Place a batch-leading array with the batch sharded over the data
+        axis (multi-chip throughput serving, SURVEY.md §2.10); XLA propagates
+        the sharding through the whole denoise scan."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if x.shape[0] % self.mesh.shape["data"] != 0:
+            return x  # batch not divisible; leave replicated
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
+        )
 
     # -- prompt encoding (ref: sd_unified_pipeline.py:532-719) --------------
     def encode_prompt(
@@ -587,6 +603,14 @@ class StableDiffusionUnifiedPipeline:
 
         # hot loop
         step_keys = jax.random.split(k_steps, plan.num_steps)
+        latents = self._shard(latents)
+        embeds = self._shard(embeds)
+        if added_cond is not None:
+            added_cond = {k: self._shard(v) for k, v in added_cond.items()}
+        mask_lat = self._shard(mask_lat)
+        masked_lat = self._shard(masked_lat)
+        image_lat = self._shard(image_lat)
+        noise4 = self._shard(noise4)
         latents = _denoise(
             unet_params,
             latents.astype(self.dtype),

@@ -21,6 +21,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
+from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
 from stablediffusion_tpu.serve.handler import Handler
 
 logger = logging.getLogger(__name__)
@@ -32,6 +33,7 @@ HANDLER: Optional[Handler] = None
 def get_handler(**kw) -> Handler:
     global HANDLER
     if HANDLER is None:
+        enable_compilation_cache()
         HANDLER = Handler(**kw)
     return HANDLER
 

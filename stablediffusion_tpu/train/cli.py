@@ -94,6 +94,9 @@ def main(argv=None):
     from stablediffusion_tpu.parallel.mesh import maybe_initialize_distributed
     from stablediffusion_tpu.train.trainer import SDLoRATrainer, SDTrainingArgs
 
+    from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     maybe_initialize_distributed()
 
     model = load_sd_model(
