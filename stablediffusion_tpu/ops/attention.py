@@ -75,9 +75,12 @@ def attention(
     if _use_pallas() and mask is None:
         from stablediffusion_tpu.ops.flash_attention import (
             flash_attention,
+            flash_attention_streaming,
             shape_supported,
         )
 
         if shape_supported(q.shape, k.shape):
             return flash_attention(q, k, v, scale=scale)
+        if k.shape[1] >= 2048:  # long KV: streaming online-softmax kernel
+            return flash_attention_streaming(q, k, v, scale=scale)
     return attention_xla(q, k, v, mask=mask, scale=scale)

@@ -175,3 +175,18 @@ def test_fused_group_norm_silu_interpret(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     assert shape_supported((16, 32, 32, 640))
     assert not shape_supported((1, 512, 512, 128))  # big VAE level -> XLA
+
+
+def test_flash_streaming_interpret_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stablediffusion_tpu.ops.flash_attention import flash_attention_streaming
+
+    B, S, H, D = 1, 2048, 4, 40  # multi-kv-block path (bkv=1024)
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    ref = attention_xla(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_streaming(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
