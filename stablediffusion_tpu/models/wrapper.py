@@ -77,6 +77,22 @@ class SDModel:
     def get_list_adapters(self) -> Dict[str, float]:
         return dict(self.adapters)
 
+    def reload(self) -> "SDModel":
+        """Hot reload from the checkpoint path, dropping adapters and any
+        fused weights (reload analog, models/stable_diffusion.py:174-185).
+        JAX device placement is managed by jit, so there is no `to(device)`;
+        reload is the one mutation that re-reads from disk."""
+        if not self.path:
+            raise ValueError("model has no checkpoint path to reload from")
+        from stablediffusion_tpu.io.loader import load_sd_model
+
+        fresh = load_sd_model(
+            self.path, model_type=self.model_type,
+            scheduler_name=self.scheduler_name,
+        )
+        self.__dict__.update(fresh.__dict__)
+        return self
+
     def load_refiner(self, path: Optional[str] = None) -> None:
         """Lazily load a refiner UNet (ref: models/stable_diffusion.py:159-171
         loads stabilityai/stable-diffusion-xl-refiner-1.0).  `path` is a

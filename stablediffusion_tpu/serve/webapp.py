@@ -66,6 +66,14 @@ INDEX_HTML = """<!DOCTYPE html>
 </fieldset>
 <button onclick="generate()">Generate</button><span id="status"></span>
 <div id="gallery"></div>
+<fieldset><legend>Train LoRA</legend>
+ <label>Data dir (on server)</label><input id="train_data_dir" placeholder="/data/my-style"><br>
+ <label>Rank</label><input type="number" id="train_rank" value="16" min="1" max="128">
+ <label>Steps</label><input type="number" id="train_steps" value="500" min="1"><br>
+ <label>Resolution</label><input type="number" id="train_res" value="512" step="64">
+ <label>Output dir</label><input id="train_out" value="lora-out"><br>
+ <button onclick="train()">Train</button><span id="train_status"></span>
+</fieldset>
 <script>
 async function fileToB64(input) {{
   const f = input.files[0];
@@ -117,6 +125,22 @@ async function generate() {{
     const img = document.createElement('img');
     img.src = 'data:image/jpeg;base64,' + b64; gal.appendChild(img);
   }});
+}}
+async function train() {{
+  const g = id => document.getElementById(id);
+  if (!g('train_data_dir').value) {{ g('train_status').textContent = 'data dir required'; return; }}
+  g('train_status').textContent = 'training...';
+  const resp = await fetch('/', {{method: 'POST', body: JSON.stringify({{id: 'ui-train',
+    input: {{mode: 'train', train: {{
+      data_dir: g('train_data_dir').value,
+      rank: +g('train_rank').value,
+      max_train_steps: +g('train_steps').value,
+      resolution: +g('train_res').value,
+      output_dir: g('train_out').value,
+    }}}}}})}});
+  const data = await resp.json();
+  g('train_status').textContent = data.error ? ('error: ' + data.error)
+    : ('done: ' + data.lora_path);
 }}
 </script>
 </body></html>

@@ -67,6 +67,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--validation_epochs", type=int, default=1)
     p.add_argument("--dataloader_num_workers", type=int, default=0)
     p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--push_to_hub", action="store_true")
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--hub_token", type=str, default=None)
     p.add_argument("--logging_dir", type=str, default="logs")
     # CUDA-era flags accepted as no-ops for launch-script compatibility
     p.add_argument("--use_8bit_adam", action="store_true",
@@ -152,6 +155,27 @@ def main(argv=None):
     mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
     trainer = SDLoRATrainer(model, targs, args.train_data_dir, mesh=mesh)
     trainer.train()
+
+    if jax_process_index() == 0:
+        from stablediffusion_tpu.train.model_card import push_to_hub, save_model_card
+
+        save_model_card(
+            args.output_dir,
+            base_model=args.pretrained_model_name_or_path,
+            prompt=args.validation_prompt,
+            train_info={
+                "rank": args.rank,
+                "steps": trainer.history[-1][0] if trainer.history else 0,
+                "resolution": args.resolution,
+                "learning_rate": lr,
+                "snr_gamma": args.snr_gamma,
+            },
+        )
+        if args.push_to_hub:
+            repo = args.hub_model_id or os.path.basename(
+                os.path.abspath(args.output_dir)
+            )
+            push_to_hub(args.output_dir, repo, token=args.hub_token)
 
     if args.validation_prompt and jax_process_index() == 0:
         from stablediffusion_tpu.lora.formats import load_lora_file

@@ -106,3 +106,30 @@ def test_train_cli_end_to_end(checkpoint_dir, tmp_path):
         "--enable_xformers_memory_efficient_attention",  # accepted no-op
     ])
     assert os.path.exists(os.path.join(out, "pytorch_lora_weights.safetensors"))
+
+
+def test_model_reload_drops_adapters(checkpoint_dir):
+    import jax
+
+    from stablediffusion_tpu.lora.core import linear_module_paths, UNET_TARGET_SUFFIXES
+    from stablediffusion_tpu.lora.formats import save_lora_file
+
+    model = load_sd_model(checkpoint_dir, variant=None)
+    # register + fuse a random adapter, then reload -> pristine
+    paths = linear_module_paths(model.unet_params, UNET_TARGET_SUFFIXES)
+    node = model.unet_params
+    for part in paths[0].split("."):
+        node = node[part]
+    before = np.asarray(node["weight"]).copy()
+    adapter = {"unet": {paths[0]: {
+        "down": jax.random.normal(jax.random.key(0), (node["weight"].shape[0], 2)),
+        "up": jax.random.normal(jax.random.key(1), (2, node["weight"].shape[1])),
+    }}}
+    model.load_lora_weights("x", adapter)
+    model.set_adapters({"x": 1.0})
+    model.reload()
+    assert model.adapters == {}
+    node2 = model.unet_params
+    for part in paths[0].split("."):
+        node2 = node2[part]
+    np.testing.assert_array_equal(np.asarray(node2["weight"]), before)
