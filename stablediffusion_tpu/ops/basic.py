@@ -14,6 +14,7 @@ paths in ops/flash_attention.py and ops/fused_norm.py.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -56,29 +57,49 @@ def conv2d(
     return y
 
 
+def _group_onehot(C: int, G: int):
+    # fresh constant per trace (caching a device array across jit traces
+    # raises UnexpectedTracerError); XLA constant-folds it
+    import numpy as np
+
+    return jnp.asarray(np.repeat(np.eye(G, dtype=np.float32), C // G, axis=0))
+
+
 def group_norm(
     params: dict, x: jax.Array, num_groups: int, eps: float = 1e-5
 ) -> jax.Array:
     """GroupNorm over NHWC (stats in fp32).
 
-    Stats use the one-pass E[x^2] - E[x]^2 form (as flax does): profiling on
-    v5e showed the two dependent passes of the naive mean/var formulation
-    cost ~23% of an SD1.5 UNet step; the one-pass form lets XLA fuse both
-    reductions over a single read of x."""
+    v5e profiling history (benchmarks/profile_trace.py, SD1.5 batch-16):
+      * naive mean-then-var: two dependent reduction passes, ~23% of a UNet
+        step;
+      * one-pass E[x^2]-E[x]^2 via jnp.mean over (H, W, C/G): better, but the
+        C/G-wide lane-group reduction runs at ~8% of HBM bandwidth on the VPU
+        (cross-lane reduce), still ~25 ms/step;
+      * here: group sums as matmuls against a constant [C, G] one-hot
+        membership matrix — the reduction rides the MXU, the spatial sum is a
+        cheap sublane reduce."""
     B, H, W, C = x.shape
     G = num_groups
-    xg = x.reshape(B, H, W, G, C // G)
-    xf = xg.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    mean2 = jnp.mean(xf * xf, axis=(1, 2, 4), keepdims=True)
-    var = jnp.maximum(mean2 - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    # fold mean/rstd into per-(group) scale/shift applied in one elementwise pass
-    out = (xf - mean) * rstd
-    out = out.reshape(B, H, W, C)
-    out = out * params["weight"].astype(jnp.float32) + params["bias"].astype(
-        jnp.float32
+    onehot = _group_onehot(C, G)
+    xf = x.reshape(B, H * W, C).astype(jnp.float32)
+    # [B, HW, C] @ [C, G] -> sum over channels-in-group, then over space
+    s1 = jnp.einsum("bsc,cg->bg", xf, onehot, preferred_element_type=jnp.float32)
+    s2 = jnp.einsum(
+        "bsc,cg->bg", xf * xf, onehot, preferred_element_type=jnp.float32
     )
+    n = H * W * (C // G)
+    mean_g = s1 / n
+    var_g = jnp.maximum(s2 / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # back to per-channel via the transposed one-hot (also MXU)
+    mean_c = jnp.einsum("bg,cg->bc", mean_g, onehot)[:, None, None, :]
+    rstd_c = jnp.einsum("bg,cg->bc", rstd_g, onehot)[:, None, None, :]
+    gamma = params["weight"].astype(jnp.float32)
+    beta = params["bias"].astype(jnp.float32)
+    alpha = rstd_c * gamma
+    shift = beta - mean_c * alpha
+    out = x.astype(jnp.float32) * alpha + shift
     return out.astype(x.dtype)
 
 
@@ -104,9 +125,15 @@ def group_norm_silu(
 
 
 def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with stats computed via a ones-matmul: the feature axis is
+    the TPU lane dimension, where VPU cross-lane reductions are slow — a
+    [.., C] @ [C, 1] dot puts the reduction on the MXU instead (same
+    profiling rationale as group_norm)."""
+    C = x.shape[-1]
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    ones = jnp.ones((C, 1), jnp.float32)
+    mean = jnp.dot(xf, ones, preferred_element_type=jnp.float32) / C
+    mean2 = jnp.dot(xf * xf, ones, preferred_element_type=jnp.float32) / C
     var = jnp.maximum(mean2 - mean * mean, 0.0)
     out = (xf - mean) * jax.lax.rsqrt(var + eps)
     if "weight" in params:
