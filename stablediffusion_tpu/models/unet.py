@@ -118,7 +118,17 @@ def apply(
     timesteps: jax.Array,  # [] or [B]
     encoder_hidden_states: jax.Array,  # [B, S, cross_attention_dim]
     added_cond: Optional[Dict[str, jax.Array]] = None,  # SDXL {text_embeds, time_ids}
-) -> jax.Array:
+    deep_cache: Optional[jax.Array] = None,
+    return_deep_cache: bool = False,
+):
+    """Forward pass.
+
+    DeepCache-style acceleration (arXiv 2312.03209 / 2312.09608 family;
+    PAPERS.md): `return_deep_cache=True` additionally returns the feature map
+    entering the LAST up block; passing it back as `deep_cache` on subsequent
+    steps runs only the shallowest level (first down block + last up block),
+    reusing the cached deep features — deep features change slowly across
+    adjacent timesteps.  Opt-in; changes outputs slightly."""
     g, eps = config.norm_num_groups, config.norm_eps
     B = sample.shape[0]
     if timesteps.ndim == 0:
@@ -157,7 +167,13 @@ def apply(
     x = conv2d(params["conv_in"], sample, padding=1)
     skips: List[jax.Array] = [x]
     n_blocks = len(config.block_out_channels)
-    for i, btype in enumerate(config.down_block_types):
+    shallow_only = deep_cache is not None
+    down_blocks = (
+        list(enumerate(config.down_block_types))[:1]
+        if shallow_only
+        else list(enumerate(config.down_block_types))
+    )
+    for i, btype in down_blocks:
         bp = params["down_blocks"][str(i)]
         has_attn = btype == "CrossAttnDownBlock2D"
         for j in range(config.layers_per_block):
@@ -173,26 +189,35 @@ def apply(
                     g,
                 )
             skips.append(x)
-        if i < n_blocks - 1:
+        if i < n_blocks - 1 and not shallow_only:
             x = conv2d(bp["downsamplers"]["0"]["conv"], x, stride=2, padding=1)
             skips.append(x)
 
-    # mid
-    mp = params["mid_block"]
-    x = _resnet(mp["resnets"]["0"], x, emb, g, eps)
-    x = _transformer2d(
-        mp["attentions"]["0"],
-        x,
-        ctx,
-        config.heads_for_block(n_blocks - 1),
-        config.tf_layers_for_block(n_blocks - 1),
-        config.use_linear_projection,
-        g,
-    )
-    x = _resnet(mp["resnets"]["1"], x, emb, g, eps)
+    deep_feature = None
+    if shallow_only:
+        x = deep_cache.astype(dtype)
+        up_blocks = [(len(config.up_block_types) - 1,
+                      config.up_block_types[-1])]
+    else:
+        # mid
+        mp = params["mid_block"]
+        x = _resnet(mp["resnets"]["0"], x, emb, g, eps)
+        x = _transformer2d(
+            mp["attentions"]["0"],
+            x,
+            ctx,
+            config.heads_for_block(n_blocks - 1),
+            config.tf_layers_for_block(n_blocks - 1),
+            config.use_linear_projection,
+            g,
+        )
+        x = _resnet(mp["resnets"]["1"], x, emb, g, eps)
+        up_blocks = list(enumerate(config.up_block_types))
 
     # up
-    for i, btype in enumerate(config.up_block_types):
+    for i, btype in up_blocks:
+        if not shallow_only and i == len(config.up_block_types) - 1:
+            deep_feature = x  # input to the last up block (the cache point)
         bp = params["up_blocks"][str(i)]
         has_attn = btype == "CrossAttnUpBlock2D"
         block_idx = n_blocks - 1 - i  # mirrored resolution index
@@ -215,7 +240,10 @@ def apply(
             x = conv2d(bp["upsamplers"]["0"]["conv"], x, padding=1)
 
     x = group_norm_silu(params["conv_norm_out"], x, g, eps)
-    return conv2d(params["conv_out"], x, padding=1)
+    out = conv2d(params["conv_out"], x, padding=1)
+    if return_deep_cache:
+        return out, deep_feature
+    return out
 
 
 # ---------------------------------------------------------------------------

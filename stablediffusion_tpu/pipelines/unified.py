@@ -118,6 +118,7 @@ def _vae_decode(params, latents, *, config: VAEConfig, force_upcast):
         "do_cfg",
         "inpaint_mode",
         "use_rescale",
+        "cache_interval",
     ),
 )
 def _denoise(
@@ -139,14 +140,18 @@ def _denoise(
     do_cfg: bool,
     inpaint_mode: str,  # "none" | "blend4" | "concat9"
     use_rescale: bool,
+    cache_interval: int = 1,
 ):
-    """The hot loop (ref: sd_unified_pipeline.py:465-507) as one lax.scan."""
+    """The hot loop (ref: sd_unified_pipeline.py:465-507) as one lax.scan.
+
+    cache_interval > 1 enables DeepCache-style acceleration: every interval's
+    first step runs the full UNet and caches the deep feature map; the
+    remaining steps run only the shallowest level against the cache
+    (approximate — opt-in)."""
     N = plan.num_steps
     state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
 
-    def body(carry, inp):
-        lat, state = carry
-        i, key = inp
+    def one_step(lat, state, i, key, deep_cache=None, want_cache=False):
         x = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
         x = scheduler.scale_model_input(plan, x, i)
         if inpaint_mode == "concat9":
@@ -158,9 +163,11 @@ def _denoise(
             )
             x = jnp.concatenate([x, m.astype(x.dtype), mi.astype(x.dtype)], axis=-1)
         t = plan.timesteps[i]
-        pred = unet_model.apply(
-            unet_params, unet_config, x, t, embeds, added_cond=added_cond
+        result = unet_model.apply(
+            unet_params, unet_config, x, t, embeds, added_cond=added_cond,
+            deep_cache=deep_cache, return_deep_cache=want_cache,
         )
+        pred, deep = result if want_cache else (result, None)
         if do_cfg:
             uncond, text = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance_scale * (text - uncond)
@@ -176,10 +183,38 @@ def _denoise(
                 image_latents,
             )
             lat_new = (1.0 - mask) * init_prop.astype(lat_new.dtype) + mask * lat_new
-        return (lat_new, state), ()
+        return lat_new, state, deep
 
-    (final, _), _ = jax.lax.scan(body, (latents, state0), (jnp.arange(N), keys))
-    return final
+    if cache_interval <= 1:
+
+        def body(carry, inp):
+            lat, state = carry
+            i, key = inp
+            lat, state, _ = one_step(lat, state, i, key)
+            return (lat, state), ()
+
+        (final, _), _ = jax.lax.scan(body, (latents, state0), (jnp.arange(N), keys))
+        return final
+
+    # DeepCache: scan over whole intervals, python tail for the remainder
+    k = cache_interval
+    n_outer = N // k
+
+    def body(carry, inp):
+        lat, state = carry
+        i0, kkeys = inp
+        lat, state, deep = one_step(lat, state, i0, kkeys[0], want_cache=True)
+        for o in range(1, k):
+            lat, state, _ = one_step(lat, state, i0 + o, kkeys[o], deep_cache=deep)
+        return (lat, state), ()
+
+    i0s = jnp.arange(n_outer) * k
+    (lat, state), _ = jax.lax.scan(
+        body, (latents, state0), (i0s, keys[: n_outer * k].reshape(n_outer, k, *keys.shape[1:]))
+    )
+    for i in range(n_outer * k, N):  # static remainder, full steps
+        lat, state, _ = one_step(lat, state, jnp.asarray(i), keys[i])
+    return lat
 
 
 # ---------------------------------------------------------------------------
@@ -401,6 +436,7 @@ class StableDiffusionUnifiedPipeline:
         masked_image_latents=None,
         padding_mask_crop: Optional[int] = None,
         use_refiner: bool = False,
+        cache_interval: Optional[int] = None,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
         vf = model.vae_scale_factor
@@ -629,6 +665,7 @@ class StableDiffusionUnifiedPipeline:
             do_cfg=do_cfg,
             inpaint_mode=inpaint_mode,
             use_rescale=bool(guidance_rescale > 0.0),
+            cache_interval=int(cache_interval or 1),
         )
 
         # decode

@@ -54,6 +54,7 @@ INFERENCE_ARG_KEYS = (
     "mask_image",
     "masked_image_latents",
     "padding_mask_crop",
+    "cache_interval",
 )
 
 

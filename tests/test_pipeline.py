@@ -358,3 +358,17 @@ def test_multichip_batch_sharding(sd15):
     assert a.images.shape == (8, H, W, 3)
     # sharded and single-device execution must agree numerically
     np.testing.assert_allclose(a.images, b.images, atol=2e-4)
+
+
+def test_deepcache_interval(pipe, sd15):
+    """Opt-in DeepCache acceleration: runs, differs slightly from exact,
+    stays close (the deep features change slowly)."""
+    kw = dict(prompt="a cat", height=H, width=W, num_inference_steps=6, seed=19)
+    exact = pipe(sd15, **kw)
+    turbo = pipe(sd15, **kw, cache_interval=2)
+    turbo3 = pipe(sd15, **kw, cache_interval=3)  # non-divisible: tail steps full
+    for out in (turbo, turbo3):
+        assert out.images.shape == exact.images.shape
+        assert np.isfinite(out.images).all()
+        diff = np.abs(out.images - exact.images).mean()
+        assert 0 < diff < 0.2, diff  # approximate but close
