@@ -670,6 +670,8 @@ class StableDiffusionUnifiedPipeline:
 
         # decode
         output_type = output_type or self.output_type
+        if output_type == "pt":  # reference name for decoded output
+            output_type = "np"
         if output_type == "latents":
             return SDPipelineOutput(images=None, latents=latents, seed=seed)
         images = _vae_decode(

@@ -372,3 +372,62 @@ def test_deepcache_interval(pipe, sd15):
         assert np.isfinite(out.images).all()
         diff = np.abs(out.images - exact.images).mean()
         assert 0 < diff < 0.2, diff  # approximate but close
+
+
+def test_tensor_parallel_params(sd15):
+    """Optional TP: attention/MLP kernels sharded over the tensor axis;
+    output identical to replicated execution."""
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusion_tpu.models import unet as unet_model
+    from stablediffusion_tpu.parallel import make_mesh
+    from stablediffusion_tpu.parallel.tp import shard_params_tp
+
+    mesh = make_mesh(data=4, tensor=2)
+    sharded = shard_params_tp(sd15.unet_params, mesh)
+    # q/k/v kernels actually sharded over tensor
+    w = sharded["down_blocks"]["0"]["attentions"]["0"]["transformer_blocks"][
+        "0"
+    ]["attn1"]["to_q"]["weight"]
+    assert not w.sharding.is_fully_replicated
+    x = jax.random.normal(jax.random.key(0), (4, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.key(1), (4, 77, sd15.unet_config.cross_attention_dim))
+    a = unet_model.apply(sd15.unet_params, sd15.unet_config, x, jnp.asarray(500), ctx)
+    b = unet_model.apply(sharded, sd15.unet_config, x, jnp.asarray(500), ctx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_concurrent_http_requests(sd15):
+    """Two simultaneous POSTs serialize on the model lock and both succeed."""
+    import http.client
+    import json as _json
+    import threading as _t
+    from http.server import ThreadingHTTPServer
+
+    import stablediffusion_tpu.serve.worker as worker
+    from stablediffusion_tpu.serve.handler import Handler
+
+    worker.HANDLER = Handler(model=sd15)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), worker._HTTPHandler)
+    port = server.server_address[1]
+    _t.Thread(target=server.serve_forever, daemon=True).start()
+    results = [None, None]
+
+    def post(i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = _json.dumps({"id": f"c{i}", "input": {
+            "prompt": "cat", "height": H, "width": W,
+            "num_inference_steps": 2, "seed": i}})
+        conn.request("POST", "/", body=body)
+        results[i] = _json.loads(conn.getresponse().read())
+
+    threads = [_t.Thread(target=post, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.shutdown()
+    for r in results:
+        assert r and "error" not in r, r
+    assert results[0]["seed"] == 0 and results[1]["seed"] == 1
