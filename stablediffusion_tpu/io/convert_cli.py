@@ -33,6 +33,7 @@ def convert(
     extract_ema: bool = False,
     scheduler_type: str = "ddim",
     half: bool = False,
+    controlnet: bool = False,
 ):
     import numpy as np
 
@@ -40,6 +41,37 @@ def convert(
     from stablediffusion_tpu.io.safetensors_io import save_safetensors
 
     state = load_single_file(checkpoint_path)
+    if controlnet:
+        from stablediffusion_tpu.io.a1111 import (
+            convert_controlnet,
+            create_unet_config,
+            infer_unet_params_from_state,
+        )
+
+        # controlnet single-file: trunk config inferred from its own shapes
+        trunk = {
+            "model.diffusion_model." + k[len("control_model."):]: v
+            for k, v in state.items()
+            if k.startswith("control_model.")
+            and not k.startswith(("control_model.input_hint_block",
+                                  "control_model.zero_convs",
+                                  "control_model.middle_block_out"))
+        }
+        cfg = create_unet_config(infer_unet_params_from_state(trunk))
+        flat = convert_controlnet(state, cfg)
+        os.makedirs(save_path, exist_ok=True)
+        if half:
+            flat = {k: (v.astype(np.float16) if v.dtype == np.float32 else v)
+                    for k, v in flat.items()}
+        save_safetensors(
+            flat,
+            os.path.join(save_path,
+                         f"diffusion_pytorch_model{'.fp16' if half else ''}.safetensors"),
+        )
+        with open(os.path.join(save_path, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2)
+        return "controlnet"
+
     weights, configs = convert_a1111_checkpoint(state, extract_ema_weights=extract_ema)
     model_type = configs["model_type"]
 
@@ -106,6 +138,8 @@ def main(argv=None):
     p.add_argument("--extract_ema", action="store_true")
     p.add_argument("--from_safetensors", action="store_true",
                    help="accepted for parity; format is auto-detected")
+    p.add_argument("--controlnet", action="store_true",
+                   help="input is a ControlNet single-file checkpoint")
     p.add_argument("--half", action="store_true", help="save fp16 variant")
     args = p.parse_args(argv)
     mtype = convert(
@@ -114,6 +148,7 @@ def main(argv=None):
         extract_ema=args.extract_ema,
         scheduler_type=args.scheduler_type,
         half=args.half,
+        controlnet=args.controlnet,
     )
     print(f"converted {mtype} checkpoint -> {args.save_path}")
 

@@ -120,6 +120,8 @@ def apply(
     added_cond: Optional[Dict[str, jax.Array]] = None,  # SDXL {text_embeds, time_ids}
     deep_cache: Optional[jax.Array] = None,
     return_deep_cache: bool = False,
+    down_block_residuals: Optional[List[jax.Array]] = None,
+    mid_block_residual: Optional[jax.Array] = None,
 ):
     """Forward pass.
 
@@ -128,7 +130,11 @@ def apply(
     entering the LAST up block; passing it back as `deep_cache` on subsequent
     steps runs only the shallowest level (first down block + last up block),
     reusing the cached deep features — deep features change slowly across
-    adjacent timesteps.  Opt-in; changes outputs slightly."""
+    adjacent timesteps.  Opt-in; changes outputs slightly.
+
+    ControlNet: `down_block_residuals` (one per skip) and
+    `mid_block_residual` are added to the skip connections / mid output,
+    matching diffusers' additional-residual semantics."""
     g, eps = config.norm_num_groups, config.norm_eps
     B = sample.shape[0]
     if timesteps.ndim == 0:
@@ -165,7 +171,13 @@ def apply(
 
     # down
     x = conv2d(params["conv_in"], sample, padding=1)
-    skips: List[jax.Array] = [x]
+
+    def _with_res(h, idx):
+        if down_block_residuals is None:
+            return h
+        return h + down_block_residuals[idx].astype(h.dtype)
+
+    skips: List[jax.Array] = [_with_res(x, 0)]
     n_blocks = len(config.block_out_channels)
     shallow_only = deep_cache is not None
     down_blocks = (
@@ -188,10 +200,10 @@ def apply(
                     config.use_linear_projection,
                     g,
                 )
-            skips.append(x)
+            skips.append(_with_res(x, len(skips)))
         if i < n_blocks - 1 and not shallow_only:
             x = conv2d(bp["downsamplers"]["0"]["conv"], x, stride=2, padding=1)
-            skips.append(x)
+            skips.append(_with_res(x, len(skips)))
 
     deep_feature = None
     if shallow_only:
@@ -212,6 +224,8 @@ def apply(
             g,
         )
         x = _resnet(mp["resnets"]["1"], x, emb, g, eps)
+        if mid_block_residual is not None:
+            x = x + mid_block_residual.astype(x.dtype)
         up_blocks = list(enumerate(config.up_block_types))
 
     # up

@@ -44,6 +44,8 @@ class SDModel:
     scheduler_name: str = "DDIM"
     refiner_config: Optional[UNetConfig] = None
     refiner_params: Optional[Any] = None
+    controlnet_config: Optional[UNetConfig] = None
+    controlnet_params: Optional[Any] = None
     # LoRA bookkeeping (adapter name -> weight); see lora/
     adapters: Dict[str, float] = field(default_factory=dict)
     path: Optional[str] = None
@@ -92,6 +94,21 @@ class SDModel:
         )
         self.__dict__.update(fresh.__dict__)
         return self
+
+    def load_controlnet(self, path: str) -> None:
+        """Load a diffusers-layout ControlNet folder (the runtime companion
+        to the converter's K6 support — the reference can only convert)."""
+        import os
+
+        from stablediffusion_tpu.core.config import UNetConfig
+        from stablediffusion_tpu.io.loader import _read_json, load_component_state
+
+        cfg_path = os.path.join(path, "config.json")
+        if not os.path.exists(cfg_path):
+            cfg_path = os.path.join(path, "controlnet", "config.json")
+            path = os.path.join(path, "controlnet")
+        self.controlnet_config = UNetConfig.from_diffusers_dict(_read_json(cfg_path))
+        self.controlnet_params = load_component_state(path)
 
     def load_refiner(self, path: Optional[str] = None) -> None:
         """Lazily load a refiner UNet (ref: models/stable_diffusion.py:159-171

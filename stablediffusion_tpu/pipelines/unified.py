@@ -119,6 +119,8 @@ def _vae_decode(params, latents, *, config: VAEConfig, force_upcast):
         "inpaint_mode",
         "use_rescale",
         "cache_interval",
+        "controlnet_config",
+        "controlnet_scale",
     ),
 )
 def _denoise(
@@ -141,6 +143,10 @@ def _denoise(
     inpaint_mode: str,  # "none" | "blend4" | "concat9"
     use_rescale: bool,
     cache_interval: int = 1,
+    controlnet_config: Optional[UNetConfig] = None,
+    controlnet_params=None,
+    control_image=None,  # [B, H, W, 3] in [0, 1]
+    controlnet_scale: float = 1.0,
 ):
     """The hot loop (ref: sd_unified_pipeline.py:465-507) as one lax.scan.
 
@@ -163,9 +169,23 @@ def _denoise(
             )
             x = jnp.concatenate([x, m.astype(x.dtype), mi.astype(x.dtype)], axis=-1)
         t = plan.timesteps[i]
+        down_res = mid_res = None
+        if controlnet_params is not None:
+            from stablediffusion_tpu.models import controlnet as controlnet_model
+
+            ci = (
+                jnp.concatenate([control_image, control_image], axis=0)
+                if do_cfg
+                else control_image
+            )
+            down_res, mid_res = controlnet_model.apply(
+                controlnet_params, controlnet_config, x, t, embeds, ci,
+                conditioning_scale=controlnet_scale, added_cond=added_cond,
+            )
         result = unet_model.apply(
             unet_params, unet_config, x, t, embeds, added_cond=added_cond,
             deep_cache=deep_cache, return_deep_cache=want_cache,
+            down_block_residuals=down_res, mid_block_residual=mid_res,
         )
         pred, deep = result if want_cache else (result, None)
         if do_cfg:
@@ -437,6 +457,8 @@ class StableDiffusionUnifiedPipeline:
         padding_mask_crop: Optional[int] = None,
         use_refiner: bool = False,
         cache_interval: Optional[int] = None,
+        control_image=None,
+        controlnet_conditioning_scale: float = 1.0,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
         vf = model.vae_scale_factor
@@ -637,6 +659,24 @@ class StableDiffusionUnifiedPipeline:
                 [neg_embeds.astype(self.dtype), embeds], axis=0
             )
 
+        # controlnet conditioning image
+        control_arr = None
+        if control_image is not None:
+            if model.controlnet_params is None:
+                raise ValueError("control_image given but no ControlNet loaded "
+                                 "(call model.load_controlnet())")
+            # the conditioning embedder downsamples by a fixed 8x; size the
+            # control image to latent_res * 8 (== height/width for real
+            # models whose VAE scale factor is 8)
+            control_np = img_utils.preprocess_image(
+                control_image, (height // vf) * 8, (width // vf) * 8
+            )
+            control_arr = jnp.asarray((control_np + 1.0) / 2.0, self.dtype)
+            control_arr = jnp.tile(
+                control_arr, (B * n // control_arr.shape[0], 1, 1, 1)
+            )
+            control_arr = self._shard(control_arr)
+
         # hot loop
         step_keys = jax.random.split(k_steps, plan.num_steps)
         latents = self._shard(latents)
@@ -666,6 +706,10 @@ class StableDiffusionUnifiedPipeline:
             inpaint_mode=inpaint_mode,
             use_rescale=bool(guidance_rescale > 0.0),
             cache_interval=int(cache_interval or 1),
+            controlnet_config=model.controlnet_config,
+            controlnet_params=model.controlnet_params if control_arr is not None else None,
+            control_image=control_arr,
+            controlnet_scale=float(controlnet_conditioning_scale),
         )
 
         # decode

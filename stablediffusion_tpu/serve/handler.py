@@ -55,6 +55,8 @@ INFERENCE_ARG_KEYS = (
     "masked_image_latents",
     "padding_mask_crop",
     "cache_interval",
+    "control_image",
+    "controlnet_conditioning_scale",
 )
 
 
@@ -151,6 +153,8 @@ class Handler:
             args = dict(args, image=decode_image_b64(args["image"]))
         if "mask_image" in args and isinstance(args["mask_image"], str):
             args = dict(args, mask_image=decode_image_b64(args["mask_image"]))
+        if "control_image" in args and isinstance(args["control_image"], str):
+            args = dict(args, control_image=decode_image_b64(args["control_image"]))
         pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
         return pipe(self.model, **args)
 

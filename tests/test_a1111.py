@@ -388,3 +388,69 @@ def test_model_card(tmp_path):
     text = open(path).read()
     assert "sd15_Test" in text and "rank" in text and "image_0" in text
     assert (tmp_path / "image_0.png").exists()
+
+
+def test_controlnet_convert_load_run_loop(tiny_state, tmp_path):
+    """Full ControlNet loop: synthetic LDM controlnet -> CLI convert ->
+    load_controlnet -> generation (zero convs => exact no-op)."""
+    import json
+
+    import jax
+
+    from helpers import make_tiny_model
+    from stablediffusion_tpu.io.convert_cli import convert
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from stablediffusion_tpu.models import controlnet as controlnet_model
+    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+    from stablediffusion_tpu.pipelines.unified import StableDiffusionUnifiedPipeline
+
+    state, _, _, ucfg = tiny_state
+    # synthesize LDM controlnet keys: trunk (down+mid from the tiny unet)
+    ctrl = {}
+    for k, v in state.items():
+        rest = k[len("model.diffusion_model."):]
+        if rest.startswith(("time_embed", "input_blocks", "middle_block")):
+            ctrl["control_model." + rest] = np.ascontiguousarray(v)
+    # hint block + zero convs from our init (converted to LDM naming)
+    cn = controlnet_model.init_params(jax.random.key(0), ucfg)
+    ce = flatten({"x": cn["controlnet_cond_embedding"]})
+    for k, v in ce.items():
+        rest = k[2:]  # strip "x."
+        arr = deconvert_tensor(k, np.asarray(v))
+        if rest.startswith("conv_in."):
+            ctrl["control_model.input_hint_block.0." + rest.split(".")[-1]] = arr
+        elif rest.startswith("conv_out."):
+            ctrl["control_model.input_hint_block.14." + rest.split(".")[-1]] = arr
+        elif rest.startswith("blocks."):
+            n = int(rest.split(".")[1])
+            ctrl[f"control_model.input_hint_block.{2*(n+1)}." + rest.split(".")[-1]] = arr
+    for i, (kk, vv) in enumerate(sorted(cn["controlnet_down_blocks"].items(),
+                                        key=lambda kv: int(kv[0]))):
+        for pname, pv in vv.items():
+            ctrl[f"control_model.zero_convs.{kk}.0.{pname}"] = deconvert_tensor(
+                f"x.{pname}", np.asarray(pv))
+    for pname, pv in cn["controlnet_mid_block"].items():
+        ctrl[f"control_model.middle_block_out.0.{pname}"] = deconvert_tensor(
+            f"x.{pname}", np.asarray(pv))
+
+    ck = tmp_path / "cn.safetensors"
+    save_safetensors(ctrl, ck)
+    out_dir = str(tmp_path / "cn-converted")
+    assert convert(str(ck), out_dir, controlnet=True) == "controlnet"
+
+    model = make_tiny_model("sd15")
+    model.load_controlnet(out_dir)
+    import dataclasses
+
+    # head/group counts not recoverable from shapes (tiny model quirk)
+    model.controlnet_config = dataclasses.replace(
+        model.controlnet_config, num_attention_heads=2, norm_num_groups=8
+    )
+    # trunk weights in the converted net differ from the model's unet (they
+    # came from tiny_state's random init) — fine: zero convs => no-op either way
+    pipe = StableDiffusionUnifiedPipeline()
+    kw = dict(prompt="a cat", height=32, width=32, num_inference_steps=2, seed=31)
+    base = pipe(model, **kw)
+    control = np.zeros((1, 32, 32, 3), np.float32)
+    with_cn = pipe(model, **kw, control_image=control)
+    np.testing.assert_allclose(with_cn.images, base.images, atol=1e-5)

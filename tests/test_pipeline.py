@@ -431,3 +431,46 @@ def test_concurrent_http_requests(sd15):
     for r in results:
         assert r and "error" not in r, r
     assert results[0]["seed"] == 0 and results[1]["seed"] == 1
+
+
+def test_controlnet(pipe, sd15, rng):
+    """ControlNet runtime: zero-init net is an exact no-op; trained-ish
+    (nonzero) weights steer the output; scale works."""
+    import jax
+
+    from stablediffusion_tpu.models import controlnet
+
+    kw = dict(prompt="a cat", height=H, width=W, num_inference_steps=3, seed=23)
+    base = pipe(sd15, **kw)
+
+    sd15.controlnet_config = sd15.unet_config
+    sd15.controlnet_params = controlnet.init_params(
+        jax.random.key(3), sd15.unet_config
+    )
+    control = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    try:
+        zero = pipe(sd15, **kw, control_image=control)
+        # zero-init control convs -> identical to no controlnet
+        np.testing.assert_allclose(zero.images, base.images, atol=1e-5)
+
+        # make the zero convs nonzero -> output must change with the control
+        p = sd15.controlnet_params
+        p["controlnet_mid_block"]["weight"] = (
+            jax.random.normal(jax.random.key(4),
+                              p["controlnet_mid_block"]["weight"].shape) * 0.1
+        )
+        steered = pipe(sd15, **kw, control_image=control)
+        assert np.abs(steered.images - base.images).max() > 1e-4
+        # conditioning scale 0 -> back to baseline
+        off = pipe(sd15, **kw, control_image=control,
+                   controlnet_conditioning_scale=0.0)
+        np.testing.assert_allclose(off.images, base.images, atol=1e-5)
+    finally:
+        sd15.controlnet_params = None
+        sd15.controlnet_config = None
+
+
+def test_control_image_without_controlnet_raises(pipe, sd15, rng):
+    with pytest.raises(ValueError):
+        pipe(sd15, prompt="x", height=H, width=W, num_inference_steps=1,
+             control_image=rng.uniform(size=(1, H, W, 3)).astype(np.float32))
