@@ -13,7 +13,7 @@ hidden state so the pipeline can select clip-skip layers statically.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

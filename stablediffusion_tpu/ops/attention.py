@@ -11,7 +11,6 @@ Layout: q [B, Sq, H, D], k/v [B, Skv, H, D] -> out [B, Sq, H, D].
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

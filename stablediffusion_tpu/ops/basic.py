@@ -14,10 +14,7 @@ paths in ops/flash_attention.py and ops/fused_norm.py.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

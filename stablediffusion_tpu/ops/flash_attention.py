@@ -23,7 +23,6 @@ multi-GB score tensors, and as the base for future kernel work.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax

@@ -12,11 +12,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stablediffusion_tpu.core.config import SchedulerConfig
 from stablediffusion_tpu.schedulers.common import (
     BaseScheduler,
     Plan,
-    broadcast_to_sample,
     make_timestep_grid,
     prediction_to_x0_eps,
 )

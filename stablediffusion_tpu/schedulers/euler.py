@@ -13,11 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stablediffusion_tpu.core.config import SchedulerConfig
 from stablediffusion_tpu.schedulers.common import (
     BaseScheduler,
     Plan,
-    broadcast_to_sample,
     karras_sigma_grid,
     make_timestep_grid,
     sigmas_from_alphas_cumprod,

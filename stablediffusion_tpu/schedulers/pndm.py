@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stablediffusion_tpu.core.config import SchedulerConfig
 from stablediffusion_tpu.schedulers.common import BaseScheduler, Plan
 
 

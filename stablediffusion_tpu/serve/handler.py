@@ -30,7 +30,6 @@ import numpy as np
 from stablediffusion_tpu.io.loader import load_sd_model, resolve_checkpoint
 from stablediffusion_tpu.models.wrapper import SDModel
 from stablediffusion_tpu.pipelines.unified import StableDiffusionUnifiedPipeline
-from stablediffusion_tpu.utils.images import to_uint8
 
 logger = logging.getLogger(__name__)
 

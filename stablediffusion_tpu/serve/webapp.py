@@ -15,9 +15,6 @@ sliders, strength + image upload for non-txt2img, scheduler selector.
 
 from __future__ import annotations
 
-import json
-from typing import Optional
-
 from stablediffusion_tpu.schedulers import SCHEDULER_NAMES
 
 _SCHED_OPTIONS = "".join(

@@ -10,7 +10,6 @@ import ctypes
 import logging
 import os
 import subprocess
-import tempfile
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -15,7 +15,6 @@ Validated against transformers' CLIPTokenizer in tests/test_tokenizer.py.
 
 from __future__ import annotations
 
-import functools
 import html
 import json
 import os

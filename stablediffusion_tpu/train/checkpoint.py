@@ -13,8 +13,6 @@ import re
 import shutil
 from typing import Any, Optional, Tuple
 
-import jax
-
 try:
     import orbax.checkpoint as ocp
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import List, Optional, Sequence
+from typing import Optional
 
 logger = logging.getLogger(__name__)
 

@@ -13,9 +13,8 @@ all-reduce over ICI — there is no explicit collective code (SURVEY.md §5.8).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -474,3 +474,16 @@ def test_control_image_without_controlnet_raises(pipe, sd15, rng):
     with pytest.raises(ValueError):
         pipe(sd15, prompt="x", height=H, width=W, num_inference_steps=1,
              control_image=rng.uniform(size=(1, H, W, 3)).astype(np.float32))
+
+
+def test_sdxl_img2img_and_inpaint(pipe, sdxl, rng):
+    init = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    out = pipe(sdxl, prompt="a cat", image=init, strength=0.6,
+               num_inference_steps=4, height=H, width=W, seed=27)
+    assert out.images.shape == (1, H, W, 3)
+    mask = np.zeros((H, W), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out2 = pipe(sdxl, prompt="a cat", image=init, mask_image=mask,
+                num_inference_steps=3, height=H, width=W, seed=28)
+    assert out2.images.shape == (1, H, W, 3)
+    assert np.isfinite(out2.images).all()
