@@ -202,7 +202,8 @@ def _denoise(
                 ),
                 image_latents,
             )
-            lat_new = (1.0 - mask) * init_prop.astype(lat_new.dtype) + mask * lat_new
+            m = mask.astype(lat_new.dtype)
+            lat_new = (1.0 - m) * init_prop.astype(lat_new.dtype) + m * lat_new
         return lat_new, state, deep
 
     if cache_interval <= 1:

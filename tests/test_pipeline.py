@@ -487,3 +487,17 @@ def test_sdxl_img2img_and_inpaint(pipe, sdxl, rng):
                 num_inference_steps=3, height=H, width=W, seed=28)
     assert out2.images.shape == (1, H, W, 3)
     assert np.isfinite(out2.images).all()
+
+
+def test_inpaint_bf16_dtype(sd15, rng):
+    """Regression: the inpaint blend must not promote bf16 scan carries to
+    f32 (only reproduced on the bf16 serving path; caught on real TPU)."""
+    import jax.numpy as jnp
+
+    pipe_bf16 = StableDiffusionUnifiedPipeline(dtype=jnp.bfloat16)
+    init = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    mask = np.zeros((H, W), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = pipe_bf16(sd15, prompt="cat", image=init, mask_image=mask,
+                    num_inference_steps=2, height=H, width=W, seed=3)
+    assert np.isfinite(out.images).all()
