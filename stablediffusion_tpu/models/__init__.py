@@ -1,0 +1,1 @@
+from stablediffusion_tpu.models.wrapper import SDModel

@@ -1,0 +1,4 @@
+from stablediffusion_tpu.pipelines.unified import (
+    SDPipelineOutput,
+    StableDiffusionUnifiedPipeline,
+)

@@ -460,6 +460,12 @@ class StableDiffusionUnifiedPipeline:
         cache_interval: Optional[int] = None,
         control_image=None,
         controlnet_conditioning_scale: float = 1.0,
+        # precomputed embeddings (the reference raises here —
+        # sd_unified_pipeline.py:563 'Пока нет возможности...'; supported)
+        prompt_embeds=None,
+        negative_prompt_embeds=None,
+        pooled_prompt_embeds=None,
+        negative_pooled_prompt_embeds=None,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
         vf = model.vae_scale_factor
@@ -473,9 +479,12 @@ class StableDiffusionUnifiedPipeline:
         height = height or unet_config.sample_size * vf
         width = width or unet_config.sample_size * vf
 
-        if prompt is None:
-            raise ValueError("prompt is required")
-        B = 1 if isinstance(prompt, str) else len(prompt)
+        if prompt is None and prompt_embeds is None:
+            raise ValueError("prompt or prompt_embeds is required")
+        if prompt_embeds is not None:
+            B = prompt_embeds.shape[0]
+        else:
+            B = 1 if isinstance(prompt, str) else len(prompt)
         n = num_images_per_prompt
         do_cfg = self.do_cfg and guidance_scale > 1.0
 
@@ -485,17 +494,38 @@ class StableDiffusionUnifiedPipeline:
         k_latent, k_encode, k_steps, k_mask = jax.random.split(key, 4)
 
         # 2. prompts
-        embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
-            model,
-            prompt,
-            prompt_2,
-            negative_prompt,
-            negative_prompt_2,
-            num_images_per_prompt=n,
-            clip_skip=clip_skip,
-            do_cfg=do_cfg,
-            refiner_mode=use_refiner,
-        )
+        if prompt_embeds is not None:
+            embeds = jnp.asarray(prompt_embeds)
+            neg_embeds = (
+                jnp.asarray(negative_prompt_embeds)
+                if negative_prompt_embeds is not None
+                else (jnp.zeros_like(embeds) if do_cfg else None)
+            )
+            pooled = (
+                jnp.asarray(pooled_prompt_embeds)
+                if pooled_prompt_embeds is not None
+                else None
+            )
+            neg_pooled = (
+                jnp.asarray(negative_pooled_prompt_embeds)
+                if negative_pooled_prompt_embeds is not None
+                else (jnp.zeros_like(pooled) if (do_cfg and pooled is not None) else None)
+            )
+            tile = lambda x: jnp.repeat(x, n, axis=0) if x is not None else None
+            embeds, neg_embeds = tile(embeds), tile(neg_embeds)
+            pooled, neg_pooled = tile(pooled), tile(neg_pooled)
+        else:
+            embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
+                model,
+                prompt,
+                prompt_2,
+                negative_prompt,
+                negative_prompt_2,
+                num_images_per_prompt=n,
+                clip_skip=clip_skip,
+                do_cfg=do_cfg,
+                refiner_mode=use_refiner,
+            )
         embeds = embeds.astype(self.dtype)
 
         lat_c = model.vae_config.latent_channels

@@ -501,3 +501,18 @@ def test_inpaint_bf16_dtype(sd15, rng):
     out = pipe_bf16(sd15, prompt="cat", image=init, mask_image=mask,
                     num_inference_steps=2, height=H, width=W, seed=3)
     assert np.isfinite(out.images).all()
+
+
+def test_precomputed_prompt_embeds(pipe, sd15):
+    """prompt_embeds passthrough (the reference raises for this) matches
+    text-encoding the same prompt."""
+    import jax.numpy as jnp
+
+    kw = dict(height=H, width=W, num_inference_steps=2, seed=6)
+    ref = pipe(sd15, prompt="a cat", negative_prompt="bad", **kw)
+    e, ne, _, _ = pipe.encode_prompt(
+        sd15, "a cat", negative_prompt="bad", do_cfg=True
+    )
+    out = pipe(sd15, prompt=None, prompt_embeds=e,
+               negative_prompt_embeds=ne, **kw)
+    np.testing.assert_allclose(out.images, ref.images, atol=1e-5)
