@@ -686,6 +686,12 @@ def convert_a1111_checkpoint(
         configs["text_encoder_2"] = infer_clip_config(
             weights["text_encoder_2"], with_projection=True
         )
+    elif model_type == "sd2":
+        # SD2.x: OpenCLIP-H tower under cond_stage_model.model.
+        weights["text_encoder"] = convert_open_clip(
+            state, "cond_stage_model.model."
+        )
+        weights["text_encoder"].pop("text_projection.weight", None)
     else:
         weights["text_encoder"] = convert_ldm_clip(state)
     configs["text_encoder"] = infer_clip_config(weights["text_encoder"])

@@ -454,3 +454,47 @@ def test_controlnet_convert_load_run_loop(tiny_state, tmp_path):
     control = np.zeros((1, 32, 32, 3), np.float32)
     with_cn = pipe(model, **kw, control_image=control)
     np.testing.assert_allclose(with_cn.images, base.images, atol=1e-5)
+
+
+def test_sd2_text_encoder_conversion(tiny_state, rng):
+    """SD2.x single-file: OpenCLIP tower under cond_stage_model.model."""
+    state, _, _, _ = tiny_state
+    H = 16
+    full = dict(state)
+    prefix = "cond_stage_model.model."
+    full.update({
+        prefix + "transformer.resblocks.0.attn.in_proj_weight":
+            rng.standard_normal((3 * H, H)).astype(np.float32),
+        prefix + "transformer.resblocks.0.attn.in_proj_bias":
+            np.zeros(3 * H, np.float32),
+        prefix + "transformer.resblocks.0.attn.out_proj.weight":
+            rng.standard_normal((H, H)).astype(np.float32),
+        prefix + "transformer.resblocks.0.attn.out_proj.bias":
+            np.zeros(H, np.float32),
+        prefix + "transformer.resblocks.0.ln_1.weight": np.ones(H, np.float32),
+        prefix + "transformer.resblocks.0.ln_1.bias": np.zeros(H, np.float32),
+        prefix + "transformer.resblocks.0.ln_2.weight": np.ones(H, np.float32),
+        prefix + "transformer.resblocks.0.ln_2.bias": np.zeros(H, np.float32),
+        prefix + "transformer.resblocks.0.mlp.c_fc.weight":
+            rng.standard_normal((2 * H, H)).astype(np.float32),
+        prefix + "transformer.resblocks.0.mlp.c_fc.bias":
+            np.zeros(2 * H, np.float32),
+        prefix + "transformer.resblocks.0.mlp.c_proj.weight":
+            rng.standard_normal((H, 2 * H)).astype(np.float32),
+        prefix + "transformer.resblocks.0.mlp.c_proj.bias":
+            np.zeros(H, np.float32),
+        prefix + "token_embedding.weight":
+            rng.standard_normal((50, H)).astype(np.float32),
+        prefix + "positional_embedding":
+            rng.standard_normal((77, H)).astype(np.float32),
+        prefix + "text_projection": rng.standard_normal((H, 8)).astype(np.float32),
+        prefix + "ln_final.weight": np.ones(H, np.float32),
+        prefix + "ln_final.bias": np.zeros(H, np.float32),
+    })
+    assert detect_model_type(full) == "sd2"
+    weights, configs = convert_a1111_checkpoint(full)
+    assert configs["model_type"] == "sd2"
+    te = weights["text_encoder"]
+    assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in te
+    assert "text_projection.weight" not in te  # plain CLIPTextModel for SD2
+    assert configs["text_encoder"]["num_hidden_layers"] == 1
