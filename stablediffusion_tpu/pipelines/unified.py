@@ -287,17 +287,43 @@ class StableDiffusionUnifiedPipeline:
         clip_skip: Optional[int] = None,
         do_cfg: bool = True,
         refiner_mode: bool = False,
+        lora_scale: Optional[float] = None,
     ):
         prompt = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompt)
 
-        towers = [(model.tokenizer, model.text_encoder_config, model.text_encoder_params)]
+        # per-request text-encoder LoRA scaling (the reference's
+        # scale_lora_layers hook, sd_unified_pipeline.py:545-554): re-fuse
+        # the text towers from pristine bases at adapters * lora_scale
+        te_params = model.text_encoder_params
+        te2_params = model.text_encoder_2_params
+        if lora_scale is not None and model.adapters and model._adapter_store:
+            from stablediffusion_tpu.lora.core import fuse
+
+            scaled = {n: w * lora_scale for n, w in model.adapters.items()}
+            for comp, cur in (("text_encoder", te_params),
+                              ("text_encoder_2", te2_params)):
+                base = (model._base_params or {}).get(comp)
+                if base is None:
+                    continue
+                comp_adapters = {
+                    n: model._adapter_store[n][comp]
+                    for n in scaled
+                    if comp in model._adapter_store[n]
+                }
+                if comp_adapters:
+                    if comp == "text_encoder":
+                        te_params = fuse(base, comp_adapters, scaled)
+                    else:
+                        te2_params = fuse(base, comp_adapters, scaled)
+
+        towers = [(model.tokenizer, model.text_encoder_config, te_params)]
         prompts = [prompt]
         if model.is_sdxl:
             prompt_2 = prompt_2 or prompt
             prompt_2 = [prompt_2] if isinstance(prompt_2, str) else list(prompt_2)
             towers.append(
-                (model.tokenizer_2, model.text_encoder_2_config, model.text_encoder_2_params)
+                (model.tokenizer_2, model.text_encoder_2_config, te2_params)
             )
             prompts = [prompt, prompt_2]
             if refiner_mode:
@@ -445,6 +471,7 @@ class StableDiffusionUnifiedPipeline:
         denoising_end: Optional[float] = None,
         guidance_scale: float = 5.0,
         guidance_rescale: float = 0.0,
+        cross_attention_kwargs: Optional[dict] = None,
         clip_skip: Optional[int] = None,
         seed: Optional[int] = None,
         latents: Optional[jax.Array] = None,
@@ -525,6 +552,7 @@ class StableDiffusionUnifiedPipeline:
                 clip_skip=clip_skip,
                 do_cfg=do_cfg,
                 refiner_mode=use_refiner,
+                lora_scale=(cross_attention_kwargs or {}).get("scale"),
             )
         embeds = embeds.astype(self.dtype)
 

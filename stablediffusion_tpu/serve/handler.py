@@ -56,6 +56,7 @@ INFERENCE_ARG_KEYS = (
     "cache_interval",
     "control_image",
     "controlnet_conditioning_scale",
+    "cross_attention_kwargs",
 )
 
 

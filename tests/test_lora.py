@@ -175,3 +175,41 @@ def test_wrapper_adapter_lifecycle_changes_output(tmp_path, model):
     model.delete_adapters()
     restored = pipe(model, **kw)
     np.testing.assert_array_equal(base.images, restored.images)
+
+
+def test_inference_text_encoder_lora_scale(tmp_path, model):
+    """cross_attention_kwargs={'scale'} scales text-encoder adapters per
+    request (the reference's scale_lora_layers hook)."""
+    import jax
+
+    from stablediffusion_tpu.lora import TEXT_TARGET_SUFFIXES
+
+    paths = linear_module_paths(model.text_encoder_params, TEXT_TARGET_SUFFIXES)
+    keys = jax.random.split(jax.random.key(11), 2 * len(paths))
+    tree = {}
+    for i, p in enumerate(paths):
+        node = model.text_encoder_params
+        for part in p.split("."):
+            node = node[part]
+        n_in, n_out = node["weight"].shape
+        tree[p] = {
+            "down": jax.random.normal(keys[2 * i], (n_in, 4)) * 0.2,
+            "up": jax.random.normal(keys[2 * i + 1], (4, n_out)) * 0.2,
+        }
+    model.load_lora_weights("te_style", {"text_encoder": tree})
+    model.set_adapters({"te_style": 1.0})
+    pipe = StableDiffusionUnifiedPipeline()
+    kw = dict(prompt="cat", height=32, width=32, num_inference_steps=2, seed=2)
+    try:
+        full = pipe(model, **kw)
+        half = pipe(model, **kw, cross_attention_kwargs={"scale": 0.5})
+        zero = pipe(model, **kw, cross_attention_kwargs={"scale": 0.0})
+        base = pipe(model, **kw)  # no kwargs -> adapter at full weight again
+        assert np.abs(full.images - half.images).max() > 1e-6
+        np.testing.assert_array_equal(full.images, base.images)
+        # scale 0 == adapter removed from the text encoder
+        model.delete_adapters()
+        clean = pipe(model, **kw)
+        np.testing.assert_allclose(zero.images, clean.images, atol=1e-5)
+    finally:
+        model.delete_adapters()
