@@ -516,3 +516,50 @@ def test_precomputed_prompt_embeds(pipe, sd15):
     out = pipe(sd15, prompt=None, prompt_embeds=e,
                negative_prompt_embeds=ne, **kw)
     np.testing.assert_allclose(out.images, ref.images, atol=1e-5)
+
+
+def test_edge_single_step(pipe, sd15):
+    out = pipe(sd15, prompt="cat", height=H, width=W, num_inference_steps=1, seed=1)
+    assert np.isfinite(out.images).all()
+
+
+def test_edge_denoising_window_combo(pipe, sd15, rng):
+    # start+end window inside img2img (refiner-style middle slice)
+    lat = rng.standard_normal((1, H // 2, W // 2, 4)).astype(np.float32)
+    out = pipe(sd15, prompt="cat", image=lat, num_inference_steps=8,
+               denoising_start=0.25, denoising_end=0.75,
+               height=H, width=W, seed=2, output_type="latents")
+    assert out.latents.shape == (1, H // 2, W // 2, 4)
+    with pytest.raises(ValueError):
+        pipe(sd15, prompt="cat", image=lat, num_inference_steps=8,
+             denoising_start=0.8, denoising_end=0.5, height=H, width=W)
+
+
+def test_edge_num_images_with_batch_prompts(pipe, sd15):
+    out = pipe(sd15, prompt=["a", "b", "c"], num_images_per_prompt=2,
+               height=H, width=W, num_inference_steps=1, seed=3)
+    assert out.images.shape == (6, H, W, 3)
+
+
+def test_edge_do_cfg_false(sd15):
+    p = StableDiffusionUnifiedPipeline(do_cfg=False)
+    out = p(sd15, prompt="cat", height=H, width=W, num_inference_steps=2, seed=4)
+    assert np.isfinite(out.images).all()
+    # guidance_scale <= 1 also disables CFG on a cfg pipeline
+    p2 = StableDiffusionUnifiedPipeline(do_cfg=True)
+    out2 = p2(sd15, prompt="cat", height=H, width=W, num_inference_steps=2,
+              seed=4, guidance_scale=1.0)
+    np.testing.assert_array_equal(out.images, out2.images)
+
+
+@pytest.mark.parametrize("name", ["euler", "DPM++ 2M", "uni_pc"])
+def test_edge_img2img_sigma_schedulers(sd15, name, pipe, rng):
+    """strength slicing must keep sigma tables aligned for sigma-families."""
+    sd15.set_scheduler(name)
+    try:
+        init = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+        out = pipe(sd15, prompt="cat", image=init, strength=0.6,
+                   num_inference_steps=5, height=H, width=W, seed=5)
+        assert np.isfinite(out.images).all()
+    finally:
+        sd15.set_scheduler("DDIM")
