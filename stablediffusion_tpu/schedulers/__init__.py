@@ -19,6 +19,7 @@ from stablediffusion_tpu.schedulers.euler import (
     EulerAncestralScheduler,
     EulerDiscreteScheduler,
 )
+from stablediffusion_tpu.schedulers.lcm import LCMScheduler
 from stablediffusion_tpu.schedulers.pndm import PNDMScheduler
 from stablediffusion_tpu.schedulers.unipc import UniPCScheduler
 
@@ -41,6 +42,8 @@ SCHEDULER_REGISTRY = {
     "PNDM": (PNDMScheduler, {}),
     "uni_pc": (UniPCScheduler, {}),
     "DDPM": (DDPMScheduler, {}),
+    # 4-8 step generation with a distilled LCM-LoRA adapter (PAPERS.md)
+    "LCM": (LCMScheduler, {}),
 }
 
 SCHEDULER_NAMES = tuple(SCHEDULER_REGISTRY.keys())
@@ -67,6 +70,7 @@ __all__ = [
     "SchedulerConfig",
     "DDIMScheduler",
     "DDPMScheduler",
+    "LCMScheduler",
     "DPMSolverMultistepScheduler",
     "EulerAncestralScheduler",
     "EulerDiscreteScheduler",

@@ -228,3 +228,33 @@ def test_determinism_under_jit():
     a = _run(sched, plan, x0, seed=5)
     b = _run(sched, plan, x0, seed=5)
     np.testing.assert_array_equal(a, b)
+
+
+def test_lcm_scheduler():
+    """LCM: origin-grid subsampling, consistency boundary conditions,
+    re-noising except at the final step."""
+    from stablediffusion_tpu.schedulers import LCMScheduler
+
+    sched = make_scheduler("LCM")
+    assert isinstance(sched, LCMScheduler)
+    plan = sched.plan(4)
+    ts = np.asarray(plan.timesteps)
+    assert len(ts) == 4 and ts[0] == 999 and (np.diff(ts) < 0).all()
+    # all timesteps lie on the 50-step origin grid (20k - 1)
+    assert ((ts + 1) % 20 == 0).all()
+
+    # runs through the pipeline
+    import sys
+
+    sys.path.insert(0, "tests")
+    from helpers import make_tiny_model
+    from stablediffusion_tpu.pipelines.unified import StableDiffusionUnifiedPipeline
+
+    model = make_tiny_model("sd15", scheduler_name="LCM")
+    pipe = StableDiffusionUnifiedPipeline()
+    out = pipe(model, prompt="a cat", height=32, width=32,
+               num_inference_steps=4, seed=8, guidance_scale=1.0)
+    assert np.isfinite(out.images).all()
+
+    with pytest.raises(ValueError):
+        sched.plan(51)
