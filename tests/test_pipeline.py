@@ -563,3 +563,19 @@ def test_edge_img2img_sigma_schedulers(sd15, name, pipe, rng):
         assert np.isfinite(out.images).all()
     finally:
         sd15.set_scheduler("DDIM")
+
+
+@pytest.mark.parametrize("name", ["DDIM", "euler_a", "DPM++ 2M", "PNDM", "uni_pc", "LCM"])
+def test_schedulers_bf16_pipeline(sd15, name):
+    """Scan-carry dtype stability on the bf16 serving path for every
+    stateful scheduler family (fp32 CPU tests can't catch promotions)."""
+    import jax.numpy as jnp
+
+    sd15.set_scheduler(name)
+    try:
+        pipe_bf16 = StableDiffusionUnifiedPipeline(dtype=jnp.bfloat16)
+        out = pipe_bf16(sd15, prompt="cat", height=H, width=W,
+                        num_inference_steps=3, seed=1)
+        assert np.isfinite(out.images).all()
+    finally:
+        sd15.set_scheduler("DDIM")
