@@ -66,6 +66,10 @@ class TrainStatics:
     # remat the UNet forward during backprop (SURVEY.md D12; the reference's
     # --gradient_checkpointing flag, train_text_to_image_lora.py:560-561)
     gradient_checkpointing: bool = False
+    # encode pixels through the fp32 VAE in chunks of this many images
+    # (0 = whole batch): the fp32 encoder activations at 512^2 are the
+    # memory peak and cap the trainable batch size otherwise
+    vae_microbatch: int = 0
 
     @property
     def is_sdxl(self) -> bool:
@@ -104,9 +108,22 @@ def loss_fn(
     k_sample, k_noise, k_t, k_offset = jax.random.split(key, 4)
     dt = statics.compute_dtype
 
-    # 1. VAE encode (always fp32 — ref dtype policy train_lora_pipeline.py:238)
+    # 1. VAE encode (always fp32 — ref dtype policy train_lora_pipeline.py:238).
+    # Optionally micro-batched: fp32 encoder activations at 512^2 dominate
+    # the memory peak.
     pixels = batch["pixel_values"].astype(jnp.float32)
-    mean, logvar = vae_model.encode(frozen["vae"], statics.vae_config, pixels)
+    mb = statics.vae_microbatch
+    if mb and pixels.shape[0] > mb and pixels.shape[0] % mb == 0:
+        chunks = pixels.reshape(pixels.shape[0] // mb, mb, *pixels.shape[1:])
+
+        def enc(c):
+            return vae_model.encode(frozen["vae"], statics.vae_config, c)
+
+        mean, logvar = jax.lax.map(enc, chunks)
+        mean = mean.reshape(pixels.shape[0], *mean.shape[2:])
+        logvar = logvar.reshape(pixels.shape[0], *logvar.shape[2:])
+    else:
+        mean, logvar = vae_model.encode(frozen["vae"], statics.vae_config, pixels)
     latents = vae_model.sample_latent(mean, logvar, k_sample)
     latents = latents * statics.vae_config.scaling_factor
 

@@ -67,6 +67,7 @@ class SDTrainingArgs:
     random_flip: bool = True
     center_crop: bool = False
     gradient_checkpointing: bool = False
+    vae_microbatch: int = 8
     checkpointing_steps: Optional[int] = None
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None  # path | "latest"
@@ -153,6 +154,7 @@ class SDLoRATrainer:
             noise_offset=args.noise_offset,
             compute_dtype=dtype,
             gradient_checkpointing=args.gradient_checkpointing,
+            vae_microbatch=args.vae_microbatch,
         )
         step_fn = make_train_step(statics, scheduler, optimizer, mesh=self.mesh)
 
