@@ -14,12 +14,25 @@ Generic rule (holds for CLIP / UNet / VAE diffusers checkpoints):
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Iterable, Mapping
 
 import jax.numpy as jnp
 import numpy as np
 
-EMBEDDING_MARKERS = ("embedding", "embeddings.position_ids")
+# True embedding *tables* (row-per-id lookups) keep torch's (vocab, dim)
+# layout.  Matching must be exact-suffix: UNet time_embedding.linear_1/2 and
+# SDXL add_embedding.linear_1/2 are ordinary nn.Linear kernels that MUST be
+# transposed (a substring 'embedding' match would skip them and crash on the
+# non-square linear_1).
+_EMBEDDING_TABLE_RE = re.compile(
+    r"(^|\.)(token_embedding|position_embedding|class_embedding|shared)"
+    r"\.weight$"
+)
+
+
+def _is_embedding_table(key: str) -> bool:
+    return _EMBEDDING_TABLE_RE.search(key) is not None
 
 
 def nest(flat: Mapping[str, object]) -> dict:
@@ -39,7 +52,7 @@ def convert_tensor(key: str, arr: np.ndarray) -> np.ndarray:
         return arr
     if arr.ndim == 4:
         return np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
-    if arr.ndim == 2 and not any(m in key for m in EMBEDDING_MARKERS):
+    if arr.ndim == 2 and not _is_embedding_table(key):
         return np.transpose(arr)  # (out,in) -> (in,out)
     return arr
 
@@ -79,6 +92,6 @@ def deconvert_tensor(key: str, arr: np.ndarray) -> np.ndarray:
         return arr
     if arr.ndim == 4:
         return np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
-    if arr.ndim == 2 and not any(m in key for m in EMBEDDING_MARKERS):
+    if arr.ndim == 2 and not _is_embedding_table(key):
         return np.transpose(arr)
     return arr

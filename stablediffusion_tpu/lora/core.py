@@ -117,6 +117,8 @@ def fuse(
     (multi-adapter set_adapters semantics, models/stable_diffusion.py:298-310).
     Unmodified subtrees are shared, so memory cost is only the touched
     weights."""
+    import warnings
+
     weights = weights or {}
     out = params
     touched: Dict[str, jax.Array] = {}
@@ -124,13 +126,29 @@ def fuse(
         scale = float(weights.get(name, 1.0))
         if scale == 0.0:
             continue
+        missing: List[str] = []
+        applied = 0
         for path, factors in tree.items():
             mod = _get_path(params, path)
             if mod is None:
-                continue  # adapter covers modules this model lacks
+                missing.append(path)  # adapter covers modules this model lacks
+                continue
             w = touched.get(path, mod["weight"])
             dw = delta_w(factors, scale)
             touched[path] = (w.astype(jnp.float32) + dw).astype(mod["weight"].dtype)
+            applied += 1
+        if tree and applied == 0:
+            raise ValueError(
+                f"LoRA adapter {name!r} matched no module in the model "
+                f"(unresolved paths, e.g. {missing[:3]}); wrong model or an "
+                "unresolved kohya key format"
+            )
+        if missing:
+            warnings.warn(
+                f"LoRA adapter {name!r}: {len(missing)}/{len(tree)} module "
+                f"paths not present in the model (e.g. {missing[:3]}); "
+                "those factors were skipped"
+            )
     for path, w in touched.items():
         mod = dict(_get_path(out, path))
         mod["weight"] = w

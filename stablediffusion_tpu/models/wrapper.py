@@ -194,6 +194,24 @@ class SDModel:
         self._adapter_store = {}
         self.adapters = {}
 
+    def lora_module_paths(self) -> Dict[str, list]:
+        """All linear-module paths per component — the resolver table for
+        kohya's underscore-flattened LoRA keys (lora/formats.py)."""
+        from stablediffusion_tpu.lora.core import linear_module_paths
+
+        any_suffix = ("",)  # every path endswith ""
+        paths = {
+            "unet": linear_module_paths(self.unet_params, any_suffix),
+            "text_encoder": linear_module_paths(
+                self.text_encoder_params, any_suffix
+            ),
+        }
+        if self.text_encoder_2_params is not None:
+            paths["text_encoder_2"] = linear_module_paths(
+                self.text_encoder_2_params, any_suffix
+            )
+        return paths
+
     def load_loras(self, loras, lora_dir: Optional[str] = None):
         """str / list / {name: weight} -> download-or-load + fuse
         (load_loras analog, models/stable_diffusion.py:230-249).  Files are
@@ -208,9 +226,12 @@ class SDModel:
             loras = {n: 1.0 for n in loras}
         self.delete_adapters()
         self._ensure_base()
+        model_paths = None
         for name in loras:
             if name not in self._adapter_store:
                 fname = f"{self.model_type}_{name}.safetensors"
                 path = os.path.join(lora_dir or ".", fname)
-                self.load_lora_weights(name, load_lora_file(path))
+                if model_paths is None:
+                    model_paths = self.lora_module_paths()
+                self.load_lora_weights(name, load_lora_file(path, model_paths))
         self.set_adapters(dict(loras))

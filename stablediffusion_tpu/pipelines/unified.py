@@ -35,7 +35,11 @@ from stablediffusion_tpu.models import clip as clip_model
 from stablediffusion_tpu.models import unet as unet_model
 from stablediffusion_tpu.models import vae as vae_model
 from stablediffusion_tpu.models.wrapper import SDModel
-from stablediffusion_tpu.schedulers.common import BaseScheduler, Plan
+from stablediffusion_tpu.schedulers.common import (
+    BaseScheduler,
+    Plan,
+    resolve_custom_schedule,
+)
 from stablediffusion_tpu.utils import images as img_utils
 
 
@@ -383,8 +387,11 @@ class StableDiffusionUnifiedPipeline:
         num_inference_steps: int,
         strength: float,
         denoising_start: Optional[float],
+        timesteps=None,
+        sigmas=None,
     ) -> Tuple[Plan, int]:
-        plan = scheduler.plan(num_inference_steps)
+        plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
+                              sigmas=sigmas)
         ts = np.asarray(plan.timesteps)
         if denoising_start is None:
             t_start = max(
@@ -467,6 +474,11 @@ class StableDiffusionUnifiedPipeline:
         width: Optional[int] = None,
         num_images_per_prompt: int = 1,
         num_inference_steps: int = 50,
+        # custom schedules (the reference's retrieve_timesteps,
+        # sd_unified_pipeline.py:61-95): a descending timestep list or a
+        # descending sigma list; either overrides num_inference_steps
+        timesteps=None,
+        sigmas=None,
         denoising_start: Optional[float] = None,
         denoising_end: Optional[float] = None,
         guidance_scale: float = 5.0,
@@ -495,6 +507,9 @@ class StableDiffusionUnifiedPipeline:
         negative_pooled_prompt_embeds=None,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
+        num_inference_steps = resolve_custom_schedule(
+            num_inference_steps, timesteps, sigmas
+        )
         vf = model.vae_scale_factor
         if use_refiner:
             if model.refiner_params is None:
@@ -565,10 +580,12 @@ class StableDiffusionUnifiedPipeline:
 
         # 3/4. mode dispatch + latents
         if image is None:
-            plan = scheduler.plan(num_inference_steps)
+            plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
+                                  sigmas=sigmas)
             if denoising_start is not None and _denoising_valid(denoising_start):
                 plan, _ = self.get_timesteps(
-                    scheduler, num_inference_steps, 1.0, denoising_start
+                    scheduler, num_inference_steps, 1.0, denoising_start,
+                    timesteps=timesteps, sigmas=sigmas,
                 )
             shape = (B * n, height // vf, width // vf, unet_c)
             if latents is None:
@@ -585,6 +602,8 @@ class StableDiffusionUnifiedPipeline:
                 num_inference_steps,
                 strength,
                 denoising_start if _denoising_valid(denoising_start) else None,
+                timesteps=timesteps,
+                sigmas=sigmas,
             )
             if getattr(image_arr, "ndim", 0) == 4 and image_arr.shape[-1] == lat_c:
                 init_latents = jnp.asarray(image_arr)
@@ -632,6 +651,8 @@ class StableDiffusionUnifiedPipeline:
                 num_inference_steps,
                 strength,
                 denoising_start if _denoising_valid(denoising_start) else None,
+                timesteps=timesteps,
+                sigmas=sigmas,
             )
             is_strength_max = strength == 1.0
 

@@ -93,6 +93,28 @@ def make_timestep_grid(config: SchedulerConfig, num_steps: int) -> np.ndarray:
     return ts
 
 
+def resolve_custom_schedule(num_steps, timesteps, sigmas):
+    """The reference's `retrieve_timesteps` semantics
+    (sd_unified_pipeline.py:61-95): at most one of `timesteps`/`sigmas` may be
+    given, and a provided list overrides `num_inference_steps`."""
+    if timesteps is not None and sigmas is not None:
+        raise ValueError("pass only one of `timesteps` or `sigmas`")
+    if timesteps is not None:
+        num_steps = len(timesteps)
+    elif sigmas is not None:
+        num_steps = len(sigmas)
+    return num_steps
+
+
+def reject_custom_sigmas(scheduler, sigmas) -> None:
+    if sigmas is not None:
+        raise ValueError(
+            f"{type(scheduler).__name__} does not support custom `sigmas` "
+            "(the reference raises the same way when the scheduler's "
+            "set_timesteps lacks the kwarg)"
+        )
+
+
 def karras_sigma_grid(
     sigma_min: float, sigma_max: float, num_steps: int, rho: float = 7.0
 ) -> np.ndarray:

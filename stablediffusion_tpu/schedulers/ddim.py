@@ -17,13 +17,20 @@ from stablediffusion_tpu.schedulers.common import (
     Plan,
     make_timestep_grid,
     prediction_to_x0_eps,
+    reject_custom_sigmas,
 )
 
 
 class DDIMScheduler(BaseScheduler):
     order = 1
 
-    def plan(self, num_steps: int, timesteps: np.ndarray | None = None) -> Plan:
+    def plan(
+        self,
+        num_steps: int,
+        timesteps: np.ndarray | None = None,
+        sigmas: np.ndarray | None = None,
+    ) -> Plan:
+        reject_custom_sigmas(self, sigmas)
         if timesteps is None:
             timesteps = make_timestep_grid(self.config, num_steps)
         timesteps = np.asarray(timesteps)

@@ -19,6 +19,7 @@ from stablediffusion_tpu.schedulers.common import (
     make_betas,
     make_timestep_grid,
     prediction_to_x0_eps,
+    reject_custom_sigmas,
 )
 
 
@@ -32,7 +33,13 @@ class DDPMScheduler(BaseScheduler):
     def uses_noise(self) -> bool:
         return True
 
-    def plan(self, num_steps: int, timesteps: np.ndarray | None = None) -> Plan:
+    def plan(
+        self,
+        num_steps: int,
+        timesteps: np.ndarray | None = None,
+        sigmas: np.ndarray | None = None,
+    ) -> Plan:
+        reject_custom_sigmas(self, sigmas)
         if timesteps is None:
             timesteps = make_timestep_grid(self.config, num_steps)
         return Plan(

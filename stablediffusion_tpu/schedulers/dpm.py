@@ -67,19 +67,37 @@ class DPMSolverMultistepScheduler(BaseScheduler):
     def uses_noise(self) -> bool:
         return self.sde
 
-    def plan(self, num_steps: int, timesteps: np.ndarray | None = None) -> Plan:
-        full_sigmas = sigmas_from_alphas_cumprod(self._alphas_cumprod_np)
-        if timesteps is None:
-            timesteps = dpm_timestep_grid(self.config, num_steps)
-        timesteps = np.asarray(timesteps, np.float64)
-        if self.config.use_karras_sigmas:
-            # Karras grid spans the full training sigma range
-            sigmas = karras_sigma_grid(
-                float(full_sigmas[0]), float(full_sigmas[-1]), len(timesteps)
+    def plan(
+        self,
+        num_steps: int,
+        timesteps: np.ndarray | None = None,
+        sigmas: np.ndarray | None = None,
+    ) -> Plan:
+        if timesteps is not None and sigmas is not None:
+            raise ValueError("pass only one of `timesteps` or `sigmas`")
+        if timesteps is not None and self.config.use_karras_sigmas:
+            # diffusers raises identically: a Karras ramp would silently
+            # re-grid the user's timesteps
+            raise ValueError(
+                "cannot use custom `timesteps` with use_karras_sigmas=True"
             )
+        full_sigmas = sigmas_from_alphas_cumprod(self._alphas_cumprod_np)
+        if sigmas is not None:
+            # user sigma list (descending, no terminal); Karras branch skipped
+            sigmas = np.asarray(sigmas, np.float64)
             timesteps = timesteps_from_sigmas(sigmas, full_sigmas).round()
         else:
+            if timesteps is None:
+                timesteps = dpm_timestep_grid(self.config, num_steps)
+            timesteps = np.asarray(timesteps, np.float64)
             sigmas = np.interp(timesteps, np.arange(len(full_sigmas)), full_sigmas)
+            if self.config.use_karras_sigmas:
+                # Karras ramp spans the *interpolated* grid's endpoints (the
+                # diffusers convention; euler.py does the same)
+                sigmas = karras_sigma_grid(
+                    float(sigmas[-1]), float(sigmas[0]), len(timesteps)
+                )
+                timesteps = timesteps_from_sigmas(sigmas, full_sigmas).round()
         if self.config.final_sigmas_type == "zero":
             sigma_last = 0.0
         else:

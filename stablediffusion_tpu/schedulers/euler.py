@@ -26,16 +26,35 @@ from stablediffusion_tpu.schedulers.common import (
 class EulerDiscreteScheduler(BaseScheduler):
     order = 1
 
-    def plan(self, num_steps: int, timesteps: np.ndarray | None = None) -> Plan:
+    def plan(
+        self,
+        num_steps: int,
+        timesteps: np.ndarray | None = None,
+        sigmas: np.ndarray | None = None,
+    ) -> Plan:
+        if timesteps is not None and sigmas is not None:
+            raise ValueError("pass only one of `timesteps` or `sigmas`")
+        if timesteps is not None and self.config.use_karras_sigmas:
+            raise ValueError(
+                "cannot use custom `timesteps` with use_karras_sigmas=True"
+            )
         full_sigmas = sigmas_from_alphas_cumprod(self._alphas_cumprod_np)
-        if timesteps is None:
-            timesteps = make_timestep_grid(self.config, num_steps).astype(np.float64)
-        else:
-            timesteps = np.asarray(timesteps, np.float64)
-        sigmas = np.interp(timesteps, np.arange(len(full_sigmas)), full_sigmas)
-        if self.config.use_karras_sigmas:
-            sigmas = karras_sigma_grid(sigmas[-1], sigmas[0], len(timesteps))
+        if sigmas is not None:
+            # user sigma list (descending, no terminal 0): timesteps by
+            # log-sigma interpolation; the Karras branch is skipped
+            sigmas = np.asarray(sigmas, np.float64)
             timesteps = timesteps_from_sigmas(sigmas, full_sigmas)
+        else:
+            if timesteps is None:
+                timesteps = make_timestep_grid(self.config, num_steps).astype(
+                    np.float64
+                )
+            else:
+                timesteps = np.asarray(timesteps, np.float64)
+            sigmas = np.interp(timesteps, np.arange(len(full_sigmas)), full_sigmas)
+            if self.config.use_karras_sigmas:
+                sigmas = karras_sigma_grid(sigmas[-1], sigmas[0], len(timesteps))
+                timesteps = timesteps_from_sigmas(sigmas, full_sigmas)
         sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
 
         if self.config.timestep_spacing in ("linspace", "trailing"):

@@ -20,6 +20,7 @@ from stablediffusion_tpu.schedulers.common import (
     BaseScheduler,
     Plan,
     prediction_to_x0_eps,
+    reject_custom_sigmas,
 )
 
 ORIGIN_STEPS = 50
@@ -33,7 +34,13 @@ class LCMScheduler(BaseScheduler):
     def uses_noise(self) -> bool:
         return True
 
-    def plan(self, num_steps: int, timesteps: np.ndarray | None = None) -> Plan:
+    def plan(
+        self,
+        num_steps: int,
+        timesteps: np.ndarray | None = None,
+        sigmas: np.ndarray | None = None,
+    ) -> Plan:
+        reject_custom_sigmas(self, sigmas)
         T = self.config.num_train_timesteps
         if timesteps is None:
             if num_steps > ORIGIN_STEPS:
@@ -68,8 +75,10 @@ class LCMScheduler(BaseScheduler):
             self.config.prediction_type, out32, sample32,
             jnp.sqrt(ac_t), jnp.sqrt(1.0 - ac_t),
         )
-        # consistency boundary conditions
-        st = t.astype(jnp.float32) / TIMESTEP_SCALING
+        # consistency boundary conditions: scaled_timestep = t * 10 (the
+        # LCM-paper/LCM-LoRA distillation convention), so c_skip -> ~0 and
+        # c_out -> ~1 at the final (small-t) step
+        st = t.astype(jnp.float32) * TIMESTEP_SCALING
         c_skip = SIGMA_DATA**2 / (st**2 + SIGMA_DATA**2)
         c_out = st / jnp.sqrt(st**2 + SIGMA_DATA**2)
         denoised = c_out * x0 + c_skip * sample32

@@ -16,13 +16,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stablediffusion_tpu.schedulers.common import BaseScheduler, Plan
+from stablediffusion_tpu.schedulers.common import (
+    BaseScheduler,
+    Plan,
+    reject_custom_sigmas,
+)
 
 
 class PNDMScheduler(BaseScheduler):
     order = 1
 
-    def plan(self, num_steps: int, timesteps: np.ndarray | None = None) -> Plan:
+    def plan(
+        self,
+        num_steps: int,
+        timesteps: np.ndarray | None = None,
+        sigmas: np.ndarray | None = None,
+    ) -> Plan:
+        reject_custom_sigmas(self, sigmas)
         if timesteps is None:
             T = self.config.num_train_timesteps
             ratio = T // num_steps

@@ -32,14 +32,28 @@ class UniPCScheduler(BaseScheduler):
         assert config.solver_order in (1, 2), "only orders 1/2 implemented"
         assert config.solver_type in ("bh1", "bh2")
 
-    def plan(self, num_steps: int, timesteps: np.ndarray | None = None) -> Plan:
-        from stablediffusion_tpu.schedulers.common import sigmas_from_alphas_cumprod
+    def plan(
+        self,
+        num_steps: int,
+        timesteps: np.ndarray | None = None,
+        sigmas: np.ndarray | None = None,
+    ) -> Plan:
+        from stablediffusion_tpu.schedulers.common import (
+            sigmas_from_alphas_cumprod,
+            timesteps_from_sigmas,
+        )
 
+        if timesteps is not None and sigmas is not None:
+            raise ValueError("pass only one of `timesteps` or `sigmas`")
         full_sigmas = sigmas_from_alphas_cumprod(self._alphas_cumprod_np)
-        if timesteps is None:
-            timesteps = dpm_timestep_grid(self.config, num_steps)
-        timesteps = np.asarray(timesteps, np.float64)
-        sigmas = np.interp(timesteps, np.arange(len(full_sigmas)), full_sigmas)
+        if sigmas is not None:
+            sigmas = np.asarray(sigmas, np.float64)
+            timesteps = timesteps_from_sigmas(sigmas, full_sigmas).round()
+        else:
+            if timesteps is None:
+                timesteps = dpm_timestep_grid(self.config, num_steps)
+            timesteps = np.asarray(timesteps, np.float64)
+            sigmas = np.interp(timesteps, np.arange(len(full_sigmas)), full_sigmas)
         sigma_last = (
             0.0
             if self.config.final_sigmas_type == "zero"

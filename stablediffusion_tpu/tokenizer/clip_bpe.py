@@ -34,11 +34,37 @@ _PATTERN = re.compile(
 
 _WHITESPACE = re.compile(r"\s+")
 
+try:  # optional mojibake repair, as CLIP's basic_clean uses
+    import ftfy
+except ImportError:  # pragma: no cover
+    ftfy = None
+
 
 def _clean(text: str) -> str:
-    # CLIP's whitespace_clean + basic_clean (sans ftfy mojibake repair)
+    # CLIP's basic_clean (ftfy when available) + whitespace_clean
+    if ftfy is not None:
+        text = ftfy.fix_text(text)
     text = html.unescape(html.unescape(text))
     return _WHITESPACE.sub(" ", text).strip()
+
+
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2/CLIP reversible byte -> printable-unicode table: BPE runs over
+    UTF-8 *bytes*, so non-ASCII text (accents, CJK, emoji) never produces
+    unknown symbols — matching transformers' CLIPTokenizer exactly."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(2**8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2**8 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
 
 
 class CLIPTokenizer:
@@ -58,6 +84,8 @@ class CLIPTokenizer:
         self.eos_token_id = vocab[eos_token]
         self.pad_token_id = self.eos_token_id if pad_token_id is None else pad_token_id
         self.model_max_length = model_max_length
+        self.byte_encoder = _bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self._cache: Dict[str, List[str]] = {}
         # native C++ merge loop (ctypes) when compilable; silently falls back
         self._native = None
@@ -140,6 +168,8 @@ class CLIPTokenizer:
         ids: List[int] = []
         unk = self.vocab.get("<|endoftext|>")
         for tok in _PATTERN.findall(text):
+            # byte-level encode: BPE over UTF-8 bytes via the reversible table
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             native_ids = self._tokenize_native(tok)
             if native_ids is not None:
                 ids.extend(native_ids)
@@ -189,4 +219,9 @@ class CLIPTokenizer:
             if int(i) not in (self.bos_token_id, self.pad_token_id)
         ]
         text = "".join(t for t in toks if t != "<|endoftext|>")
+        try:
+            data = bytearray(self.byte_decoder[c] for c in text)
+            text = data.decode("utf-8", errors="replace")
+        except KeyError:  # non-byte-level vocab (test fixtures)
+            pass
         return text.replace("</w>", " ").strip()

@@ -133,3 +133,31 @@ def test_model_reload_drops_adapters(checkpoint_dir):
     for part in paths[0].split("."):
         node2 = node2[part]
     np.testing.assert_array_equal(np.asarray(node2["weight"]), before)
+
+
+def test_convert_transposes_time_embedding_linears():
+    """time_embedding / add_embedding linears are nn.Linear kernels stored
+    (out, in) by torch — they MUST transpose; only true embedding *tables*
+    (token/position) keep their layout (ADVICE r1, high)."""
+    from stablediffusion_tpu.io.torch_convert import convert_tensor, deconvert_tensor
+
+    w = np.arange(1280 * 320, dtype=np.float32).reshape(1280, 320)  # (out, in)
+    for key in (
+        "time_embedding.linear_1.weight",
+        "time_embedding.linear_2.weight",
+        "add_embedding.linear_1.weight",
+        "class_embedding.linear_1.weight",
+    ):
+        got = convert_tensor(key, w)
+        assert got.shape == (320, 1280), key
+        np.testing.assert_array_equal(got, w.T, err_msg=key)
+        # deconvert restores torch layout (ecosystem interchange)
+        np.testing.assert_array_equal(deconvert_tensor(key, got), w)
+    # true tables stay row-per-id
+    for key in (
+        "text_model.embeddings.token_embedding.weight",
+        "text_model.embeddings.position_embedding.weight",
+    ):
+        got = convert_tensor(key, w)
+        assert got.shape == (1280, 320), key
+        np.testing.assert_array_equal(got, w)

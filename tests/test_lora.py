@@ -213,3 +213,43 @@ def test_inference_text_encoder_lora_scale(tmp_path, model):
         np.testing.assert_allclose(zero.images, clean.images, atol=1e-5)
     finally:
         model.delete_adapters()
+
+
+def test_kohya_file_through_load_loras_applies(tmp_path, model):
+    """Production path: SDModel.load_loras resolves kohya underscore keys
+    against the model's own module paths (no explicit model_paths), so a
+    kohya-format LoRA must actually change the fused weights (ADVICE r1)."""
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+
+    paths = linear_module_paths(model.unet_params, UNET_TARGET_SUFFIXES)
+    flat = {}
+    rank = 4
+    for path in paths[:3]:
+        node = model.unet_params
+        for part in path.split("."):
+            node = node[part]
+        n_in, n_out = node["weight"].shape
+        k = f"lora_unet_{path.replace('.', '_')}"
+        flat[f"{k}.lora_down.weight"] = np.full((rank, n_in), 0.05, np.float32)
+        flat[f"{k}.lora_up.weight"] = np.full((n_out, rank), 0.05, np.float32)
+        flat[f"{k}.alpha"] = np.asarray(float(rank), np.float32)
+    save_safetensors(flat, str(tmp_path / "sd15_kstyle.safetensors"))
+
+    try:
+        model.load_loras("kstyle", lora_dir=str(tmp_path))
+        node = model.unet_params
+        base = model._base_params["unet"]
+        for part in paths[0].split("."):
+            node, base = node[part], base[part]
+        diff = np.abs(np.asarray(node["weight"]) - np.asarray(base["weight"]))
+        assert diff.max() > 1e-4, "kohya LoRA fused as a silent no-op"
+    finally:
+        model.delete_adapters()
+
+
+def test_fuse_raises_on_fully_unmatched_adapter(model):
+    bogus = {"nonexistent.module.path": {
+        "down": jnp.ones((8, 4)), "up": jnp.ones((4, 8)),
+    }}
+    with pytest.raises(ValueError, match="matched no module"):
+        fuse(model.unet_params, {"bad": bogus})

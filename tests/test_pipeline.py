@@ -579,3 +579,29 @@ def test_schedulers_bf16_pipeline(sd15, name):
         assert np.isfinite(out.images).all()
     finally:
         sd15.set_scheduler("DDIM")
+
+
+def test_custom_schedule_through_pipeline(pipe, sd15):
+    """P4 end-to-end: a user sigma list drives DPM++ 2M through __call__
+    (overriding num_inference_steps), and a user timestep list drives DDIM;
+    both must differ from the default grid's output and passing both must
+    raise (the reference's retrieve_timesteps contract)."""
+    sd15.set_scheduler("DPM++ 2M")
+    kw = dict(prompt="a cat", height=H, width=W, seed=3)
+    try:
+        default = pipe(sd15, num_inference_steps=4, **kw)
+        sigmas = [10.0, 3.0, 0.9, 0.2]
+        custom = pipe(sd15, num_inference_steps=50, sigmas=sigmas, **kw)
+        assert custom.images.shape == default.images.shape
+        assert np.isfinite(custom.images).all()
+        assert np.abs(custom.images - default.images).max() > 1e-6
+
+        sd15.set_scheduler("DDIM")
+        ts = [801, 534, 267, 1]
+        custom_ts = pipe(sd15, num_inference_steps=50, timesteps=ts, **kw)
+        assert np.isfinite(custom_ts.images).all()
+
+        with pytest.raises(ValueError, match="only one of"):
+            pipe(sd15, num_inference_steps=4, timesteps=ts, sigmas=sigmas, **kw)
+    finally:
+        sd15.set_scheduler("DDIM")

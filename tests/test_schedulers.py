@@ -258,3 +258,88 @@ def test_lcm_scheduler():
 
     with pytest.raises(ValueError):
         sched.plan(51)
+
+
+def test_lcm_boundary_scalings():
+    """scaled_timestep = t * 10 (LCM-LoRA distillation convention): at the
+    final small-t step c_skip ~ 0 / c_out ~ 1, so the output is (almost)
+    purely the x0 prediction; at t=0 exactly c_skip=1, c_out=0."""
+    import jax
+
+    sched = make_scheduler("LCM")
+    plan = sched.plan(4)
+    t_last = int(np.asarray(plan.timesteps)[-1])  # t=19 on the origin grid
+    st = t_last * 10.0
+    c_skip = 0.5**2 / (st**2 + 0.5**2)
+    c_out = st / np.sqrt(st**2 + 0.5**2)
+    assert c_skip < 1e-5 and c_out > 0.99999
+
+    # step() at the last index must return c_out*x0 + c_skip*sample with
+    # NO re-noising
+    sample = jnp.full(SHAPE, 2.0)
+    eps = jnp.full(SHAPE, 0.5)
+    ac = float(np.asarray(plan.alphas_cumprod)[t_last])
+    x0 = (2.0 - np.sqrt(1 - ac) * 0.5) / np.sqrt(ac)
+    prev, _ = sched.step(plan, (), plan.num_steps - 1, eps, sample,
+                         key=jax.random.key(0))
+    expected = c_out * x0 + c_skip * 2.0
+    np.testing.assert_allclose(np.asarray(prev), expected, rtol=1e-4)
+
+
+def test_custom_timesteps_and_sigmas():
+    """P4: every family accepts a custom descending timestep list; the
+    sigma-space families accept a custom sigma list (which sets the step
+    count); the alpha-space families reject sigmas (diffusers raises the
+    same way)."""
+    from stablediffusion_tpu.schedulers import SCHEDULER_NAMES
+
+    ts_list = [801, 601, 401, 201, 1]
+    for name in SCHEDULER_NAMES:
+        sched = make_scheduler(name)
+        if name == "LCM":
+            continue  # LCM constrains timesteps to the origin grid
+        if sched.config.use_karras_sigmas:
+            # diffusers rejects custom timesteps under Karras re-gridding
+            with pytest.raises(ValueError, match="use_karras_sigmas"):
+                sched.plan(50, timesteps=ts_list)
+            continue
+        plan = sched.plan(50, timesteps=ts_list)
+        got = np.asarray(plan.timesteps)
+        assert plan.num_steps == 5, name
+        np.testing.assert_allclose(got, ts_list, atol=0.5, err_msg=name)
+
+    user_sigmas = [14.0, 5.0, 2.0, 0.7, 0.1]
+    for name in ("euler", "euler_a", "DPM++ 2M", "DPM++ 2M Karras",
+                 "DPM++ 2M SDE Karras", "uni_pc"):
+        sched = make_scheduler(name)
+        plan = sched.plan(50, sigmas=user_sigmas)
+        assert plan.num_steps == 5, name
+        np.testing.assert_allclose(
+            np.asarray(plan.sigmas)[:5], user_sigmas, rtol=1e-6, err_msg=name
+        )
+        # terminal sigma appended, timesteps descending
+        ts = np.asarray(plan.timesteps)
+        assert (np.diff(ts) < 0).all(), name
+        with pytest.raises(ValueError):
+            sched.plan(50, timesteps=ts_list, sigmas=user_sigmas)
+
+    for name in ("DDIM", "PNDM", "DDPM", "LCM"):
+        with pytest.raises(ValueError, match="custom `sigmas`"):
+            make_scheduler(name).plan(50, sigmas=user_sigmas)
+
+
+def test_custom_sigmas_oracle_convergence():
+    """A DPM++ run driven by a user sigma list still converges to the
+    point-mass oracle (same check as test_point_mass_oracle)."""
+    import jax
+
+    sched = make_scheduler("DPM++ 2M")
+    full = np.asarray(sched.plan(10).sigmas)[:10]
+    plan = sched.plan(10, sigmas=full)  # user list == default grid
+    ref_plan = sched.plan(10)
+    np.testing.assert_allclose(
+        np.asarray(plan.sigmas), np.asarray(ref_plan.sigmas), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(plan.timesteps), np.asarray(ref_plan.timesteps), atol=1.0
+    )

@@ -66,6 +66,12 @@ SAMPLES = [
     "",
     "zzz qqq 123",  # unmergeable chars and digits
     "it's the cat's dog",
+    # non-ASCII: must BPE over UTF-8 *bytes* (bytes_to_unicode), matching
+    # transformers — accents, CJK, emoji
+    "café au lait",
+    "naïve résumé",
+    "日本語のプロンプト",
+    "the cat 😀 and the dog 🐶",
 ]
 
 
