@@ -28,7 +28,21 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--model_type", type=str, default=None,
                    choices=[None, "sd15", "sdxl"],
                    help="override auto-detection")
-    p.add_argument("--train_data_dir", type=str, required=True)
+    p.add_argument("--pretrained_vae_model_name_or_path", type=str, default=None,
+                   help="separate VAE folder (e.g. the sdxl fp16-fix VAE); "
+                        "on TPU the VAE always runs fp32 so this only swaps "
+                        "weights")
+    p.add_argument("--train_data_dir", type=str, default=None,
+                   help="folder of images (jpg+txt captions, or an "
+                        "imagefolder with metadata.jsonl)")
+    # HF `datasets` pipeline (ref: train_text_to_image_lora.py:594-709)
+    p.add_argument("--dataset_name", type=str, default=None,
+                   help="hub dataset name or local dataset dir for "
+                        "datasets.load_dataset")
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--image_column", type=str, default=None)
+    p.add_argument("--caption_column", type=str, default=None)
+    p.add_argument("--cache_dir", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="lora-out")
     # image pipeline
     p.add_argument("--resolution", type=int, default=512)
@@ -79,7 +93,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--allow_tf32", action="store_true", help="no-op on TPU")
     p.add_argument("--local_rank", type=int,
                    default=int(os.environ.get("LOCAL_RANK", -1)))
-    return p.parse_args(argv)
+    p.add_argument("--debug_loss", action="store_true",
+                   help="log the batch loss keyed per filename "
+                        "(ref _sdxl.py:1196-1198)")
+    args = p.parse_args(argv)
+    if args.dataset_name is None and args.train_data_dir is None:
+        p.error("Need either --dataset_name or --train_data_dir")
+    return args
 
 
 def main(argv=None):
@@ -105,6 +125,18 @@ def main(argv=None):
     model = load_sd_model(
         args.pretrained_model_name_or_path, model_type=args.model_type
     )
+    if args.pretrained_vae_model_name_or_path:
+        # swap in a separate VAE (ref _sdxl.py:195-200); TPU keeps it fp32
+        from stablediffusion_tpu.core.config import VAEConfig
+        from stablediffusion_tpu.io.loader import _read_json, load_component_state
+
+        vae_path = args.pretrained_vae_model_name_or_path
+        cfg_path = os.path.join(vae_path, "config.json")
+        if not os.path.exists(cfg_path):
+            vae_path = os.path.join(vae_path, "vae")
+            cfg_path = os.path.join(vae_path, "config.json")
+        model.vae_config = VAEConfig.from_diffusers_dict(_read_json(cfg_path))
+        model.vae_params = load_component_state(vae_path)
     if args.prediction_type:
         model.scheduler_config = dataclasses.replace(
             model.scheduler_config, prediction_type=args.prediction_type
@@ -142,6 +174,12 @@ def main(argv=None):
         checkpoints_total_limit=args.checkpoints_total_limit,
         resume_from_checkpoint=args.resume_from_checkpoint,
         output_dir=args.output_dir,
+        validation_prompt=args.validation_prompt,
+        num_validation_images=args.num_validation_images,
+        validation_epochs=args.validation_epochs,
+        report_to=args.report_to,
+        logging_dir=os.path.join(args.output_dir, args.logging_dir),
+        debug_loss=args.debug_loss,
     )
     # data-axis size must divide the batch; use the largest divisor
     import math
@@ -153,7 +191,29 @@ def main(argv=None):
             args.train_batch_size, jax.device_count(), n_data,
         )
     mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
-    trainer = SDLoRATrainer(model, targs, args.train_data_dir, mesh=mesh)
+    dataset = None
+    use_hf = args.dataset_name is not None or (
+        args.train_data_dir
+        and os.path.exists(os.path.join(args.train_data_dir, "metadata.jsonl"))
+    )
+    if use_hf:
+        from stablediffusion_tpu.train.dataset import HFImageCaptionDataset
+
+        dataset = HFImageCaptionDataset(
+            dataset_name=args.dataset_name,
+            dataset_config_name=args.dataset_config_name,
+            data_dir=args.train_data_dir,
+            cache_dir=args.cache_dir,
+            image_column=args.image_column,
+            caption_column=args.caption_column,
+            resolution=args.resolution,
+            random_flip=args.random_flip,
+            center_crop=args.center_crop,
+            seed=args.seed,
+        )
+    trainer = SDLoRATrainer(
+        model, targs, args.train_data_dir, mesh=mesh, dataset=dataset
+    )
     trainer.train()
 
     if jax_process_index() == 0:

@@ -35,6 +35,58 @@ class Example:
     original_size: tuple
     crop_top_left: tuple
     target_size: tuple
+    filename: str = ""
+
+
+def transform_image(
+    img,
+    rng: np.random.Generator,
+    resolution: int,
+    center_crop: bool,
+    random_flip: bool,
+    flip_p: float,
+):
+    """Shared train-time transform (ref: train_lora_pipeline.py:62-123 and the
+    diffusers CLIs' train_transforms): square crop at native min side, resize,
+    optional hflip, [-1,1] normalize; returns the SDXL micro-conditioning
+    tuple alongside the array."""
+    img = img.convert("RGB")
+    W, H = img.size
+    original_size = (H, W)
+
+    side = min(H, W)
+    if center_crop:
+        top, left = (H - side) // 2, (W - side) // 2
+    else:
+        top = int(rng.integers(0, H - side + 1))
+        left = int(rng.integers(0, W - side + 1))
+    img = img.crop((left, top, left + side, top + side))
+    img = img.resize((resolution, resolution), Image.BILINEAR)
+
+    arr = np.asarray(img, np.float32) / 255.0
+    if random_flip and rng.random() < flip_p:
+        arr = arr[:, ::-1]
+        # mirror the crop x-coordinate for the conditioning tuple
+        left = W - left - side
+    arr = arr * 2.0 - 1.0
+    return arr, original_size, (top, left), (resolution, resolution)
+
+
+def _collate(examples) -> Dict[str, np.ndarray]:
+    return {
+        "pixel_values": np.stack([e.pixel_values for e in examples]),
+        "captions": [e.caption for e in examples],
+        "filenames": [e.filename for e in examples],
+        "original_sizes": np.asarray(
+            [e.original_size for e in examples], np.float32
+        ),
+        "crop_top_lefts": np.asarray(
+            [e.crop_top_left for e in examples], np.float32
+        ),
+        "target_sizes": np.asarray(
+            [e.target_size for e in examples], np.float32
+        ),
+    }
 
 
 class SDLoRADataset:
@@ -73,33 +125,17 @@ class SDLoRADataset:
 
     def __getitem__(self, idx: int) -> Example:
         path = self.items[idx]
-        img = Image.open(path).convert("RGB")
-        W, H = img.size
-        original_size = (H, W)
-
-        # random (or center) square crop at native min side
-        side = min(H, W)
-        if self.center_crop:
-            top, left = (H - side) // 2, (W - side) // 2
-        else:
-            top = int(self.rng.integers(0, H - side + 1))
-            left = int(self.rng.integers(0, W - side + 1))
-        img = img.crop((left, top, left + side, top + side))
-        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
-
-        arr = np.asarray(img, np.float32) / 255.0
-        if self.random_flip and self.rng.random() < self.flip_p:
-            arr = arr[:, ::-1]
-            # mirror the crop x-coordinate for the conditioning tuple
-            left = W - left - side
-        arr = arr * 2.0 - 1.0
-
+        arr, original_size, crop_top_left, target_size = transform_image(
+            Image.open(path), self.rng, self.resolution, self.center_crop,
+            self.random_flip, self.flip_p,
+        )
         return Example(
             pixel_values=arr,
             caption=self._caption(path),
             original_size=original_size,
-            crop_top_left=(top, left),
-            target_size=(self.resolution, self.resolution),
+            crop_top_left=crop_top_left,
+            target_size=target_size,
+            filename=os.path.basename(path),
         )
 
     def batches(
@@ -125,17 +161,118 @@ class SDLoRADataset:
                 if drop_last and len(idxs) < batch_size:
                     break
                 ex = [self[int(i)] for i in idxs]
-                yield {
-                    "pixel_values": np.stack([e.pixel_values for e in ex]),
-                    "captions": [e.caption for e in ex],
-                    "original_sizes": np.asarray(
-                        [e.original_size for e in ex], np.float32
-                    ),
-                    "crop_top_lefts": np.asarray(
-                        [e.crop_top_left for e in ex], np.float32
-                    ),
-                    "target_sizes": np.asarray(
-                        [e.target_size for e in ex], np.float32
-                    ),
-                }
+                yield _collate(ex)
             epoch += 1
+
+
+class HFImageCaptionDataset(SDLoRADataset):
+    """`datasets`-backed image/caption dataset — the reference CLIs'
+    `--dataset_name` path (hub dataset, local `load_dataset` script, or a
+    local imagefolder with metadata captions; ref:
+    diffusers_scripts/train_text_to_image_lora.py:594-709).
+
+    Column resolution mirrors the reference: explicit --image_column /
+    --caption_column win; otherwise 'image'/'text'-style names, falling back
+    to the first (image) and second (caption) columns.
+    """
+
+    #: well-known caption column names, in priority order
+    CAPTION_CANDIDATES = ("text", "caption", "captions", "prompt")
+
+    def __init__(
+        self,
+        dataset_name: Optional[str] = None,
+        dataset_config_name: Optional[str] = None,
+        data_dir: Optional[str] = None,
+        cache_dir: Optional[str] = None,
+        image_column: Optional[str] = None,
+        caption_column: Optional[str] = None,
+        split: str = "train",
+        resolution: int = 1024,
+        random_flip: bool = True,
+        flip_p: float = 0.5,
+        center_crop: bool = False,
+        seed: int = 0,
+    ):
+        import datasets as hf_datasets
+
+        if dataset_name is not None:
+            ds = hf_datasets.load_dataset(
+                dataset_name,
+                dataset_config_name,
+                cache_dir=cache_dir,
+                data_dir=data_dir,
+            )
+        else:
+            # local folder with metadata.jsonl / class subfolders
+            ds = hf_datasets.load_dataset(
+                "imagefolder", data_dir=data_dir, cache_dir=cache_dir
+            )
+        if split not in ds:
+            split = next(iter(ds))
+        self.ds = ds[split]
+
+        cols = list(self.ds.column_names)
+        if image_column is None:
+            image_column = "image" if "image" in cols else cols[0]
+        elif image_column not in cols:
+            raise ValueError(
+                f"--image_column {image_column!r} not in dataset columns {cols}"
+            )
+        if caption_column is None:
+            caption_column = next(
+                (c for c in self.CAPTION_CANDIDATES if c in cols),
+                cols[1] if len(cols) > 1 else None,
+            )
+        elif caption_column not in cols:
+            raise ValueError(
+                f"--caption_column {caption_column!r} not in dataset columns {cols}"
+            )
+        self.image_column = image_column
+        self.caption_column = caption_column
+
+        self.resolution = resolution
+        self.random_flip = random_flip
+        self.flip_p = flip_p
+        self.center_crop = center_crop
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def _pick_caption(self, value) -> str:
+        # the reference accepts str or list-of-str columns (random choice)
+        if value is None:
+            return ""
+        if isinstance(value, str):
+            return value
+        if isinstance(value, (list, tuple, np.ndarray)):
+            if len(value) == 0:
+                return ""
+            return str(value[int(self.rng.integers(0, len(value)))])
+        raise ValueError(
+            f"caption column should be str or list of str, got {type(value)}"
+        )
+
+    def __getitem__(self, idx: int) -> Example:
+        row = self.ds[int(idx)]
+        img = row[self.image_column]
+        if isinstance(img, str):  # path column
+            img = Image.open(img)
+        arr, original_size, crop_top_left, target_size = transform_image(
+            img, self.rng, self.resolution, self.center_crop,
+            self.random_flip, self.flip_p,
+        )
+        caption = (
+            self._pick_caption(row.get(self.caption_column))
+            if self.caption_column
+            else ""
+        )
+        return Example(
+            pixel_values=arr,
+            caption=caption,
+            original_size=original_size,
+            crop_top_left=crop_top_left,
+            target_size=target_size,
+            filename=str(idx),
+        )

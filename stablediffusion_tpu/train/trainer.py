@@ -73,6 +73,15 @@ class SDTrainingArgs:
     resume_from_checkpoint: Optional[str] = None  # path | "latest"
     output_dir: str = "lora-out"
     log_every: int = 10
+    # in-training validation + tracker logging (ref CLIs' log_validation,
+    # train_text_to_image_lora.py:105-144,928-941)
+    validation_prompt: Optional[str] = None
+    num_validation_images: int = 4
+    validation_epochs: int = 1
+    validation_inference_steps: int = 25
+    report_to: Optional[str] = "tensorboard"
+    logging_dir: Optional[str] = None  # default {output_dir}/logs
+    debug_loss: bool = False  # per-filename loss rows (_sdxl.py:1196-1198)
 
 
 class SDLoRATrainer:
@@ -80,13 +89,25 @@ class SDLoRATrainer:
         self,
         model: SDModel,
         args: SDTrainingArgs,
-        data_dir: str,
+        data_dir: Optional[str] = None,
         mesh=None,
+        dataset=None,
     ):
+        """`dataset` (any object with the SDLoRADataset batch interface —
+        e.g. HFImageCaptionDataset) overrides the jpg+txt `data_dir`."""
+        if data_dir is None and dataset is None:
+            raise ValueError("need a data_dir or a dataset")
         self.model = model
         self.args = args
         self.data_dir = data_dir
         self.mesh = mesh
+        self.dataset = dataset
+        self.metrics = None
+        if args.report_to == "tensorboard" and jax.process_index() == 0:
+            from stablediffusion_tpu.utils.observability import Metrics
+
+            logdir = args.logging_dir or f"{args.output_dir}/logs"
+            self.metrics = Metrics(tensorboard_dir=logdir)
 
     def train(self) -> Dict[str, Dict[str, dict]]:
         args = self.args
@@ -116,7 +137,7 @@ class SDLoRATrainer:
                 )
 
         # data
-        dataset = SDLoRADataset(
+        dataset = self.dataset or SDLoRADataset(
             self.data_dir,
             resolution=args.resolution,
             random_flip=args.random_flip,
@@ -213,6 +234,26 @@ class SDLoRATrainer:
                     float(schedule(step)),
                     (time.time() - t0) / max(step - start_step, 1),
                 )
+                if self.metrics is not None:
+                    self.metrics.observe("train/loss", loss, step=step)
+                    self.metrics.observe(
+                        "train/lr", float(schedule(step)), step=step
+                    )
+                if args.debug_loss and batch.get("filenames"):
+                    # reference convention: the batch loss keyed per filename
+                    for fname in batch["filenames"]:
+                        if self.metrics is not None:
+                            self.metrics.observe(
+                                f"loss_for_{fname}", loss, step=step
+                            )
+            # per-epoch validation rendering with the CURRENT LoRA state
+            if (
+                args.validation_prompt
+                and step % (steps_per_epoch * args.validation_epochs) == 0
+                and jax.process_index() == 0
+            ):
+                epoch = step // steps_per_epoch
+                self._log_validation(lora, epoch, step)
             if (
                 args.checkpointing_steps
                 and step % args.checkpointing_steps == 0
@@ -227,6 +268,8 @@ class SDLoRATrainer:
 
         self.history = history
         self.lora = lora
+        if self.metrics is not None:
+            self.metrics.flush()
         # final save in diffusers interchange format
         # (ref: train_lora_pipeline.py:497-528)
         if jax.process_index() == 0:
@@ -239,6 +282,38 @@ class SDLoRATrainer:
                 metadata={"format": "pt", "rank": str(args.rank)},
             )
         return lora
+
+    def _log_validation(self, lora, epoch: int, step: int) -> None:
+        """Render N fixed-seed validation images with the current LoRA state
+        and log them to the tracker (the reference's per-epoch log_validation,
+        train_text_to_image_lora.py:105-144,928-941).  The adapter is fused
+        from pristine bases and removed afterwards, so training state is
+        untouched."""
+        args = self.args
+        model = self.model
+        from stablediffusion_tpu.pipelines.unified import (
+            StableDiffusionUnifiedPipeline,
+        )
+
+        model.load_lora_weights("__validation__", lora)
+        try:
+            model.set_adapters({"__validation__": 1.0})
+            pipe = StableDiffusionUnifiedPipeline()
+            out = pipe(
+                model,
+                prompt=args.validation_prompt,
+                num_images_per_prompt=args.num_validation_images,
+                num_inference_steps=args.validation_inference_steps,
+                seed=args.seed,  # fixed seed: images comparable across epochs
+            )
+            if self.metrics is not None:
+                self.metrics.images("validation", out.images, step=step)
+            logger.info(
+                "epoch %d: rendered %d validation images (%r)",
+                epoch, args.num_validation_images, args.validation_prompt,
+            )
+        finally:
+            model.delete_adapters()
 
     def _prepare_batch(self, batch) -> Dict[str, jax.Array]:
         model = self.model

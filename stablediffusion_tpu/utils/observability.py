@@ -81,5 +81,15 @@ class Metrics:
             arr = np.asarray(images)  # [B,H,W,C] in [0,1]
             self._tb.add_images(tag, arr, step, dataformats="NHWC")
 
+    def flush(self):
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
+            self._tb = None
+
     def snapshot(self) -> Dict[str, float]:
         return dict(self.values)
