@@ -47,7 +47,7 @@ from stablediffusion_tpu.utils import images as img_utils
 class SDPipelineOutput:
     images: Optional[np.ndarray]  # [B, H, W, 3] float32 in [0, 1]
     latents: Optional[jax.Array]  # NHWC latents (when output_type="latents")
-    seed: int
+    seed: Union[int, List[int]]  # echoed; a list when per-sample seeds given
 
 
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
@@ -97,7 +97,17 @@ def _vae_encode(params, image, key, *, config: VAEConfig, force_upcast, sample):
     if force_upcast:
         image = image.astype(jnp.float32)
     mean, logvar = vae_model.encode(params, config, image)
-    z = vae_model.sample_latent(mean, logvar, key) if sample else mean
+    if not sample:
+        z = mean
+    elif key.ndim == 1:
+        # batch of per-sample keys (diffusers generator-list parity,
+        # ref: sd_unified_pipeline.py:1017-1041)
+        noise = jax.vmap(
+            lambda k, m: jax.random.normal(k, m.shape, m.dtype)
+        )(key, mean)
+        z = mean + jnp.exp(0.5 * logvar) * noise
+    else:
+        z = vae_model.sample_latent(mean, logvar, key)
     return z * config.scaling_factor
 
 
@@ -530,9 +540,40 @@ class StableDiffusionUnifiedPipeline:
         n = num_images_per_prompt
         do_cfg = self.do_cfg and guidance_scale > 1.0
 
-        if seed is None:
-            seed = int(np.random.randint(0, 2**31 - 1))
-        key = as_key(seed)
+        # seed: int, or a list of per-sample ints (the reference's generator
+        # lists, sd_unified_pipeline.py:771-781) — each batch element then
+        # draws its init/VAE noise from its own stream, so sample i is
+        # reproducible regardless of the rest of the batch
+        seed_list = None
+        if isinstance(seed, (list, tuple)):
+            seed_list = [int(s) for s in seed]
+            if len(seed_list) != B * n:
+                raise ValueError(
+                    f"seed list length {len(seed_list)} != batch {B * n}"
+                )
+            key = as_key(seed_list[0])
+            seed_echo = seed_list
+        else:
+            if seed is None:
+                seed = int(np.random.randint(0, 2**31 - 1))
+            key = as_key(seed)
+            seed_echo = seed
+        seed = seed_echo
+        sample_keys = (
+            jax.vmap(jax.random.key)(jnp.asarray(seed_list, jnp.uint32))
+            if seed_list is not None
+            else None
+        )
+
+        def _psk(tag, batch=None):
+            """Per-sample keys decorrelated per use-site; None when a scalar
+            seed was given or the site's batch doesn't match the seed list."""
+            if sample_keys is None:
+                return None
+            if batch is not None and batch != len(seed_list):
+                return None
+            return jax.vmap(lambda kk: jax.random.fold_in(kk, tag))(sample_keys)
+
         k_latent, k_encode, k_steps, k_mask = jax.random.split(key, 4)
 
         # 2. prompts
@@ -589,7 +630,9 @@ class StableDiffusionUnifiedPipeline:
                 )
             shape = (B * n, height // vf, width // vf, unet_c)
             if latents is None:
-                latents = randn(k_latent, shape, jnp.float32)
+                latents = randn(
+                    k_latent, shape, jnp.float32, per_sample_keys=_psk(0)
+                )
             else:
                 latents = self._to_nhwc(latents, unet_c).astype(jnp.float32)
             # provided latents are scaled too (ref: sd_unified_pipeline.py:785)
@@ -611,10 +654,11 @@ class StableDiffusionUnifiedPipeline:
                 img = jnp.asarray(
                     img_utils.preprocess_image(image_arr, height, width)
                 )
+                k_enc = _psk(1, batch=img.shape[0])
                 init_latents = _vae_encode(
                     model.vae_params,
                     img,
-                    k_encode,
+                    k_enc if k_enc is not None else k_encode,
                     config=model.vae_config,
                     force_upcast=model.vae_config.force_upcast,
                     sample=True,
@@ -623,7 +667,10 @@ class StableDiffusionUnifiedPipeline:
                 init_latents, (B * n // init_latents.shape[0], 1, 1, 1)
             )
             if denoising_start is None:
-                noise = randn(k_latent, init_latents.shape, jnp.float32)
+                noise = randn(
+                    k_latent, init_latents.shape, jnp.float32,
+                    per_sample_keys=_psk(0, batch=init_latents.shape[0]),
+                )
                 latents = scheduler.add_noise_index(
                     plan, init_latents.astype(jnp.float32), noise, 0
                 )
@@ -664,17 +711,18 @@ class StableDiffusionUnifiedPipeline:
                 raise ValueError(f"inpaint UNet must have 4 or 9 channels, got {unet_c}")
 
             img = jnp.asarray(init_image)
+            k_enc = _psk(1, batch=img.shape[0])
             image_lat = _vae_encode(
                 model.vae_params,
                 img,
-                k_encode,
+                k_enc if k_enc is not None else k_encode,
                 config=model.vae_config,
                 force_upcast=model.vae_config.force_upcast,
                 sample=True,
             )
             image_lat = jnp.tile(image_lat, (B * n // image_lat.shape[0], 1, 1, 1))
             shape = (B * n, height // vf, width // vf, lat_c)
-            noise4 = randn(k_latent, shape, jnp.float32)
+            noise4 = randn(k_latent, shape, jnp.float32, per_sample_keys=_psk(0))
             if latents is not None:
                 # provided latents act as the noise, scaled
                 # (ref: sd_unified_pipeline.py:895-897)
@@ -699,10 +747,11 @@ class StableDiffusionUnifiedPipeline:
                 masked_lat = self._to_nhwc(jnp.asarray(masked_image_latents), lat_c)
             elif inpaint_mode == "concat9":
                 masked_np = init_image * (mask_np < 0.5)
+                k_enc = _psk(2, batch=masked_np.shape[0])
                 masked_lat = _vae_encode(
                     model.vae_params,
                     jnp.asarray(masked_np),
-                    k_mask,
+                    k_enc if k_enc is not None else k_mask,
                     config=model.vae_config,
                     force_upcast=model.vae_config.force_upcast,
                     sample=True,

@@ -88,10 +88,16 @@ class Handler:
         model: Optional[SDModel] = None,
         model_dir: Optional[str] = None,
         lora_dir: Optional[str] = None,
+        uploader=None,
     ):
+        from stablediffusion_tpu.serve.upload import make_uploader
+
         self.model = model
         self.model_dir = model_dir
         self.lora_dir = lora_dir or model_dir
+        # BUCKET_ENDPOINT_URL-gated image sink (ref handler_logic.py:32-51):
+        # when configured, responses carry URLs instead of base64
+        self.uploader = uploader if uploader is not None else make_uploader()
 
     # -- model hot-swap (maybe_reload_model analog) --------------------------
     def maybe_reload_model(self, model_cfg: Dict[str, Any]) -> None:
@@ -132,7 +138,7 @@ class Handler:
                 args["seed"] = int(np.random.randint(0, int(1e9)))
 
             if mode == "inference":
-                return self.inference_mode(args, t0)
+                return self.inference_mode(args, t0, request_id=request_id)
             if mode == "inference_wandb":
                 return self.inference_wandb_mode(args, t0)
             if mode == "constructor":
@@ -158,10 +164,16 @@ class Handler:
         pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
         return pipe(self.model, **args)
 
-    def inference_mode(self, args: Dict[str, Any], t0: float) -> Dict:
+    def inference_mode(
+        self, args: Dict[str, Any], t0: float, request_id: str = ""
+    ) -> Dict:
         out = self._generate(args)
+        if self.uploader is not None:
+            images = self.uploader.upload(out.images, request_id)
+        else:
+            images = encode_images_b64(out.images)
         return {
-            "images": encode_images_b64(out.images),
+            "images": images,
             "seed": out.seed,
             "time_sec": round(time.time() - t0, 3),
         }
@@ -185,9 +197,24 @@ class Handler:
             import wandb
 
             run = wandb.init(project="sdtpu-inference", config=config)
-            run.log(
-                {"images": [wandb.Image(im) for im in out.images]}
-            )
+            # per-prompt config *table*, one row per image
+            # (ref: handler_logic.py:293-351)
+            columns = [
+                "prompt", "negative_prompt", "scheduler", "steps", "cfg",
+                "clip_skip", "seed", "adapters", "image",
+            ]
+            table = wandb.Table(columns=columns)
+            for im in out.images:
+                table.add_data(
+                    config["prompt"], config["negative_prompt"],
+                    config["scheduler"], config["steps"], config["cfg"],
+                    config["clip_skip"], config["seed"],
+                    str(config["adapters"]), wandb.Image(im),
+                )
+            run.log({
+                "images": [wandb.Image(im) for im in out.images],
+                "generations": table,
+            })
             run_url = run.get_url()
             run.finish()
         except ImportError:

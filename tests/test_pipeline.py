@@ -605,3 +605,31 @@ def test_custom_schedule_through_pipeline(pipe, sd15):
             pipe(sd15, num_inference_steps=4, timesteps=ts, sigmas=sigmas, **kw)
     finally:
         sd15.set_scheduler("DDIM")
+
+
+def test_per_sample_seed_list(pipe, sd15):
+    """seed=[s0, s1] gives each batch element its own noise stream: sample i
+    depends only on seed i (diffusers generator-list parity,
+    ref sd_unified_pipeline.py:771-781)."""
+    kw = dict(prompt=["a cat", "a dog"], height=H, width=W,
+              num_inference_steps=2)
+    pair = pipe(sd15, seed=[11, 22], **kw)
+    assert pair.seed == [11, 22]
+    swapped = pipe(sd15, seed=[33, 22], **kw)
+    # sample 1 identical (same per-sample seed), sample 0 differs
+    np.testing.assert_array_equal(pair.images[1], swapped.images[1])
+    assert np.abs(pair.images[0] - swapped.images[0]).max() > 1e-6
+
+    with pytest.raises(ValueError, match="seed list length"):
+        pipe(sd15, seed=[1, 2, 3], **kw)
+
+
+def test_per_sample_seed_img2img(pipe, sd15):
+    img = np.tile(np.linspace(0, 1, 32, dtype=np.float32)[None, :, None],
+                  (32, 1, 3))
+    kw = dict(prompt=["a cat", "a dog"], image=[img, img], strength=0.6,
+              num_inference_steps=3)
+    a = pipe(sd15, seed=[5, 6], **kw)
+    b = pipe(sd15, seed=[7, 6], **kw)
+    np.testing.assert_array_equal(a.images[1], b.images[1])
+    assert np.abs(a.images[0] - b.images[0]).max() > 1e-6

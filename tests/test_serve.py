@@ -195,3 +195,40 @@ def test_train_mode(handler, tmp_path):
 def test_train_mode_requires_data_dir(handler):
     resp = handler({"mode": "train", "train": {}}, "req-train2")
     assert "error" in resp and "data_dir" in resp["error"]
+
+
+def test_bucket_upload_sink(handler, tmp_path, monkeypatch):
+    """BUCKET_ENDPOINT_URL-gated image sink (ref handler_logic.py:32-51):
+    when configured, inference responses carry URLs instead of base64."""
+    import os
+
+    from stablediffusion_tpu.serve.upload import make_uploader
+
+    root = str(tmp_path / "bucket")
+    monkeypatch.setenv("BUCKET_ENDPOINT_URL", root)
+    assert make_uploader() is not None
+    monkeypatch.delenv("BUCKET_ENDPOINT_URL")
+    assert make_uploader() is None  # fallback: base64 branch
+
+    h = Handler(model=handler.model, uploader=make_uploader(root))
+    resp = h({**ARGS, "seed": 7}, "job-42")
+    assert "error" not in resp, resp.get("traceback")
+    (url,) = resp["images"]
+    assert url.startswith("file://") and url.endswith("/0.jpg")
+    path = url[len("file://"):]
+    assert os.path.exists(path) and "job-42" in path
+    from PIL import Image
+
+    assert Image.open(path).size == (32, 32)
+
+
+def test_upload_scheme_dispatch():
+    from stablediffusion_tpu.serve import upload
+
+    assert isinstance(upload.make_uploader("/tmp/x"), upload.FileUploader)
+    assert isinstance(upload.make_uploader("file:///tmp/x"), upload.FileUploader)
+    assert isinstance(
+        upload.make_uploader("http://bucket.example/up"), upload.HTTPUploader
+    )
+    assert upload.make_uploader("s3://b/p") is None  # boto3 absent -> warn
+    assert upload.make_uploader(None) is None
