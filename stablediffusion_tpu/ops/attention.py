@@ -51,16 +51,79 @@ def attention_xla(
     return out
 
 
+_on_tpu_cache: Optional[bool] = None
+
+
+def _on_tpu() -> bool:
+    global _on_tpu_cache
+    if _on_tpu_cache is None:
+        try:
+            _on_tpu_cache = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            _on_tpu_cache = False
+    return _on_tpu_cache
+
+
 def _use_pallas() -> bool:
-    """Pallas attention is opt-in (SDTPU_PALLAS_ATTN=1): measured on v5e,
-    XLA's own attention fusion beats our exact-softmax kernel at SD shapes
-    (148 vs 167-177 ms/step batch-16 SD1.5); see benchmarks/ablate_unet.py."""
-    if not os.environ.get("SDTPU_PALLAS_ATTN"):
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    """Our hand-rolled kernels are opt-in (SDTPU_PALLAS_ATTN=1): measured on
+    v5e, XLA's fusion beats them at SD shapes; kept for kernel R&D
+    (benchmarks/bench_attention.py)."""
+    return bool(os.environ.get("SDTPU_PALLAS_ATTN")) and _on_tpu()
+
+
+def _lib_flash_supported(q_shape, k_shape) -> bool:
+    """Shapes where the jax library TPU flash kernel beats XLA's attention
+    fusion (v5e, benchmarks/sweep_attention.py):
+
+      * SDXL L1 self (8,4096,10,64):  18.4 -> 7.1 ms (2.6x)
+      * SDXL L2 self (8,1024,20,64):   3.4 -> 2.2 ms
+      * SD15 L2 self (16,1024,8,80):   3.0 -> 2.0 ms
+
+    XLA stays ahead at D=40 (SD1.5 L1: 8.4 vs 10.7 ms — the 40->128 MXU pad
+    hurts the [b,h,s,d]-blocked kernel more) and at short KV (cross-attn,
+    Skv=77, below the kernel's block minimum)."""
+    _, sq, _, d = q_shape
+    skv = k_shape[1]
+    return (
+        skv >= 1024
+        and 64 <= d <= 128
+        and sq % 512 == 0
+        and skv % 512 == 0
+    )
+
+
+def _lib_flash(q, k, v, scale: float) -> jax.Array:
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention as lib_flash_attention,
+    )
+
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    block_q = 512 if Sq >= 2048 else min(1024, Sq)
+    block_k = min(1024, Skv)
+    bs = BlockSizes(
+        block_q=block_q,
+        block_k_major=block_k,
+        block_k=block_k,
+        block_b=1,
+        # backward-pass blocks (LoRA training at D>=64 shapes)
+        block_q_major_dkv=block_q,
+        block_k_major_dkv=block_k,
+        block_k_dkv=block_k,
+        block_q_dkv=block_q,
+        block_k_major_dq=block_k,
+        block_k_dq=block_k,
+        block_q_dq=block_q,
+    )
+    out = lib_flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        sm_scale=scale,
+        block_sizes=bs,
+    )
+    return out.transpose(0, 2, 1, 3)
 
 
 def attention(
@@ -70,16 +133,25 @@ def attention(
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """Route to the Pallas flash kernel when on TPU and the shape qualifies."""
-    if _use_pallas() and mask is None:
-        from stablediffusion_tpu.ops.flash_attention import (
-            flash_attention,
-            flash_attention_streaming,
-            shape_supported,
-        )
+    """Shape-based dispatch: library TPU flash kernel where it wins (see
+    `_lib_flash_supported`), opt-in hand kernels, else the XLA fusion.
 
-        if shape_supported(q.shape, k.shape):
-            return flash_attention(q, k, v, scale=scale)
-        if k.shape[1] >= 2048:  # long KV: streaming online-softmax kernel
-            return flash_attention_streaming(q, k, v, scale=scale)
+    Set SDTPU_FLASH_ATTN=0 to force the XLA path everywhere (e.g. when a
+    pallas_call cannot be SPMD-partitioned for an exotic sharding)."""
+    if mask is None and _on_tpu():
+        if _use_pallas():
+            from stablediffusion_tpu.ops.flash_attention import (
+                flash_attention,
+                flash_attention_streaming,
+                shape_supported,
+            )
+
+            if shape_supported(q.shape, k.shape):
+                return flash_attention(q, k, v, scale=scale)
+            if k.shape[1] >= 2048:  # long KV: streaming online-softmax kernel
+                return flash_attention_streaming(q, k, v, scale=scale)
+        if os.environ.get("SDTPU_FLASH_ATTN", "1") != "0" and _lib_flash_supported(
+            q.shape, k.shape
+        ):
+            return _lib_flash(q, k, v, scale if scale is not None else q.shape[-1] ** -0.5)
     return attention_xla(q, k, v, mask=mask, scale=scale)
