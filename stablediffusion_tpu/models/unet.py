@@ -57,20 +57,34 @@ def _resnet(p: dict, x: jax.Array, temb: jax.Array, groups: int, eps: float):
     return x + h
 
 
-def _attn(p: dict, x: jax.Array, ctx: jax.Array, heads: int):
+def _attn(p: dict, x: jax.Array, ctx: jax.Array, heads: int,
+          ip_ctx: Optional[jax.Array] = None, ip_scale=None):
+    """Cross/self attention.  When the params carry fused IP-Adapter
+    projections (`to_k_ip`/`to_v_ip`) and image tokens are provided, adds the
+    decoupled image-attention stream scaled by `ip_scale` (IP-Adapter,
+    arXiv 2308.06721 — diffusers IPAdapterAttnProcessor semantics; the
+    reference repo has no image-prompt path)."""
     B, S, C = x.shape
     d = C // heads
     q = linear(p["to_q"], x).reshape(B, S, heads, d)
     k = linear(p["to_k"], ctx).reshape(B, ctx.shape[1], heads, d)
     v = linear(p["to_v"], ctx).reshape(B, ctx.shape[1], heads, d)
     o = attention(q, k, v).reshape(B, S, C)
+    if ip_ctx is not None and "to_k_ip" in p:
+        k_ip = linear(p["to_k_ip"], ip_ctx).reshape(B, ip_ctx.shape[1], heads, d)
+        v_ip = linear(p["to_v_ip"], ip_ctx).reshape(B, ip_ctx.shape[1], heads, d)
+        o_ip = attention(q, k_ip, v_ip).reshape(B, S, C)
+        scale = jnp.asarray(ip_scale if ip_scale is not None else 1.0, o.dtype)
+        o = o + scale * o_ip
     return linear(p["to_out"]["0"], o)
 
 
-def _transformer_block(p: dict, x: jax.Array, ctx: jax.Array, heads: int):
+def _transformer_block(p: dict, x: jax.Array, ctx: jax.Array, heads: int,
+                       ip_ctx: Optional[jax.Array] = None, ip_scale=None):
     h = layer_norm(p["norm1"], x)
     x = x + _attn(p["attn1"], h, h, heads)
-    x = x + _attn(p["attn2"], layer_norm(p["norm2"], x), ctx, heads)
+    x = x + _attn(p["attn2"], layer_norm(p["norm2"], x), ctx, heads,
+                  ip_ctx=ip_ctx, ip_scale=ip_scale)
     h = layer_norm(p["norm3"], x)
     h = geglu(p["ff"]["net"]["0"]["proj"], h)
     x = x + linear(p["ff"]["net"]["2"], h)
@@ -85,6 +99,8 @@ def _transformer2d(
     n_layers: int,
     use_linear_projection: bool,
     groups: int = 32,
+    ip_ctx: Optional[jax.Array] = None,
+    ip_scale=None,
 ):
     B, H, W, C = x.shape
     residual = x
@@ -96,7 +112,8 @@ def _transformer2d(
         h = conv2d(p["proj_in"], h, padding=0)
         h = h.reshape(B, H * W, C)
     for i in range(n_layers):
-        h = _transformer_block(p["transformer_blocks"][str(i)], h, ctx, heads)
+        h = _transformer_block(p["transformer_blocks"][str(i)], h, ctx, heads,
+                               ip_ctx=ip_ctx, ip_scale=ip_scale)
     if use_linear_projection:
         h = linear(p["proj_out"], h)
         h = h.reshape(B, H, W, C)
@@ -122,6 +139,8 @@ def apply(
     return_deep_cache: bool = False,
     down_block_residuals: Optional[List[jax.Array]] = None,
     mid_block_residual: Optional[jax.Array] = None,
+    ip_hidden_states: Optional[jax.Array] = None,  # [B, n_tokens, cross_dim]
+    ip_scale=None,
 ):
     """Forward pass.
 
@@ -199,6 +218,8 @@ def apply(
                     config.tf_layers_for_block(i),
                     config.use_linear_projection,
                     g,
+                    ip_ctx=ip_hidden_states,
+                    ip_scale=ip_scale,
                 )
             skips.append(_with_res(x, len(skips)))
         if i < n_blocks - 1 and not shallow_only:
@@ -222,6 +243,8 @@ def apply(
             config.tf_layers_for_block(n_blocks - 1),
             config.use_linear_projection,
             g,
+            ip_ctx=ip_hidden_states,
+            ip_scale=ip_scale,
         )
         x = _resnet(mp["resnets"]["1"], x, emb, g, eps)
         if mid_block_residual is not None:
@@ -248,6 +271,8 @@ def apply(
                     config.tf_layers_for_block(block_idx),
                     config.use_linear_projection,
                     g,
+                    ip_ctx=ip_hidden_states,
+                    ip_scale=ip_scale,
                 )
         if i < n_blocks - 1:
             x = upsample_nearest_2x(x)

@@ -46,6 +46,11 @@ class SDModel:
     refiner_params: Optional[Any] = None
     controlnet_config: Optional[UNetConfig] = None
     controlnet_params: Optional[Any] = None
+    # IP-Adapter (beyond-parity; diffusers load_ip_adapter analog)
+    ip_adapter: Optional[Any] = None  # models/ip_adapter.IPAdapter
+    ip_scale: float = 1.0
+    image_encoder_config: Optional[Any] = None  # CLIPVisionConfig
+    image_encoder_params: Optional[Any] = None
     # LoRA bookkeeping (adapter name -> weight); see lora/
     adapters: Dict[str, float] = field(default_factory=dict)
     path: Optional[str] = None
@@ -131,6 +136,60 @@ class SDModel:
             _read_json(os.path.join(path, "unet", "config.json"))
         )
         self.refiner_params = load_component_state(os.path.join(path, "unet"))
+
+    # -- IP-Adapter management (diffusers load_ip_adapter analog) ----------
+
+    def load_ip_adapter(self, path: str, image_encoder_path: Optional[str] = None):
+        """Load an IP-Adapter checkpoint (h94/IP-Adapter family: .safetensors
+        or .bin with image_proj + ip_adapter groups) and fuse its decoupled
+        cross-attention projections into the UNet param tree.  Also fused into
+        the pristine LoRA base so adapter swaps don't drop the IP weights."""
+        from stablediffusion_tpu.models.ip_adapter import IPAdapter, fuse_ip_weights
+
+        adapter, ip_sd = IPAdapter.load(path)
+        self.ip_adapter = adapter
+        self._ensure_base()
+        self._base_params["unet"] = fuse_ip_weights(
+            self._base_params["unet"], self.unet_config, ip_sd
+        )
+        # refuse currently-fused adapters over the IP-augmented base
+        if self.adapters:
+            self.set_adapters(dict(self.adapters))
+        else:
+            self.unet_params = self._base_params["unet"]
+        if image_encoder_path is not None:
+            self.load_image_encoder(image_encoder_path)
+
+    def set_ip_adapter_scale(self, scale: float):
+        self.ip_scale = float(scale)
+
+    def unload_ip_adapter(self):
+        from stablediffusion_tpu.models.ip_adapter import strip_ip_weights
+
+        if self._base_params is not None and self._base_params["unet"] is not None:
+            self._base_params["unet"] = strip_ip_weights(self._base_params["unet"])
+            if self.adapters:
+                self.set_adapters(dict(self.adapters))
+            else:
+                self.unet_params = self._base_params["unet"]
+        else:
+            self.unet_params = strip_ip_weights(self.unet_params)
+        self.ip_adapter = None
+
+    def load_image_encoder(self, path: str):
+        """Load a CLIP vision tower (transformers layout `image_encoder`
+        folder) for IP-Adapter image conditioning."""
+        import os
+
+        from stablediffusion_tpu.core.config import CLIPVisionConfig
+        from stablediffusion_tpu.io.loader import _read_json, load_component_state
+
+        if os.path.isdir(os.path.join(path, "image_encoder")):
+            path = os.path.join(path, "image_encoder")
+        self.image_encoder_config = CLIPVisionConfig.from_diffusers_dict(
+            _read_json(os.path.join(path, "config.json"))
+        )
+        self.image_encoder_params = load_component_state(path)
 
     # -- LoRA adapter management (ref: models/stable_diffusion.py:230-335) --
     # Pristine base params are kept so adapter swaps re-fuse from the

@@ -111,6 +111,24 @@ def _vae_encode(params, image, key, *, config: VAEConfig, force_upcast, sample):
     return z * config.scaling_factor
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _clip_vision_encode(params, pixels, *, config):
+    """-> (projected image embeds [B, P] or pooled, penultimate hidden
+    [B, S, H]) for IP-Adapter standard / plus conditioning."""
+    from stablediffusion_tpu.models import clip_vision as clip_vision_model
+
+    out = clip_vision_model.apply(params, config, pixels)
+    feats = out.image_embeds if out.image_embeds is not None else out.pooled_output
+    return feats, out.penultimate()
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ip_project(params, cfg, feats):
+    from stablediffusion_tpu.models.ip_adapter import project_image_embeds
+
+    return project_image_embeds(params, cfg, feats)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "force_upcast"))
 def _vae_decode(params, latents, *, config: VAEConfig, force_upcast):
     if config.latents_mean is not None and config.latents_std is not None:
@@ -150,6 +168,8 @@ def _denoise(
     masked_image_latents,  # None | [B, h, w, 4]
     image_latents,  # None | [B, h, w, 4] (4ch blend path)
     noise,  # None | [B, h, w, 4] (4ch blend path re-noising)
+    ip_tokens=None,  # None | [2B or B, n_tokens, cross_dim] IP-Adapter context
+    ip_scale=None,  # None | scalar f32 (traced: scale changes don't recompile)
     *,
     unet_config: UNetConfig,
     scheduler: BaseScheduler,
@@ -200,6 +220,7 @@ def _denoise(
             unet_params, unet_config, x, t, embeds, added_cond=added_cond,
             deep_cache=deep_cache, return_deep_cache=want_cache,
             down_block_residuals=down_res, mid_block_residual=mid_res,
+            ip_hidden_states=ip_tokens, ip_scale=ip_scale,
         )
         pred, deep = result if want_cache else (result, None)
         if do_cfg:
@@ -472,6 +493,49 @@ class StableDiffusionUnifiedPipeline:
         mk = lambda v: jnp.tile(jnp.asarray(v, jnp.float32)[None], (batch, 1))
         return mk(pos), mk(neg)
 
+    # -- IP-Adapter image conditioning (beyond-parity) ----------------------
+    def _encode_ip_image(self, model: SDModel, image, batch: int, do_cfg: bool):
+        """CLIP-encode the prompt image and project to context tokens.
+
+        Standard adapters condition on the projected image embed with a ZERO
+        embed as the negative; Plus adapters condition on penultimate hidden
+        states with a black-image encode as the negative (diffusers
+        encode_image semantics)."""
+        if model.ip_adapter is None:
+            raise ValueError("no IP-Adapter loaded (call model.load_ip_adapter())")
+        if model.image_encoder_params is None:
+            raise ValueError(
+                "no image encoder loaded (call model.load_image_encoder())"
+            )
+        cfg = model.ip_adapter.config
+        vcfg = model.image_encoder_config
+        pixels = jnp.asarray(
+            img_utils.clip_image_preprocess(image, vcfg.image_size)
+        )
+        embeds, hidden = _clip_vision_encode(
+            model.image_encoder_params, pixels, config=vcfg
+        )
+        proj = model.ip_adapter.image_proj_params
+        if cfg.kind == "proj":
+            tokens = _ip_project(proj, cfg, embeds)
+            neg_tokens = _ip_project(proj, cfg, jnp.zeros_like(embeds)) if do_cfg else None
+        else:
+            tokens = _ip_project(proj, cfg, hidden)
+            if do_cfg:
+                _, neg_hidden = _clip_vision_encode(
+                    model.image_encoder_params,
+                    jnp.zeros_like(pixels),
+                    config=vcfg,
+                )
+                neg_tokens = _ip_project(proj, cfg, neg_hidden)
+            else:
+                neg_tokens = None
+        tokens = jnp.tile(tokens, (batch // tokens.shape[0], 1, 1))
+        if do_cfg:
+            neg_tokens = jnp.tile(neg_tokens, (batch // neg_tokens.shape[0], 1, 1))
+            tokens = jnp.concatenate([neg_tokens, tokens], axis=0)
+        return tokens
+
     # -- main entry (ref: sd_unified_pipeline.py:137-529) -------------------
     def __call__(
         self,
@@ -509,6 +573,10 @@ class StableDiffusionUnifiedPipeline:
         cache_interval: Optional[int] = None,
         control_image=None,
         controlnet_conditioning_scale: float = 1.0,
+        # IP-Adapter (beyond-parity; diffusers ip_adapter_image analog)
+        ip_adapter_image=None,
+        ip_adapter_image_embeds=None,  # precomputed [B or 2B, n_tokens, xdim]
+        ip_adapter_scale: Optional[float] = None,
         # precomputed embeddings (the reference raises here —
         # sd_unified_pipeline.py:563 'Пока нет возможности...'; supported)
         prompt_embeds=None,
@@ -788,6 +856,27 @@ class StableDiffusionUnifiedPipeline:
                 [neg_embeds.astype(self.dtype), embeds], axis=0
             )
 
+        # IP-Adapter image tokens
+        ip_tokens = None
+        if ip_adapter_image_embeds is not None:
+            ip_tokens = jnp.asarray(ip_adapter_image_embeds, self.dtype)
+            want = 2 * B * n if do_cfg else B * n
+            if ip_tokens.shape[0] == B * n and do_cfg:
+                ip_tokens = jnp.concatenate(
+                    [jnp.zeros_like(ip_tokens), ip_tokens], axis=0
+                )
+            if ip_tokens.shape[0] != want:
+                raise ValueError(
+                    f"ip_adapter_image_embeds batch {ip_tokens.shape[0]} != {want}"
+                )
+        elif ip_adapter_image is not None:
+            ip_tokens = self._encode_ip_image(
+                model, ip_adapter_image, B * n, do_cfg
+            ).astype(self.dtype)
+        if ip_tokens is not None and model.ip_adapter is None:
+            raise ValueError("ip_adapter image given but no IP-Adapter loaded "
+                             "(call model.load_ip_adapter())")
+
         # controlnet conditioning image
         control_arr = None
         if control_image is not None:
@@ -829,6 +918,17 @@ class StableDiffusionUnifiedPipeline:
             masked_lat,
             image_lat,
             noise4,
+            self._shard(ip_tokens),
+            (
+                jnp.asarray(
+                    ip_adapter_scale
+                    if ip_adapter_scale is not None
+                    else model.ip_scale,
+                    jnp.float32,
+                )
+                if ip_tokens is not None
+                else None
+            ),
             unet_config=unet_config,
             scheduler=scheduler,
             do_cfg=do_cfg,

@@ -81,6 +81,22 @@ def preprocess_image(
     return batch * 2.0 - 1.0
 
 
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def clip_image_preprocess(image: ImageLike, size: int = 224) -> np.ndarray:
+    """-> float32 NHWC, CLIP-normalized (CLIPImageProcessor analog) — the
+    IP-Adapter image-encoder input."""
+    batch = _to_numpy_batch(image)
+    if batch.shape[-1] == 4:
+        batch = batch[..., :3]
+    if batch.shape[-1] == 1:
+        batch = np.repeat(batch, 3, axis=-1)
+    batch = _resize(batch, size, size)  # [0, 1]
+    return (batch - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+
+
 def preprocess_mask(mask: ImageLike, height: int, width: int) -> np.ndarray:
     """-> float32 NHWC (1 channel) binarized {0,1}; 1 = inpaint region
     (mask processor: grayscale, no normalize, binarize —
