@@ -206,6 +206,24 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> N
         )
 
 
+def save_controlnet(params: dict, config: UNetConfig, path: str) -> None:
+    """Write a diffusers-layout ControlNet folder (ControlNetModel
+    save_pretrained analog): torch layouts + config.json.  Round-trips
+    through SDModel.load_controlnet / the converter CLI."""
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+
+    os.makedirs(path, exist_ok=True)
+    flat = {
+        k: deconvert_tensor(k, np.asarray(v)) for k, v in flatten(params).items()
+    }
+    save_safetensors(flat, os.path.join(path, "diffusion_pytorch_model.safetensors"))
+    cfg = _unet_cfg_dict(config)
+    cfg["_class_name"] = "ControlNetModel"
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
 def _unet_cfg_dict(c: UNetConfig) -> dict:
     import dataclasses
 

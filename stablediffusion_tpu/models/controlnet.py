@@ -116,6 +116,29 @@ def apply(
     return down_res, mid_res
 
 
+def init_from_unet(
+    key: jax.Array, unet_params: dict, config: UNetConfig, dtype=jnp.float32
+) -> dict:
+    """ControlNetModel.from_unet analog (diffusers train_controlnet.py's
+    default init when no --controlnet_model_name_or_path is given): the trunk
+    COPIES the trained UNet's conv_in / time_embedding / down_blocks /
+    mid_block (+add_embedding), the conditioning embedder is freshly
+    initialized, and the control convs are zero — so a fresh ControlNet is an
+    exact no-op on the UNet output."""
+    from stablediffusion_tpu.models.ip_adapter import strip_ip_weights
+
+    trunk_keys = ("conv_in", "time_embedding", "down_blocks", "mid_block",
+                  "add_embedding")
+    params = init_params(key, config, dtype=dtype)
+    for k in trunk_keys:
+        if k in params and k in unet_params:
+            params[k] = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype),
+                strip_ip_weights(unet_params[k]),
+            )
+    return params
+
+
 def init_params(key: jax.Array, config: UNetConfig, dtype=jnp.float32) -> dict:
     """Random trunk + ZERO-initialized control convs (the ControlNet
     property: a fresh controlnet is an exact no-op)."""

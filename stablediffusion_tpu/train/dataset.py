@@ -36,6 +36,10 @@ class Example:
     crop_top_left: tuple
     target_size: tuple
     filename: str = ""
+    # ControlNet training: the control image, SAME geometry as pixel_values
+    # but in [0, 1] (diffusers train_controlnet.py conditioning transforms
+    # have no normalize)
+    conditioning_pixel_values: Optional[np.ndarray] = None
 
 
 def transform_image(
@@ -45,11 +49,15 @@ def transform_image(
     center_crop: bool,
     random_flip: bool,
     flip_p: float,
+    conditioning_img=None,
 ):
     """Shared train-time transform (ref: train_lora_pipeline.py:62-123 and the
     diffusers CLIs' train_transforms): square crop at native min side, resize,
     optional hflip, [-1,1] normalize; returns the SDXL micro-conditioning
-    tuple alongside the array."""
+    tuple alongside the array.
+
+    `conditioning_img` (ControlNet training) gets the IDENTICAL geometry
+    (crop/resize/flip) but stays in [0, 1] — paired pixels must line up."""
     img = img.convert("RGB")
     W, H = img.size
     original_size = (H, W)
@@ -60,20 +68,27 @@ def transform_image(
     else:
         top = int(rng.integers(0, H - side + 1))
         left = int(rng.integers(0, W - side + 1))
-    img = img.crop((left, top, left + side, top + side))
-    img = img.resize((resolution, resolution), Image.BILINEAR)
+    flip = random_flip and rng.random() < flip_p
 
-    arr = np.asarray(img, np.float32) / 255.0
-    if random_flip and rng.random() < flip_p:
-        arr = arr[:, ::-1]
+    def geom(im):
+        im = im.crop((left, top, left + side, top + side))
+        im = im.resize((resolution, resolution), Image.BILINEAR)
+        a = np.asarray(im, np.float32) / 255.0
+        return a[:, ::-1] if flip else a
+
+    arr = geom(img)
+    cond_arr = None
+    if conditioning_img is not None:
+        cond_arr = geom(conditioning_img.convert("RGB")).copy()
+    if flip:
         # mirror the crop x-coordinate for the conditioning tuple
         left = W - left - side
     arr = arr * 2.0 - 1.0
-    return arr, original_size, (top, left), (resolution, resolution)
+    return arr.copy(), original_size, (top, left), (resolution, resolution), cond_arr
 
 
 def _collate(examples) -> Dict[str, np.ndarray]:
-    return {
+    out = {
         "pixel_values": np.stack([e.pixel_values for e in examples]),
         "captions": [e.caption for e in examples],
         "filenames": [e.filename for e in examples],
@@ -87,6 +102,11 @@ def _collate(examples) -> Dict[str, np.ndarray]:
             [e.target_size for e in examples], np.float32
         ),
     }
+    if examples[0].conditioning_pixel_values is not None:
+        out["conditioning_pixel_values"] = np.stack(
+            [e.conditioning_pixel_values for e in examples]
+        )
+    return out
 
 
 class SDLoRADataset:
@@ -98,12 +118,16 @@ class SDLoRADataset:
         flip_p: float = 0.5,
         center_crop: bool = False,
         seed: int = 0,
+        conditioning_dir: Optional[str] = None,
     ):
+        """`conditioning_dir` (ControlNet training): a sibling folder holding
+        the control image for each training image under the SAME filename."""
         self.data_dir = data_dir
         self.resolution = resolution
         self.random_flip = random_flip
         self.flip_p = flip_p
         self.center_crop = center_crop
+        self.conditioning_dir = conditioning_dir
         self.rng = np.random.default_rng(seed)
         self.items: List[str] = sorted(
             os.path.join(data_dir, f)
@@ -112,6 +136,27 @@ class SDLoRADataset:
         )
         if not self.items:
             raise ValueError(f"no images found in {data_dir}")
+        if conditioning_dir is not None:
+            missing = [
+                os.path.basename(p)
+                for p in self.items
+                if self._conditioning_path(p) is None
+            ]
+            if missing:
+                raise ValueError(
+                    f"no conditioning image in {conditioning_dir} for: "
+                    f"{missing[:5]}"
+                )
+
+    def _conditioning_path(self, img_path: str) -> Optional[str]:
+        if self.conditioning_dir is None:
+            return None
+        stem = os.path.splitext(os.path.basename(img_path))[0]
+        for ext in IMAGE_EXTS:
+            cand = os.path.join(self.conditioning_dir, stem + ext)
+            if os.path.exists(cand):
+                return cand
+        return None
 
     def __len__(self) -> int:
         return len(self.items)
@@ -125,9 +170,11 @@ class SDLoRADataset:
 
     def __getitem__(self, idx: int) -> Example:
         path = self.items[idx]
-        arr, original_size, crop_top_left, target_size = transform_image(
+        cond_path = self._conditioning_path(path)
+        arr, original_size, crop_top_left, target_size, cond = transform_image(
             Image.open(path), self.rng, self.resolution, self.center_crop,
             self.random_flip, self.flip_p,
+            conditioning_img=Image.open(cond_path) if cond_path else None,
         )
         return Example(
             pixel_values=arr,
@@ -136,6 +183,7 @@ class SDLoRADataset:
             crop_top_left=crop_top_left,
             target_size=target_size,
             filename=os.path.basename(path),
+            conditioning_pixel_values=cond,
         )
 
     def batches(
@@ -193,6 +241,7 @@ class HFImageCaptionDataset(SDLoRADataset):
         flip_p: float = 0.5,
         center_crop: bool = False,
         seed: int = 0,
+        conditioning_image_column: Optional[str] = None,
     ):
         import datasets as hf_datasets
 
@@ -230,6 +279,16 @@ class HFImageCaptionDataset(SDLoRADataset):
             )
         self.image_column = image_column
         self.caption_column = caption_column
+        # ControlNet training (diffusers train_controlnet.py
+        # --conditioning_image_column, default 'conditioning_image')
+        if conditioning_image_column is not None and (
+            conditioning_image_column not in cols
+        ):
+            raise ValueError(
+                f"--conditioning_image_column {conditioning_image_column!r} "
+                f"not in dataset columns {cols}"
+            )
+        self.conditioning_image_column = conditioning_image_column
 
         self.resolution = resolution
         self.random_flip = random_flip
@@ -259,9 +318,14 @@ class HFImageCaptionDataset(SDLoRADataset):
         img = row[self.image_column]
         if isinstance(img, str):  # path column
             img = Image.open(img)
-        arr, original_size, crop_top_left, target_size = transform_image(
+        cond_img = None
+        if self.conditioning_image_column is not None:
+            cond_img = row[self.conditioning_image_column]
+            if isinstance(cond_img, str):
+                cond_img = Image.open(cond_img)
+        arr, original_size, crop_top_left, target_size, cond = transform_image(
             img, self.rng, self.resolution, self.center_crop,
-            self.random_flip, self.flip_p,
+            self.random_flip, self.flip_p, conditioning_img=cond_img,
         )
         caption = (
             self._pick_caption(row.get(self.caption_column))
@@ -275,4 +339,5 @@ class HFImageCaptionDataset(SDLoRADataset):
             crop_top_left=crop_top_left,
             target_size=target_size,
             filename=str(idx),
+            conditioning_pixel_values=cond,
         )

@@ -70,6 +70,9 @@ class TrainStatics:
     # (0 = whole batch): the fp32 encoder activations at 512^2 are the
     # memory peak and cap the trainable batch size otherwise
     vae_microbatch: int = 0
+    # ControlNet training: architecture of the trainable ControlNet (defaults
+    # to the UNet's own block layout, as ControlNetModel.from_unet does)
+    controlnet_config: Optional[UNetConfig] = None
 
     @property
     def is_sdxl(self) -> bool:
@@ -96,15 +99,19 @@ def encode_prompt_train(
     return embeds, out2.projected_pooled
 
 
-def loss_fn(
-    lora,
-    frozen: Dict[str, Any],  # unet/vae/text_encoder(_2) base params
+def _prepare_diffusion(
+    frozen: Dict[str, Any],
     batch: Dict[str, jax.Array],
     key: jax.Array,
     statics: TrainStatics,
     scheduler: BaseScheduler,
+    te=None,
+    te2=None,
 ):
-    """Forward diffusion + prediction loss (T4)."""
+    """Shared forward-diffusion prep for every training mode: VAE encode,
+    noise + random timesteps, text encode, SDXL micro-conditioning.
+    `te`/`te2` override the frozen text towers (LoRA-fused for
+    --train_text_encoder)."""
     k_sample, k_noise, k_t, k_offset = jax.random.split(key, 4)
     dt = statics.compute_dtype
 
@@ -142,15 +149,12 @@ def loss_fn(
     noisy = scheduler.add_noise(latents, noise, timesteps)
 
     # 3. text encode (per step, matching T4's no-caching behavior)
-    te = frozen["text_encoder"]
-    te2 = frozen.get("text_encoder_2")
-    if statics.train_text_encoder:
-        if "text_encoder" in lora:
-            te = apply_lora_for_training(te, lora["text_encoder"])
-        if te2 is not None and "text_encoder_2" in lora:
-            te2 = apply_lora_for_training(te2, lora["text_encoder_2"])
     embeds, pooled = encode_prompt_train(
-        statics, te, te2, batch["input_ids"], batch.get("input_ids_2")
+        statics,
+        te if te is not None else frozen["text_encoder"],
+        te2 if te2 is not None else frozen.get("text_encoder_2"),
+        batch["input_ids"],
+        batch.get("input_ids_2"),
     )
 
     # 4. SDXL micro-conditioning (ref: train_lora_pipeline.py:432-447)
@@ -165,6 +169,49 @@ def loss_fn(
             axis=-1,
         )
         added_cond = {"text_embeds": pooled.astype(dt), "time_ids": time_ids}
+    return latents, noise, timesteps, noisy, embeds, added_cond
+
+
+def _prediction_loss(
+    pred, latents, noise, timesteps, statics: TrainStatics, scheduler
+):
+    """Target (epsilon | velocity) + MSE with optional Min-SNR weighting."""
+    if statics.scheduler_config.prediction_type == "v_prediction":
+        target = scheduler.get_velocity(latents, noise, timesteps)
+    else:
+        target = noise
+    per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+    if statics.snr_gamma is not None:
+        snr = compute_snr(scheduler.alphas_cumprod, timesteps)
+        per_sample = per_sample * min_snr_weight(
+            snr, statics.snr_gamma, statics.scheduler_config.prediction_type
+        )
+    return jnp.mean(per_sample)
+
+
+def loss_fn(
+    lora,
+    frozen: Dict[str, Any],  # unet/vae/text_encoder(_2) base params
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    statics: TrainStatics,
+    scheduler: BaseScheduler,
+):
+    """Forward diffusion + prediction loss (T4)."""
+    dt = statics.compute_dtype
+    te = te2 = None
+    if statics.train_text_encoder:
+        if "text_encoder" in lora:
+            te = apply_lora_for_training(
+                frozen["text_encoder"], lora["text_encoder"]
+            )
+        if frozen.get("text_encoder_2") is not None and "text_encoder_2" in lora:
+            te2 = apply_lora_for_training(
+                frozen["text_encoder_2"], lora["text_encoder_2"]
+            )
+    latents, noise, timesteps, noisy, embeds, added_cond = _prepare_diffusion(
+        frozen, batch, key, statics, scheduler, te=te, te2=te2
+    )
 
     # 5. UNet predict with LoRA-fused weights
     unet_params = apply_lora_for_training(frozen["unet"], lora["unet"])
@@ -186,18 +233,64 @@ def loss_fn(
         added_cond,
     ).astype(jnp.float32)
 
-    # 6. target (epsilon | velocity) + MSE with optional Min-SNR weighting
-    if statics.scheduler_config.prediction_type == "v_prediction":
-        target = scheduler.get_velocity(latents, noise, timesteps)
-    else:
-        target = noise
-    per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
-    if statics.snr_gamma is not None:
-        snr = compute_snr(scheduler.alphas_cumprod, timesteps)
-        per_sample = per_sample * min_snr_weight(
-            snr, statics.snr_gamma, statics.scheduler_config.prediction_type
+    return _prediction_loss(pred, latents, noise, timesteps, statics, scheduler)
+
+
+def controlnet_loss_fn(
+    controlnet,  # trainable ControlNet param tree (fp32 masters)
+    frozen: Dict[str, Any],  # unet/vae/text_encoder(_2) base params
+    batch: Dict[str, jax.Array],  # + conditioning_pixel_values [B,H,W,3] in [0,1]
+    key: jax.Array,
+    statics: TrainStatics,
+    scheduler: BaseScheduler,
+):
+    """ControlNet training loss (diffusers train_controlnet.py analog —
+    beyond-parity: the reference can only convert ControlNets).  The whole
+    ControlNet is trainable; UNet / VAE / text towers stay frozen."""
+    from stablediffusion_tpu.models import controlnet as controlnet_model
+
+    dt = statics.compute_dtype
+    latents, noise, timesteps, noisy, embeds, added_cond = _prepare_diffusion(
+        frozen, batch, key, statics, scheduler
+    )
+
+    # fp32 master weights, bf16 compute (mirrors the LoRA-factor policy)
+    cn = jax.tree_util.tree_map(lambda x: x.astype(dt), controlnet)
+    cn_config = statics.controlnet_config or statics.unet_config
+
+    # the conditioning embedder downsamples by a fixed 8x; size the control
+    # image to latent_res * 8 (same rule as the inference pipeline — only
+    # differs from the pixel resolution when vae_scale_factor != 8)
+    cond = batch["conditioning_pixel_values"]
+    h8, w8 = noisy.shape[1] * 8, noisy.shape[2] * 8
+    if cond.shape[1] != h8 or cond.shape[2] != w8:
+        cond = jax.image.resize(
+            cond, (cond.shape[0], h8, w8, cond.shape[3]), "bilinear"
         )
-    return jnp.mean(per_sample)
+
+    def fwd(cn_p, x, t, ctx, cond, added):
+        down_res, mid_res = controlnet_model.apply(
+            cn_p, cn_config, x, t, ctx, cond, added_cond=added
+        )
+        return unet_model.apply(
+            frozen["unet"], statics.unet_config, x, t, ctx, added_cond=added,
+            down_block_residuals=down_res, mid_block_residual=mid_res,
+        )
+
+    if statics.gradient_checkpointing:
+        fwd = jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    pred = fwd(
+        cn,
+        noisy.astype(dt),
+        timesteps,
+        embeds.astype(dt),
+        cond.astype(dt),
+        added_cond,
+    ).astype(jnp.float32)
+
+    return _prediction_loss(pred, latents, noise, timesteps, statics, scheduler)
 
 
 def make_train_step(
@@ -205,19 +298,22 @@ def make_train_step(
     scheduler: BaseScheduler,
     optimizer: optax.GradientTransformation,
     mesh=None,
+    loss=loss_fn,
 ):
     """Build the jitted train step.  With a mesh, batch inputs are expected
     sharded over the `data` axis and params/opt-state replicated; XLA inserts
-    the gradient all-reduce."""
+    the gradient all-reduce.  `loss` selects the training mode (LoRA default;
+    `controlnet_loss_fn` for ControlNet training — same trainable/opt
+    signature, different trainable pytree)."""
 
-    def step(lora, opt_state, frozen, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            lora, frozen, batch, key, statics, scheduler
+    def step(trainable, opt_state, frozen, batch, key):
+        loss_val, grads = jax.value_and_grad(loss)(
+            trainable, frozen, batch, key, statics, scheduler
         )
-        updates, opt_state = optimizer.update(grads, opt_state, lora)
-        lora = optax.apply_updates(lora, updates)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
         grad_norm = optax.global_norm(grads)
-        return lora, opt_state, {"loss": loss, "grad_norm": grad_norm}
+        return trainable, opt_state, {"loss": loss_val, "grad_norm": grad_norm}
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
