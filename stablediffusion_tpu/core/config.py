@@ -179,6 +179,10 @@ class VAEConfig:
     force_upcast: bool = True
     latents_mean: Optional[Tuple[float, ...]] = None
     latents_std: Optional[Tuple[float, ...]] = None
+    # SD3-family: z' = (z - shift_factor) * scaling_factor
+    shift_factor: Optional[float] = None
+    use_quant_conv: bool = True
+    use_post_quant_conv: bool = True
 
     @property
     def vae_scale_factor(self) -> int:
@@ -199,11 +203,22 @@ class VAEConfig:
             force_upcast=bool(d.get("force_upcast", True)),
             latents_mean=tuple(d["latents_mean"]) if d.get("latents_mean") else None,
             latents_std=tuple(d["latents_std"]) if d.get("latents_std") else None,
+            shift_factor=d.get("shift_factor"),
+            use_quant_conv=bool(d.get("use_quant_conv", True)),
+            use_post_quant_conv=bool(d.get("use_post_quant_conv", True)),
         )
 
 
 SD15_VAE = VAEConfig()
 SDXL_VAE = VAEConfig(sample_size=1024, scaling_factor=0.13025)
+SD3_VAE = VAEConfig(
+    sample_size=1024,
+    latent_channels=16,
+    scaling_factor=1.5305,
+    shift_factor=0.0609,
+    use_quant_conv=False,
+    use_post_quant_conv=False,
+)
 
 
 def tiny_vae_config() -> VAEConfig:
@@ -414,6 +429,66 @@ def tiny_unet_config(
 
 
 # ---------------------------------------------------------------------------
+# SD3 MMDiT transformer (beyond-parity model family)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SD3Config:
+    """SD3Transformer2DModel (MM-DiT, arXiv 2403.03206).  Defaults are
+    SD3-medium; `qk_norm="rms_norm"` switches on the SD3.5 QK-RMSNorm."""
+
+    sample_size: int = 128
+    patch_size: int = 2
+    in_channels: int = 16
+    num_layers: int = 24
+    attention_head_dim: int = 64
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096
+    caption_projection_dim: int = 1536
+    pooled_projection_dim: int = 2048
+    out_channels: int = 16
+    pos_embed_max_size: int = 192
+    qk_norm: Optional[str] = None  # None | "rms_norm" (SD3.5)
+
+    @property
+    def dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @classmethod
+    def from_diffusers_dict(cls, d: dict) -> "SD3Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+SD3_MEDIUM = SD3Config()
+SD35_LARGE = SD3Config(
+    num_layers=38,
+    num_attention_heads=38,
+    caption_projection_dim=2432,
+    qk_norm="rms_norm",
+)
+
+
+def tiny_sd3_config() -> SD3Config:
+    return SD3Config(
+        sample_size=8,
+        patch_size=2,
+        in_channels=4,
+        num_layers=2,
+        attention_head_dim=8,
+        num_attention_heads=2,
+        # must exceed the two concatenated CLIP hidden sizes (2*32 in tests),
+        # as 4096 > 768+1280 does for real SD3
+        joint_attention_dim=80,
+        caption_projection_dim=16,
+        pooled_projection_dim=20,
+        out_channels=4,
+        pos_embed_max_size=16,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scheduler
 # ---------------------------------------------------------------------------
 
@@ -443,6 +518,8 @@ class SchedulerConfig:
     # UniPC
     solver_type: str = "bh2"
     rescale_betas_zero_snr: bool = False
+    # FlowMatch (SD3 rectified flow; diffusers FlowMatchEulerDiscreteScheduler)
+    shift: float = 3.0
 
     @classmethod
     def from_diffusers_dict(cls, d: dict) -> "SchedulerConfig":

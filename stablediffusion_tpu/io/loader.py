@@ -156,6 +156,99 @@ def load_sd_model(
     return model
 
 
+class T5TokenizerAdapter:
+    """Pads/truncates through a transformers T5 tokenizer to a fixed length
+    (the SD3 pipeline's max_sequence_length contract)."""
+
+    def __init__(self, hf_tokenizer):
+        self.hf = hf_tokenizer
+
+    def __call__(self, texts, max_length: int = 256):
+        if isinstance(texts, str):
+            texts = [texts]
+        out = self.hf(
+            list(texts),
+            padding="max_length",
+            max_length=max_length,
+            truncation=True,
+            add_special_tokens=True,
+            return_tensors="np",
+        )
+        return out["input_ids"].astype("int32")
+
+
+def load_sd3_model(
+    path: str,
+    dtype=None,
+    variant: Optional[str] = "fp16",
+    scheduler_name: str = "FlowMatchEuler",
+):
+    """Load a diffusers-layout SD3-family folder (transformer/, vae/, three
+    text encoders; text_encoder_3/tokenizer_3 optional — the T5-free serving
+    configuration).  Beyond-parity: the reference repo has no SD3 support."""
+    from stablediffusion_tpu.core.config import SD3Config
+    from stablediffusion_tpu.models.t5 import T5Config
+    from stablediffusion_tpu.pipelines.sd3 import SD3Model
+
+    tf_cfg = SD3Config.from_diffusers_dict(
+        _read_json(os.path.join(path, "transformer", "config.json"))
+    )
+    vae_cfg = VAEConfig.from_diffusers_dict(
+        _read_json(os.path.join(path, "vae", "config.json"))
+    )
+    te_cfg = CLIPTextConfig.from_diffusers_dict(
+        _read_json(os.path.join(path, "text_encoder", "config.json"))
+    )
+    te2_cfg = CLIPTextConfig.from_diffusers_dict(
+        _read_json(os.path.join(path, "text_encoder_2", "config.json"))
+    )
+    sched_path = os.path.join(path, "scheduler", "scheduler_config.json")
+    sched_cfg = (
+        SchedulerConfig.from_diffusers_dict(_read_json(sched_path))
+        if os.path.exists(sched_path)
+        else SchedulerConfig(shift=3.0)
+    )
+
+    def _load(sub):
+        return load_component_state(os.path.join(path, sub), variant, dtype)
+
+    kwargs: Dict[str, Any] = {}
+    te3_dir = os.path.join(path, "text_encoder_3")
+    if os.path.isdir(te3_dir) and os.path.exists(
+        os.path.join(te3_dir, "config.json")
+    ):
+        from transformers import AutoTokenizer
+
+        kwargs.update(
+            text_encoder_3_config=T5Config.from_diffusers_dict(
+                _read_json(os.path.join(te3_dir, "config.json"))
+            ),
+            text_encoder_3_params=_load("text_encoder_3"),
+            tokenizer_3=T5TokenizerAdapter(
+                AutoTokenizer.from_pretrained(os.path.join(path, "tokenizer_3"))
+            ),
+        )
+
+    return SD3Model(
+        transformer_config=tf_cfg,
+        transformer_params=_load("transformer"),
+        vae_config=vae_cfg,
+        vae_params=_load("vae"),
+        text_encoder_config=te_cfg,
+        text_encoder_params=_load("text_encoder"),
+        tokenizer=CLIPTokenizer.from_pretrained(os.path.join(path, "tokenizer")),
+        text_encoder_2_config=te2_cfg,
+        text_encoder_2_params=_load("text_encoder_2"),
+        tokenizer_2=CLIPTokenizer.from_pretrained(
+            os.path.join(path, "tokenizer_2")
+        ),
+        scheduler_config=sched_cfg,
+        scheduler_name=scheduler_name,
+        path=path,
+        **kwargs,
+    )
+
+
 def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> None:
     """Write a diffusers-layout folder (save_pretrained analog) readable by
     the torch ecosystem: torch layouts, per-component subfolders + configs."""

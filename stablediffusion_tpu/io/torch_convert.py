@@ -26,7 +26,8 @@ import numpy as np
 # transposed (a substring 'embedding' match would skip them and crash on the
 # non-square linear_1).
 _EMBEDDING_TABLE_RE = re.compile(
-    r"(^|\.)(token_embedding|position_embedding|class_embedding|shared)"
+    r"(^|\.)(token_embedding|position_embedding|class_embedding|shared"
+    r"|embed_tokens|relative_attention_bias)"
     r"\.weight$"
 )
 

@@ -83,7 +83,12 @@ def encode(
     x = _mid_block(p["mid_block"], x, g, eps)
     x = group_norm_silu(p["conv_norm_out"], x, g, eps)
     x = conv2d(p["conv_out"], x, padding=1)
-    moments = conv2d(params["quant_conv"], x, padding=0)
+    # SD3-family VAEs have use_quant_conv=False (no quant convs in the ckpt)
+    moments = (
+        conv2d(params["quant_conv"], x, padding=0)
+        if "quant_conv" in params
+        else x
+    )
     mean, logvar = jnp.split(moments, 2, axis=-1)
     return mean, jnp.clip(logvar, -30.0, 20.0)
 
@@ -97,7 +102,11 @@ def decode(params: dict, config: VAEConfig, latents: jax.Array) -> jax.Array:
     """latents NHWC [B, h, w, latent_ch] -> image NHWC in [-1, 1] range."""
     p = params["decoder"]
     g, eps = config.norm_num_groups, config.norm_eps
-    x = conv2d(params["post_quant_conv"], latents, padding=0)
+    x = (
+        conv2d(params["post_quant_conv"], latents, padding=0)
+        if "post_quant_conv" in params
+        else latents
+    )
     x = conv2d(p["conv_in"], x, padding=1)
     x = _mid_block(p["mid_block"], x, g, eps)
     n_blocks = len(config.block_out_channels)
@@ -188,7 +197,7 @@ def init_params(key: jax.Array, config: VAEConfig, dtype=jnp.float32) -> dict:
         dec_blocks[str(i)] = b
         c_in = c
 
-    return {
+    params = {
         "encoder": {
             "conv_in": conv(config.in_channels, ch[0]),
             "down_blocks": enc_blocks,
@@ -196,8 +205,6 @@ def init_params(key: jax.Array, config: VAEConfig, dtype=jnp.float32) -> dict:
             "conv_norm_out": norm(ch[-1]),
             "conv_out": conv(ch[-1], 2 * lc),
         },
-        "quant_conv": conv(2 * lc, 2 * lc, k=1),
-        "post_quant_conv": conv(lc, lc, k=1),
         "decoder": {
             "conv_in": conv(lc, ch[-1]),
             "mid_block": mid(ch[-1]),
@@ -206,3 +213,8 @@ def init_params(key: jax.Array, config: VAEConfig, dtype=jnp.float32) -> dict:
             "conv_out": conv(dec_ch[-1], config.out_channels),
         },
     }
+    if config.use_quant_conv:
+        params["quant_conv"] = conv(2 * lc, 2 * lc, k=1)
+    if config.use_post_quant_conv:
+        params["post_quant_conv"] = conv(lc, lc, k=1)
+    return params

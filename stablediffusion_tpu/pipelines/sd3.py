@@ -1,0 +1,324 @@
+"""StableDiffusion3Pipeline — MM-DiT txt2img/img2img (beyond-parity family).
+
+Mirrors diffusers' StableDiffusion3Pipeline semantics: triple text encoding
+(CLIP-L and CLIP-bigG penultimate hidden states concatenated on the channel
+axis, zero-padded to the T5 width, then T5-XXL tokens appended on the
+sequence axis; pooled = concat of both CLIP projected pooled embeds), flow-
+matching Euler sampling (schedulers/flow_match.py), 16-channel VAE with
+shift_factor latent normalization.  The denoise loop compiles to ONE
+`lax.scan` like the SD1.5/SDXL pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusion_tpu.core.config import (
+    CLIPTextConfig,
+    SD3Config,
+    SchedulerConfig,
+    VAEConfig,
+)
+from stablediffusion_tpu.core.rng import as_key, randn
+from stablediffusion_tpu.models import mmdit as mmdit_model
+from stablediffusion_tpu.models import t5 as t5_model
+from stablediffusion_tpu.models import vae as vae_model
+from stablediffusion_tpu.pipelines.unified import _clip_encode, SDPipelineOutput
+from stablediffusion_tpu.schedulers import make_scheduler
+from stablediffusion_tpu.schedulers.common import BaseScheduler, Plan
+from stablediffusion_tpu.utils import images as img_utils
+
+
+@dataclass
+class SD3Model:
+    """Model holder for the SD3 family (wrapper-layer analog of SDModel)."""
+
+    transformer_config: SD3Config
+    transformer_params: Any
+    vae_config: VAEConfig
+    vae_params: Any
+    # CLIP-L (with projection in SD3 layouts)
+    text_encoder_config: CLIPTextConfig
+    text_encoder_params: Any
+    tokenizer: Any
+    # CLIP-bigG
+    text_encoder_2_config: CLIPTextConfig
+    text_encoder_2_params: Any
+    tokenizer_2: Any
+    # T5-XXL (optional: SD3 supports dropping T5 at inference)
+    text_encoder_3_config: Optional[t5_model.T5Config] = None
+    text_encoder_3_params: Optional[Any] = None
+    tokenizer_3: Any = None
+    scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
+    scheduler_name: str = "FlowMatchEuler"
+    path: Optional[str] = None
+
+    _scheduler: Optional[BaseScheduler] = field(default=None, repr=False)
+
+    @property
+    def scheduler(self) -> BaseScheduler:
+        if self._scheduler is None:
+            self._scheduler = make_scheduler(
+                self.scheduler_name, self.scheduler_config
+            )
+        return self._scheduler
+
+    @property
+    def vae_scale_factor(self) -> int:
+        return self.vae_config.vae_scale_factor
+
+    @property
+    def joint_dim(self) -> int:
+        return self.transformer_config.joint_attention_dim
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _t5_encode(params, ids, *, config):
+    return t5_model.apply(params, config, ids)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "scheduler", "do_cfg")
+)
+def _denoise_sd3(
+    params,
+    latents,
+    embeds,  # [2B or B, S, joint_dim]
+    pooled,  # [2B or B, pooled_dim]
+    plan: Plan,
+    guidance_scale,
+    *,
+    config: SD3Config,
+    scheduler: BaseScheduler,
+    do_cfg: bool,
+):
+    N = plan.num_steps
+    state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
+
+    def body(carry, i):
+        lat, state = carry
+        x = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+        t = plan.timesteps[i]
+        pred = mmdit_model.apply(params, config, x, t, embeds, pooled)
+        if do_cfg:
+            uncond, text = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance_scale * (text - uncond)
+        lat, state = scheduler.step(plan, state, i, pred, lat)
+        return (lat, state), ()
+
+    (final, _), _ = jax.lax.scan(body, (latents, state0), jnp.arange(N))
+    return final
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _sd3_vae_decode(params, latents, *, config: VAEConfig):
+    z = latents.astype(jnp.float32) / config.scaling_factor
+    if config.shift_factor:
+        z = z + config.shift_factor
+    return vae_model.decode(params, config, z)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "sample"))
+def _sd3_vae_encode(params, image, key, *, config: VAEConfig, sample=True):
+    mean, logvar = vae_model.encode(params, config, image.astype(jnp.float32))
+    z = vae_model.sample_latent(mean, logvar, key) if sample else mean
+    if config.shift_factor:
+        z = z - config.shift_factor
+    return z * config.scaling_factor
+
+
+class StableDiffusion3Pipeline:
+    def __init__(self, do_cfg: bool = True, output_type: str = "np", dtype=None):
+        self.do_cfg = do_cfg
+        self.output_type = output_type
+        if dtype is None:
+            platform = jax.devices()[0].platform
+            dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+        self.dtype = dtype
+
+    # -- prompt encoding (StableDiffusion3Pipeline.encode_prompt) -----------
+    def encode_prompt(
+        self,
+        model: SD3Model,
+        prompt: Union[str, List[str]],
+        prompt_2=None,
+        prompt_3=None,
+        negative_prompt=None,
+        negative_prompt_2=None,
+        negative_prompt_3=None,
+        num_images_per_prompt: int = 1,
+        do_cfg: bool = True,
+        max_sequence_length: int = 256,
+        clip_skip: Optional[int] = None,
+    ):
+        prompt = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompt)
+
+        def listify(p, fallback):
+            p = p if p is not None else fallback
+            p = [p] if isinstance(p, str) else list(p)
+            if len(p) == 1 and B > 1:
+                p = p * B
+            return p
+
+        def clip_embed(texts, tok, cfg, par):
+            ids = jnp.asarray(tok(texts))
+            h, pooled = _clip_encode(
+                par, ids, config=cfg, mode="penultimate",
+                clip_skip=clip_skip or 0,
+            )
+            return h, pooled
+
+        def encode_all(p1, p2, p3):
+            h1, pool1 = clip_embed(
+                p1, model.tokenizer, model.text_encoder_config,
+                model.text_encoder_params,
+            )
+            h2, pool2 = clip_embed(
+                p2, model.tokenizer_2, model.text_encoder_2_config,
+                model.text_encoder_2_params,
+            )
+            clip_h = jnp.concatenate([h1, h2], axis=-1)
+            clip_h = jnp.pad(
+                clip_h, ((0, 0), (0, 0), (0, model.joint_dim - clip_h.shape[-1]))
+            )
+            if model.text_encoder_3_params is not None:
+                ids3 = jnp.asarray(
+                    model.tokenizer_3(p3, max_length=max_sequence_length)
+                )
+                t5_h = _t5_encode(
+                    model.text_encoder_3_params, ids3,
+                    config=model.text_encoder_3_config,
+                )
+            else:
+                # T5 dropped: zeros, as diffusers does
+                t5_h = jnp.zeros(
+                    (len(p1), max_sequence_length, model.joint_dim), clip_h.dtype
+                )
+            embeds = jnp.concatenate([clip_h, t5_h.astype(clip_h.dtype)], axis=1)
+            pooled = jnp.concatenate([pool1, pool2], axis=-1)
+            return embeds, pooled
+
+        embeds, pooled = encode_all(
+            prompt, listify(prompt_2, prompt), listify(prompt_3, prompt)
+        )
+        neg_embeds = neg_pooled = None
+        if do_cfg:
+            neg = listify(negative_prompt, "")
+            neg_embeds, neg_pooled = encode_all(
+                neg,
+                listify(negative_prompt_2, neg),
+                listify(negative_prompt_3, neg),
+            )
+        n = num_images_per_prompt
+        tile = lambda x: jnp.repeat(x, n, axis=0) if x is not None else None
+        return tile(embeds), tile(neg_embeds), tile(pooled), tile(neg_pooled)
+
+    # -- main entry ----------------------------------------------------------
+    def __call__(
+        self,
+        model: SD3Model,
+        prompt: Union[str, List[str]] = None,
+        prompt_2=None,
+        prompt_3=None,
+        negative_prompt=None,
+        negative_prompt_2=None,
+        negative_prompt_3=None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 28,
+        guidance_scale: float = 7.0,
+        num_images_per_prompt: int = 1,
+        seed: Optional[int] = None,
+        latents: Optional[jax.Array] = None,
+        max_sequence_length: int = 256,
+        clip_skip: Optional[int] = None,
+        output_type: Optional[str] = None,
+        # img2img
+        image=None,
+        strength: float = 0.6,
+        timesteps=None,
+        sigmas=None,
+    ) -> SDPipelineOutput:
+        scheduler = model.scheduler
+        vf = model.vae_scale_factor
+        height = height or model.transformer_config.sample_size * vf
+        width = width or model.transformer_config.sample_size * vf
+        B = 1 if isinstance(prompt, str) else len(prompt)
+        n = num_images_per_prompt
+        do_cfg = self.do_cfg and guidance_scale > 1.0
+
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        key = as_key(seed)
+        k_latent, k_encode = jax.random.split(key)
+
+        embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
+            model, prompt, prompt_2, prompt_3,
+            negative_prompt, negative_prompt_2, negative_prompt_3,
+            num_images_per_prompt=n, do_cfg=do_cfg,
+            max_sequence_length=max_sequence_length, clip_skip=clip_skip,
+        )
+        if do_cfg:
+            embeds = jnp.concatenate([neg_embeds, embeds], axis=0)
+            pooled = jnp.concatenate([neg_pooled, pooled], axis=0)
+        embeds = embeds.astype(self.dtype)
+        pooled = pooled.astype(self.dtype)
+
+        lat_c = model.vae_config.latent_channels
+        if image is None:
+            plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
+                                  sigmas=sigmas)
+            shape = (B * n, height // vf, width // vf, lat_c)
+            if latents is None:
+                latents = randn(k_latent, shape, jnp.float32)
+                # sigma_max = 1 -> pure noise start
+                latents = latents * plan.init_noise_sigma
+        else:
+            plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
+                                  sigmas=sigmas)
+            t_start = min(
+                max(int(plan.num_steps * (1.0 - strength)), 0),
+                plan.num_steps - 1,
+            )
+            from stablediffusion_tpu.pipelines.unified import (
+                StableDiffusionUnifiedPipeline as _U,
+            )
+
+            plan = _U._slice_plan(plan, t_start)
+            img = jnp.asarray(img_utils.preprocess_image(image, height, width))
+            init_lat = _sd3_vae_encode(
+                model.vae_params, img, k_encode, config=model.vae_config
+            )
+            init_lat = jnp.tile(init_lat, (B * n // init_lat.shape[0], 1, 1, 1))
+            noise = randn(k_latent, init_lat.shape, jnp.float32)
+            latents = scheduler.add_noise_index(
+                plan, init_lat.astype(jnp.float32), noise, 0
+            )
+
+        latents = _denoise_sd3(
+            model.transformer_params,
+            latents.astype(self.dtype),
+            embeds,
+            pooled,
+            plan,
+            jnp.asarray(guidance_scale, jnp.float32),
+            config=model.transformer_config,
+            scheduler=scheduler,
+            do_cfg=do_cfg,
+        )
+
+        output_type = output_type or self.output_type
+        if output_type == "latents":
+            return SDPipelineOutput(images=None, latents=latents, seed=seed)
+        images = _sd3_vae_decode(
+            model.vae_params, latents, config=model.vae_config
+        )
+        images_np = img_utils.postprocess_image(np.asarray(images, np.float32))
+        return SDPipelineOutput(images=images_np, latents=None, seed=seed)

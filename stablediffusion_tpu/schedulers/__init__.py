@@ -19,6 +19,7 @@ from stablediffusion_tpu.schedulers.euler import (
     EulerAncestralScheduler,
     EulerDiscreteScheduler,
 )
+from stablediffusion_tpu.schedulers.flow_match import FlowMatchEulerScheduler
 from stablediffusion_tpu.schedulers.lcm import LCMScheduler
 from stablediffusion_tpu.schedulers.pndm import PNDMScheduler
 from stablediffusion_tpu.schedulers.unipc import UniPCScheduler
@@ -44,6 +45,8 @@ SCHEDULER_REGISTRY = {
     "DDPM": (DDPMScheduler, {}),
     # 4-8 step generation with a distilled LCM-LoRA adapter (PAPERS.md)
     "LCM": (LCMScheduler, {}),
+    # SD3 rectified flow (beyond-parity; diffusers FlowMatchEulerDiscrete)
+    "FlowMatchEuler": (FlowMatchEulerScheduler, {}),
 }
 
 SCHEDULER_NAMES = tuple(SCHEDULER_REGISTRY.keys())
@@ -70,6 +73,7 @@ __all__ = [
     "SchedulerConfig",
     "DDIMScheduler",
     "DDPMScheduler",
+    "FlowMatchEulerScheduler",
     "LCMScheduler",
     "DPMSolverMultistepScheduler",
     "EulerAncestralScheduler",

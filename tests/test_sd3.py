@@ -1,0 +1,278 @@
+"""SD3 family: T5 parity vs transformers, flow-match scheduler oracle,
+MMDiT pipeline e2e (the MMDiT forward anchor lives in test_torch_mirror)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stablediffusion_tpu.core.config import (
+    SchedulerConfig,
+    tiny_clip_config,
+    tiny_sd3_config,
+    tiny_vae_config,
+)
+from stablediffusion_tpu.models import clip, mmdit, t5, vae
+from stablediffusion_tpu.pipelines.sd3 import SD3Model, StableDiffusion3Pipeline
+from stablediffusion_tpu.schedulers import FlowMatchEulerScheduler
+from tests.helpers import tiny_tokenizer
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder vs transformers
+# ---------------------------------------------------------------------------
+
+
+class TestT5Parity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import torch
+        from transformers import T5Config as HFT5Config
+        from transformers import T5EncoderModel
+
+        cfg = t5.tiny_t5_config()
+        hf_cfg = HFT5Config(
+            vocab_size=cfg.vocab_size,
+            d_model=cfg.d_model,
+            d_kv=cfg.d_kv,
+            d_ff=cfg.d_ff,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+            relative_attention_max_distance=cfg.relative_attention_max_distance,
+            dense_act_fn="gelu_new",
+            is_gated_act=True,
+            feed_forward_proj="gated-gelu",
+            dropout_rate=0.0,
+        )
+        torch.manual_seed(0)
+        model = T5EncoderModel(hf_cfg).eval()
+        from stablediffusion_tpu.io.torch_convert import convert_state_dict
+
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = convert_state_dict(sd)
+        return model, params, cfg
+
+    def test_last_hidden_matches(self, pair):
+        import torch
+
+        model, params, cfg = pair
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+        with torch.no_grad():
+            ref = model(input_ids=torch.from_numpy(ids.astype(np.int64)))
+        out = t5.apply(params, cfg, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.last_hidden_state.numpy(), atol=1e-4, rtol=1e-4
+        )
+
+    def test_attention_mask(self, pair):
+        import torch
+
+        model, params, cfg = pair
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, cfg.vocab_size, (2, 12)).astype(np.int32)
+        mask = np.ones((2, 12), np.int32)
+        mask[0, 8:] = 0
+        mask[1, 5:] = 0
+        with torch.no_grad():
+            ref = model(
+                input_ids=torch.from_numpy(ids.astype(np.int64)),
+                attention_mask=torch.from_numpy(mask.astype(np.int64)),
+            )
+        out = t5.apply(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        # compare only unmasked positions (masked rows differ by convention)
+        for b in range(2):
+            keep = mask[b].astype(bool)
+            np.testing.assert_allclose(
+                np.asarray(out)[b][keep],
+                ref.last_hidden_state.numpy()[b][keep],
+                atol=1e-4,
+                rtol=1e-4,
+            )
+
+
+# ---------------------------------------------------------------------------
+# flow-match scheduler
+# ---------------------------------------------------------------------------
+
+
+class TestFlowMatchScheduler:
+    def test_sigma_table(self):
+        s = FlowMatchEulerScheduler(SchedulerConfig(shift=3.0))
+        # shifted sigma_max is exactly 1 (pure-noise start)
+        assert s.sigma_max == pytest.approx(1.0)
+        plan = s.plan(10)
+        sig = np.asarray(plan.sigmas)
+        assert sig[0] == pytest.approx(1.0)
+        assert sig[-1] == 0.0
+        assert np.all(np.diff(sig) < 0)
+        assert float(plan.init_noise_sigma) == pytest.approx(1.0)
+        # timesteps = sigma * T
+        np.testing.assert_allclose(
+            np.asarray(plan.timesteps), sig[:-1] * 1000.0, rtol=1e-6
+        )
+
+    @pytest.mark.parametrize("steps", [1, 4, 28])
+    def test_linear_flow_oracle(self, steps):
+        """With the EXACT velocity v = eps - x0 (straight rectified path),
+        Euler integration must land on x0 precisely for ANY step count."""
+        s = FlowMatchEulerScheduler(SchedulerConfig(shift=3.0))
+        plan = s.plan(steps)
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
+        eps = jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
+        x = (1.0 - plan.sigmas[0]) * x0 + plan.sigmas[0] * eps
+        state = s.init_state(plan, x.shape)
+        v = eps - x0
+        for i in range(plan.num_steps):
+            x, state = s.step(plan, state, i, v, x)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-5)
+
+    def test_add_noise_index_matches_formula(self):
+        s = FlowMatchEulerScheduler(SchedulerConfig())
+        plan = s.plan(8)
+        x0 = jnp.ones((1, 2, 2, 4))
+        eps = jnp.full((1, 2, 2, 4), 2.0)
+        for i in (0, 3):
+            sigma = float(plan.sigmas[i])
+            got = s.add_noise_index(plan, x0, eps, i)
+            np.testing.assert_allclose(
+                np.asarray(got), (1 - sigma) * 1.0 + sigma * 2.0, rtol=1e-6
+            )
+
+    def test_custom_sigmas(self):
+        s = FlowMatchEulerScheduler(SchedulerConfig(shift=1.0))
+        plan = s.plan(0, sigmas=[0.8, 0.5, 0.2])
+        np.testing.assert_allclose(
+            np.asarray(plan.sigmas), [0.8, 0.5, 0.2, 0.0], atol=1e-6
+        )
+        assert plan.num_steps == 3
+
+
+# ---------------------------------------------------------------------------
+# pipeline e2e (tiny)
+# ---------------------------------------------------------------------------
+
+
+def _t5_tokenizer(texts, max_length=16):
+    if isinstance(texts, str):
+        texts = [texts]
+    out = np.zeros((len(texts), max_length), np.int32)
+    for i, t in enumerate(texts):
+        ids = [(ord(c) % 500) + 2 for c in t][: max_length - 1] + [1]
+        out[i, : len(ids)] = ids
+    return out
+
+
+def make_tiny_sd3_model(seed=0) -> SD3Model:
+    keys = jax.random.split(jax.random.key(seed), 8)
+    tf_cfg = tiny_sd3_config()
+    vae_cfg = tiny_vae_config()
+    # CLIP towers: L-like (proj 12) and G-like (proj 12); joint padding checks
+    te_cfg = dataclasses.replace(
+        tiny_clip_config(with_projection=True), projection_dim=12
+    )
+    te2_cfg = dataclasses.replace(
+        tiny_clip_config(with_projection=True), projection_dim=8
+    )
+    t5_cfg = dataclasses.replace(t5.tiny_t5_config(), d_model=tf_cfg.joint_attention_dim)
+    assert te_cfg.projection_dim + te2_cfg.projection_dim == (
+        tf_cfg.pooled_projection_dim
+    )
+    return SD3Model(
+        transformer_config=tf_cfg,
+        transformer_params=mmdit.init_params(keys[0], tf_cfg),
+        vae_config=vae_cfg,
+        vae_params=vae.init_params(keys[1], vae_cfg),
+        text_encoder_config=te_cfg,
+        text_encoder_params=clip.init_params(keys[2], te_cfg),
+        tokenizer=tiny_tokenizer(),
+        text_encoder_2_config=te2_cfg,
+        text_encoder_2_params=clip.init_params(keys[3], te2_cfg),
+        tokenizer_2=tiny_tokenizer(pad_token_id=0),
+        text_encoder_3_config=t5_cfg,
+        text_encoder_3_params=t5.init_params(keys[4], t5_cfg),
+        tokenizer_3=_t5_tokenizer,
+        scheduler_config=SchedulerConfig(shift=3.0),
+    )
+
+
+class TestSD3Pipeline:
+    @pytest.fixture(scope="class")
+    def model(self):
+        return make_tiny_sd3_model()
+
+    def test_txt2img(self, model):
+        pipe = StableDiffusion3Pipeline()
+        out = pipe(
+            model, prompt="a cat", num_inference_steps=3, height=16, width=16,
+            seed=7, max_sequence_length=16,
+        )
+        assert out.images.shape == (1, 16, 16, 3)
+        assert np.isfinite(out.images).all()
+        again = pipe(
+            model, prompt="a cat", num_inference_steps=3, height=16, width=16,
+            seed=7, max_sequence_length=16,
+        )
+        np.testing.assert_allclose(out.images, again.images, atol=1e-6)
+
+    def test_txt2img_no_t5(self, model):
+        """The T5-free serving configuration (text_encoder_3=None)."""
+        m = dataclasses.replace(
+            model, text_encoder_3_config=None, text_encoder_3_params=None,
+            tokenizer_3=None,
+        )
+        pipe = StableDiffusion3Pipeline()
+        out = pipe(
+            m, prompt="a dog", num_inference_steps=2, height=16, width=16,
+            seed=3, max_sequence_length=16,
+        )
+        assert out.images.shape == (1, 16, 16, 3)
+        assert np.isfinite(out.images).all()
+
+    def test_img2img(self, model):
+        pipe = StableDiffusion3Pipeline()
+        init = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        out = pipe(
+            model, prompt="a cat", image=init, strength=0.6,
+            num_inference_steps=4, height=16, width=16, seed=5,
+            max_sequence_length=16,
+        )
+        assert out.images.shape == (1, 16, 16, 3)
+        assert np.isfinite(out.images).all()
+
+    def test_negative_prompt_and_batch(self, model):
+        pipe = StableDiffusion3Pipeline()
+        out = pipe(
+            model, prompt=["a cat", "a dog"], negative_prompt="ugly",
+            num_inference_steps=2, height=16, width=16, seed=5,
+            num_images_per_prompt=2, max_sequence_length=16,
+        )
+        assert out.images.shape == (4, 16, 16, 3)
+
+
+class TestSD3VAE:
+    def test_quantconv_free_roundtrip(self):
+        cfg = dataclasses.replace(
+            tiny_vae_config(), use_quant_conv=False, use_post_quant_conv=False,
+            shift_factor=0.1, scaling_factor=1.5,
+        )
+        params = vae.init_params(jax.random.key(0), cfg)
+        assert "quant_conv" not in params and "post_quant_conv" not in params
+        from stablediffusion_tpu.pipelines.sd3 import (
+            _sd3_vae_decode,
+            _sd3_vae_encode,
+        )
+
+        img = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 16, 16, 3)) * 0.5,
+            jnp.float32,
+        )
+        z = _sd3_vae_encode(params, img, jax.random.key(1), config=cfg)
+        assert z.shape[-1] == cfg.latent_channels
+        out = _sd3_vae_decode(params, z, config=cfg)
+        assert out.shape == (1, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()

@@ -134,3 +134,65 @@ def test_anchor_catches_wiring_mutations(rng):
     with torch.no_grad():
         theirs = mirror(_nchw(sample), torch.from_numpy(t), torch.from_numpy(embeds))
     assert np.abs(np.asarray(ours) - _nhwc(theirs)).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# SD3 MM-DiT anchor
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("qk_norm", [None, "rms_norm"])
+def test_mmdit_forward_matches_torch_mirror(qk_norm, rng):
+    from stablediffusion_tpu.core.config import tiny_sd3_config
+    from stablediffusion_tpu.models import mmdit
+    from torch_mirror import MirrorMMDiT
+
+    if qk_norm == "rms_norm" and not hasattr(torch.nn, "RMSNorm"):
+        pytest.skip("torch too old for nn.RMSNorm")
+    torch.manual_seed(0)
+    cfg = dataclasses.replace(tiny_sd3_config(), qk_norm=qk_norm)
+    mirror = MirrorMMDiT(cfg).eval()
+    params = _params_from_torch(mirror)
+
+    B = 2
+    sample = rng.standard_normal((B, 8, 8, cfg.in_channels)).astype(np.float32)
+    ctx = rng.standard_normal((B, 9, cfg.joint_attention_dim)).astype(np.float32)
+    pooled = rng.standard_normal((B, cfg.pooled_projection_dim)).astype(np.float32)
+    t = np.asarray([800.0, 41.5], np.float32)
+
+    with torch.no_grad():
+        ref = mirror(
+            _nchw(sample),
+            torch.from_numpy(t),
+            torch.from_numpy(ctx),
+            torch.from_numpy(pooled),
+        )
+    out = mmdit.apply(
+        params, cfg, jnp.asarray(sample), jnp.asarray(t), jnp.asarray(ctx),
+        jnp.asarray(pooled),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _nhwc(ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_mmdit_init_params_tree_matches_converter(rng):
+    """init_params must produce the same tree structure the converter yields
+    from a torch checkpoint (so random-init tests exercise real layouts)."""
+    import jax
+
+    from stablediffusion_tpu.core.config import tiny_sd3_config
+    from stablediffusion_tpu.models import mmdit
+    from torch_mirror import MirrorMMDiT
+
+    cfg = tiny_sd3_config()
+    torch.manual_seed(0)
+    converted = _params_from_torch(MirrorMMDiT(cfg).eval())
+    inited = mmdit.init_params(jax.random.key(0), cfg)
+    assert jax.tree_util.tree_structure(converted) == (
+        jax.tree_util.tree_structure(inited)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(converted), jax.tree_util.tree_leaves(inited)
+    ):
+        assert a.shape == b.shape

@@ -435,3 +435,177 @@ class MirrorVAE(nn.Module):
             if hasattr(blk, "upsamplers"):
                 x = blk.upsamplers[0](x)
         return d.conv_out(F.silu(d.conv_norm_out(x)))
+
+
+# ---------------------------------------------------------------------------
+# SD3 MM-DiT mirror (SD3Transformer2DModel wiring, arXiv 2403.03206)
+# ---------------------------------------------------------------------------
+
+
+class MirrorAdaLNZero(nn.Module):
+    def __init__(self, dim, n_chunks=6):
+        super().__init__()
+        self.linear = nn.Linear(dim, n_chunks * dim)
+        self.norm = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.n_chunks = n_chunks
+
+    def forward(self, x, emb):
+        mod = self.linear(F.silu(emb))
+        chunks = mod.chunk(self.n_chunks, dim=-1)
+        if self.n_chunks == 2:  # AdaLayerNormContinuous: (scale, shift)
+            scale, shift = chunks
+            return self.norm(x) * (1 + scale[:, None]) + shift[:, None], ()
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = chunks
+        h = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        return h, (gate_msa, shift_mlp, scale_mlp, gate_mlp)
+
+
+class MirrorJointBlock(nn.Module):
+    def __init__(self, dim, heads, head_dim, last, qk_norm=None):
+        super().__init__()
+        self.heads, self.head_dim, self.last = heads, head_dim, last
+        self.norm1 = MirrorAdaLNZero(dim)
+        self.norm1_context = MirrorAdaLNZero(dim, 2 if last else 6)
+        attn = nn.Module()
+        attn.to_q = nn.Linear(dim, dim)
+        attn.to_k = nn.Linear(dim, dim)
+        attn.to_v = nn.Linear(dim, dim)
+        attn.add_q_proj = nn.Linear(dim, dim)
+        attn.add_k_proj = nn.Linear(dim, dim)
+        attn.add_v_proj = nn.Linear(dim, dim)
+        attn.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+        if not last:
+            attn.to_add_out = nn.Linear(dim, dim)
+        if qk_norm == "rms_norm":
+            attn.norm_q = nn.RMSNorm(head_dim, eps=1e-6)
+            attn.norm_k = nn.RMSNorm(head_dim, eps=1e-6)
+            attn.norm_added_q = nn.RMSNorm(head_dim, eps=1e-6)
+            attn.norm_added_k = nn.RMSNorm(head_dim, eps=1e-6)
+        self.attn = attn
+        self.qk_norm = qk_norm
+
+        def ff(dim):
+            m = nn.Module()
+            proj_wrap = nn.Module()
+            proj_wrap.proj = nn.Linear(dim, 4 * dim)
+            m.net = nn.ModuleList([proj_wrap, nn.Identity(), nn.Linear(4 * dim, dim)])
+            return m
+
+        self.ff = ff(dim)
+        if not last:
+            self.ff_context = ff(dim)
+        self.norm2 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        if not last:
+            self.norm2_context = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+
+    def _heads(self, t):
+        B, S, _ = t.shape
+        return t.view(B, S, self.heads, self.head_dim).transpose(1, 2)
+
+    def forward(self, x, ctx, emb):
+        a = self.attn
+        x_n, (g_msa, sh_mlp, sc_mlp, g_mlp) = self.norm1(x, emb)
+        if self.last:
+            ctx_n, _ = self.norm1_context(ctx, emb)
+            c_gates = None
+        else:
+            ctx_n, c_gates = self.norm1_context(ctx, emb)
+
+        q = self._heads(a.to_q(x_n))
+        k = self._heads(a.to_k(x_n))
+        v = self._heads(a.to_v(x_n))
+        qc = self._heads(a.add_q_proj(ctx_n))
+        kc = self._heads(a.add_k_proj(ctx_n))
+        vc = self._heads(a.add_v_proj(ctx_n))
+        if self.qk_norm == "rms_norm":
+            q, k = a.norm_q(q), a.norm_k(k)
+            qc, kc = a.norm_added_q(qc), a.norm_added_k(kc)
+        S = x.shape[1]
+        q = torch.cat([q, qc], dim=2)
+        k = torch.cat([k, kc], dim=2)
+        v = torch.cat([v, vc], dim=2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(x.shape[0], -1, self.heads * self.head_dim)
+        o_img, o_ctx = o[:, :S], o[:, S:]
+        x = x + g_msa[:, None] * a.to_out[0](o_img)
+        h = self.norm2(x) * (1 + sc_mlp[:, None]) + sh_mlp[:, None]
+        x = x + g_mlp[:, None] * self.ff.net[2](
+            F.gelu(self.ff.net[0].proj(h), approximate="tanh")
+        )
+        if self.last:
+            return x, None
+        c_g_msa, c_sh_mlp, c_sc_mlp, c_g_mlp = c_gates
+        ctx = ctx + c_g_msa[:, None] * a.to_add_out(o_ctx)
+        hc = self.norm2_context(ctx) * (1 + c_sc_mlp[:, None]) + c_sh_mlp[:, None]
+        ctx = ctx + c_g_mlp[:, None] * self.ff_context.net[2](
+            F.gelu(self.ff_context.net[0].proj(hc), approximate="tanh")
+        )
+        return x, ctx
+
+
+class MirrorMMDiT(nn.Module):
+    """From-scratch SD3Transformer2DModel (NCHW, torch layouts, diffusers
+    checkpoint keys) — anchors models/mmdit.py through the real converter."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        D = cfg.num_attention_heads * cfg.attention_head_dim
+        self.cfg = cfg
+        pos = nn.Module()
+        pos.proj = nn.Conv2d(cfg.in_channels, D, cfg.patch_size, stride=cfg.patch_size)
+        pos.register_buffer(
+            "pos_embed",
+            torch.randn(1, cfg.pos_embed_max_size**2, D) * 0.02,
+        )
+        self.pos_embed = pos
+
+        tte = nn.Module()
+        t_e = nn.Module()
+        t_e.linear_1 = nn.Linear(256, D)
+        t_e.linear_2 = nn.Linear(D, D)
+        tte.timestep_embedder = t_e
+        x_e = nn.Module()
+        x_e.linear_1 = nn.Linear(cfg.pooled_projection_dim, D)
+        x_e.linear_2 = nn.Linear(D, D)
+        tte.text_embedder = x_e
+        self.time_text_embed = tte
+
+        self.context_embedder = nn.Linear(cfg.joint_attention_dim, D)
+        self.transformer_blocks = nn.ModuleList(
+            [
+                MirrorJointBlock(
+                    D, cfg.num_attention_heads, cfg.attention_head_dim,
+                    last=(i == cfg.num_layers - 1), qk_norm=cfg.qk_norm,
+                )
+                for i in range(cfg.num_layers)
+            ]
+        )
+        self.norm_out = MirrorAdaLNZero(D, 2)
+        self.proj_out = nn.Linear(D, cfg.patch_size**2 * cfg.out_channels)
+
+    def forward(self, sample, timestep, encoder_hidden_states, pooled):
+        cfg = self.cfg
+        B, _, H, W = sample.shape
+        p = cfg.patch_size
+        h, w = H // p, W // p
+        x = self.pos_embed.proj(sample)  # [B, D, h, w]
+        x = x.flatten(2).transpose(1, 2)
+        m = cfg.pos_embed_max_size
+        top, left = (m - h) // 2, (m - w) // 2
+        grid = self.pos_embed.pos_embed.view(1, m, m, -1)
+        x = x + grid[:, top : top + h, left : left + w].reshape(1, h * w, -1)
+
+        t_freq = timestep_embedding(timestep, 256, True, 0.0)
+        te = self.time_text_embed.timestep_embedder
+        temb = te.linear_2(F.silu(te.linear_1(t_freq)))
+        xe = self.time_text_embed.text_embedder
+        temb = temb + xe.linear_2(F.silu(xe.linear_1(pooled)))
+
+        ctx = self.context_embedder(encoder_hidden_states)
+        for blk in self.transformer_blocks:
+            x, ctx = blk(x, ctx, temb)
+        x, _ = self.norm_out(x, temb)
+        x = self.proj_out(x)
+        x = x.view(B, h, w, p, p, cfg.out_channels)
+        x = x.permute(0, 5, 1, 3, 2, 4).reshape(B, cfg.out_channels, H, W)
+        return x
