@@ -81,12 +81,19 @@ def _lib_flash_supported(q_shape, k_shape) -> bool:
 
     XLA stays ahead at D=40 (SD1.5 L1: 8.4 vs 10.7 ms — the 40->128 MXU pad
     hurts the [b,h,s,d]-blocked kernel more) and at short KV (cross-attn,
-    Skv=77, below the kernel's block minimum)."""
+    Skv=77, below the kernel's block minimum).
+
+    SDTPU_FLASH_ATTN=all lowers the head-dim floor to 32: the D=40 forward is
+    ~27% slower than XLA's fusion, but the flash BACKWARD is O(S*D) memory
+    where XLA's saves the fp32 [B,H,S,S] logits — the difference between
+    batch-16 training fitting in 16G HBM and OOMing by gigabytes.  The
+    trainers set this mode."""
     _, sq, _, d = q_shape
     skv = k_shape[1]
+    d_min = 32 if os.environ.get("SDTPU_FLASH_ATTN") == "all" else 64
     return (
         skv >= 1024
-        and 64 <= d <= 128
+        and d_min <= d <= 128
         and sq % 512 == 0
         and skv % 512 == 0
     )

@@ -306,6 +306,13 @@ def make_train_step(
     `controlnet_loss_fn` for ControlNet training — same trainable/opt
     signature, different trainable pytree)."""
 
+    import os
+
+    # flash attention everywhere in training: XLA's attention backward keeps
+    # the fp32 [B,H,S,S] logits alive (8G at SD1.5 batch 16) while the flash
+    # backward recomputes in O(S*D); see ops/attention._lib_flash_supported
+    os.environ.setdefault("SDTPU_FLASH_ATTN", "all")
+
     def step(trainable, opt_state, frozen, batch, key):
         loss_val, grads = jax.value_and_grad(loss)(
             trainable, frozen, batch, key, statics, scheduler
