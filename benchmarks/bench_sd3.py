@@ -1,0 +1,62 @@
+"""SD3-medium 1024² p50 per-image latency on one chip (28-step CFG denoise
+scan + fp32 VAE decode, batch 1, random bf16 weights — identical
+FLOPs/traffic to real weights; text encoding excluded, as in bench.py)."""
+
+import json
+import time
+
+STEPS = 28
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusion_tpu.core.config import SD3_MEDIUM, SD3_VAE, SchedulerConfig
+    from stablediffusion_tpu.models import mmdit, vae
+    from stablediffusion_tpu.pipelines.sd3 import _denoise_sd3, _sd3_vae_decode
+    from stablediffusion_tpu.schedulers.flow_match import FlowMatchEulerScheduler
+    from stablediffusion_tpu.utils.testing import random_model_params
+
+    dt = jnp.bfloat16
+    B = 1
+    tf_params = random_model_params(mmdit.init_params, SD3_MEDIUM, dtype=dt)
+    vae_params = random_model_params(vae.init_params, SD3_VAE, dtype=jnp.float32)
+
+    scheduler = FlowMatchEulerScheduler(SchedulerConfig(shift=3.0))
+    plan = scheduler.plan(STEPS)
+    latents = jax.random.normal(jax.random.key(0), (B, 128, 128, 16), dt)
+    # 77 CLIP + 256 T5 tokens, CFG doubled
+    embeds = jax.random.normal(jax.random.key(1), (2 * B, 333, 4096), dt)
+    pooled = jax.random.normal(jax.random.key(2), (2 * B, 2048), dt)
+
+    def run():
+        lat = _denoise_sd3(
+            tf_params, latents, embeds, pooled, plan,
+            jnp.asarray(7.0, jnp.float32),
+            config=SD3_MEDIUM, scheduler=scheduler, do_cfg=True,
+        )
+        img = _sd3_vae_decode(vae_params, lat, config=SD3_VAE)
+        return float(jnp.mean(img.astype(jnp.float32)))
+
+    run()  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    print(
+        json.dumps(
+            {
+                "metric": "sd3m_1024px_28step_p50_latency",
+                "value": round(times[len(times) // 2], 3),
+                "unit": "sec/image",
+                "detail": {"times": [round(t, 3) for t in times]},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,9 @@ import numpy as np
 
 from stablediffusion_tpu.io.safetensors_io import load_safetensors, save_safetensors
 
-COMPONENTS = ("unet", "text_encoder", "text_encoder_2")
+COMPONENTS = ("unet", "transformer", "text_encoder", "text_encoder_2")
 _KOHYA_PREFIXES = {
+    "lora_transformer_": "transformer",
     "lora_unet_": "unet",
     "lora_te1_": "text_encoder",
     "lora_te2_": "text_encoder_2",
@@ -90,7 +91,7 @@ def parse_lora_state_dict(
                     )
                 e = entry(component, path)
                 if kind == "alpha":
-                    e["alpha"] = jnp.asarray(float(arr))
+                    e["alpha"] = jnp.asarray(float(arr.reshape(-1)[0]))
                 elif kind == "lora_down.weight":
                     e["down"] = jnp.asarray(arr.T)  # [r,in] -> [in,r]
                 else:
@@ -100,8 +101,11 @@ def parse_lora_state_dict(
         if matched:
             continue
         # --- diffusers / peft ---
-        component = next((c for c in ("text_encoder_2", "text_encoder", "unet")
-                          if key.startswith(c + ".")), None)
+        component = next(
+            (c for c in ("text_encoder_2", "text_encoder", "unet", "transformer")
+             if key.startswith(c + ".")),
+            None,
+        )
         if component is None:
             raise ValueError(f"unrecognized LoRA key {key!r}")
         rest = key[len(component) + 1 :]
@@ -120,7 +124,7 @@ def parse_lora_state_dict(
         path = re.sub(r"\.(to_[qkv])_lora$", r".\1", path)
         e = entry(component, path)
         if kind == "alpha":
-            e["alpha"] = jnp.asarray(float(arr))
+            e["alpha"] = jnp.asarray(float(arr.reshape(-1)[0]))
         elif kind in ("lora_A.weight", "lora.down.weight"):
             e["down"] = jnp.asarray(arr.T)
         else:

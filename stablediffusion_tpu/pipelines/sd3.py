@@ -58,8 +58,12 @@ class SD3Model:
     scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
     scheduler_name: str = "FlowMatchEuler"
     path: Optional[str] = None
+    model_type: str = "sd3"
+    adapters: dict = field(default_factory=dict)
 
     _scheduler: Optional[BaseScheduler] = field(default=None, repr=False)
+    _base_params: Optional[dict] = field(default=None, repr=False)
+    _adapter_store: Optional[dict] = field(default=None, repr=False)
 
     @property
     def scheduler(self) -> BaseScheduler:
@@ -69,6 +73,13 @@ class SD3Model:
             )
         return self._scheduler
 
+    def set_scheduler(self, name: str) -> None:
+        """Idempotent scheduler switch (SDModel.set_scheduler analog)."""
+        if name == self.scheduler_name and self._scheduler is not None:
+            return
+        self._scheduler = make_scheduler(name, self.scheduler_config)
+        self.scheduler_name = name
+
     @property
     def vae_scale_factor(self) -> int:
         return self.vae_config.vae_scale_factor
@@ -76,6 +87,105 @@ class SD3Model:
     @property
     def joint_dim(self) -> int:
         return self.transformer_config.joint_attention_dim
+
+    # -- LoRA adapter management (SDModel analog; components here are the
+    # MM-DiT "transformer" plus the two CLIP towers — T5 is never LoRA'd,
+    # matching diffusers SD3LoraLoaderMixin) -------------------------------
+
+    def _ensure_base(self):
+        if self._base_params is None:
+            self._base_params = {
+                "transformer": self.transformer_params,
+                "text_encoder": self.text_encoder_params,
+                "text_encoder_2": self.text_encoder_2_params,
+            }
+        if self._adapter_store is None:
+            self._adapter_store = {}
+
+    def load_lora_weights(self, name: str, adapter: dict):
+        self._ensure_base()
+        self._adapter_store[name] = adapter
+
+    def set_adapters(self, weights: dict):
+        """Re-fuse the named adapters from pristine base params (no drift)."""
+        from stablediffusion_tpu.lora.core import fuse
+
+        self._ensure_base()
+        unknown = [n for n in weights if n not in self._adapter_store]
+        if unknown:
+            raise ValueError(
+                f"unknown adapters {unknown}; loaded: "
+                f"{sorted(self._adapter_store)}"
+            )
+        for component, attr in (
+            ("transformer", "transformer_params"),
+            ("text_encoder", "text_encoder_params"),
+            ("text_encoder_2", "text_encoder_2_params"),
+        ):
+            base = self._base_params[component]
+            if base is None:
+                continue
+            comp_adapters = {
+                n: self._adapter_store[n][component]
+                for n in weights
+                if component in self._adapter_store[n]
+            }
+            setattr(
+                self,
+                attr,
+                fuse(base, comp_adapters, weights) if comp_adapters else base,
+            )
+        self.adapters = dict(weights)
+
+    def delete_adapters(self):
+        if self._base_params is not None:
+            self.transformer_params = self._base_params["transformer"]
+            self.text_encoder_params = self._base_params["text_encoder"]
+            self.text_encoder_2_params = self._base_params["text_encoder_2"]
+        self._adapter_store = {}
+        self.adapters = {}
+
+    def get_list_adapters(self) -> dict:
+        return dict(self.adapters)
+
+    def lora_module_paths(self) -> dict:
+        from stablediffusion_tpu.lora.core import linear_module_paths
+
+        any_suffix = ("",)
+        return {
+            "transformer": linear_module_paths(
+                self.transformer_params, any_suffix
+            ),
+            "text_encoder": linear_module_paths(
+                self.text_encoder_params, any_suffix
+            ),
+            "text_encoder_2": linear_module_paths(
+                self.text_encoder_2_params, any_suffix
+            ),
+        }
+
+    def load_loras(self, loras, lora_dir: Optional[str] = None):
+        """str / list / {name: weight} -> load + fuse; files resolve as
+        {lora_dir}/sd3_{name}.safetensors (SDModel.load_loras analog)."""
+        import os
+
+        from stablediffusion_tpu.lora.formats import load_lora_file
+
+        if isinstance(loras, str):
+            loras = {loras: 1.0}
+        elif isinstance(loras, (list, tuple)):
+            loras = {n: 1.0 for n in loras}
+        self.delete_adapters()
+        self._ensure_base()
+        model_paths = None
+        for name in loras:
+            if name not in self._adapter_store:
+                fname = f"{self.model_type}_{name}.safetensors"
+                path = os.path.join(lora_dir or ".", fname)
+                if model_paths is None:
+                    model_paths = self.lora_module_paths()
+                self.load_lora_weights(name, load_lora_file(path, model_paths))
+        self.set_adapters(dict(loras))
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

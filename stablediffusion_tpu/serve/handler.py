@@ -57,6 +57,10 @@ INFERENCE_ARG_KEYS = (
     "control_image",
     "controlnet_conditioning_scale",
     "cross_attention_kwargs",
+    # SD3-family extras (pipelines/sd3.py)
+    "prompt_3",
+    "negative_prompt_3",
+    "max_sequence_length",
 )
 
 
@@ -107,7 +111,12 @@ class Handler:
             path = resolve_checkpoint(mtype, name, cache_dir=self.model_dir)
             if self.model is None or self.model.path != path:
                 logger.info("loading model %s (%s)", name, path)
-                self.model = load_sd_model(path, model_type=mtype)
+                if mtype == "sd3":
+                    from stablediffusion_tpu.io.loader import load_sd3_model
+
+                    self.model = load_sd3_model(path)
+                else:
+                    self.model = load_sd_model(path, model_type=mtype)
         if self.model is None:
             raise ValueError("no model loaded and no model.name provided")
         if "loras" in model_cfg:
@@ -161,6 +170,10 @@ class Handler:
             args = dict(args, mask_image=decode_image_b64(args["mask_image"]))
         if "control_image" in args and isinstance(args["control_image"], str):
             args = dict(args, control_image=decode_image_b64(args["control_image"]))
+        if getattr(self.model, "model_type", None) == "sd3":
+            from stablediffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
+
+            return StableDiffusion3Pipeline(do_cfg=True)(self.model, **args)
         pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
         return pipe(self.model, **args)
 

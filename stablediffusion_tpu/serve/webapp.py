@@ -37,7 +37,7 @@ INDEX_HTML = """<!DOCTYPE html>
 <h2>stablediffusion-tpu</h2>
 <fieldset><legend>Model</legend>
  <label>Type</label>
- <select id="model_type"><option>sd15</option><option selected>sdxl</option></select><br>
+ <select id="model_type"><option>sd15</option><option selected>sdxl</option><option>sd3</option></select><br>
  <label>Checkpoint</label><input id="model_name" placeholder="(loaded model)"><br>
  <label>LoRAs (name:weight,..)</label><input id="loras" placeholder="style:0.7,detail:0.5"><br>
  <label>Scheduler</label><select id="scheduler">{sched_options}</select>

@@ -306,7 +306,15 @@ def test_custom_timesteps_and_sigmas():
         plan = sched.plan(50, timesteps=ts_list)
         got = np.asarray(plan.timesteps)
         assert plan.num_steps == 5, name
-        np.testing.assert_allclose(got, ts_list, atol=0.5, err_msg=name)
+        if name == "FlowMatchEuler":
+            # diffusers FlowMatchEulerDiscrete maps custom timesteps through
+            # the shift transform sigma -> s*sigma / (1 + (s-1)*sigma)
+            s = sched.config.shift
+            sig = np.asarray(ts_list, np.float64) / 1000.0
+            expect = s * sig / (1 + (s - 1) * sig) * 1000.0
+        else:
+            expect = ts_list
+        np.testing.assert_allclose(got, expect, atol=0.5, err_msg=name)
 
     user_sigmas = [14.0, 5.0, 2.0, 0.7, 0.1]
     for name in ("euler", "euler_a", "DPM++ 2M", "DPM++ 2M Karras",

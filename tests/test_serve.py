@@ -232,3 +232,80 @@ def test_upload_scheme_dispatch():
     )
     assert upload.make_uploader("s3://b/p") is None  # boto3 absent -> warn
     assert upload.make_uploader(None) is None
+
+
+# -- SD3 family through the router (beyond-parity) ---------------------------
+
+SD3_ARGS = dict(
+    prompt="a cat", height=16, width=16, num_inference_steps=2,
+    max_sequence_length=16,
+)
+
+
+@pytest.fixture(scope="module")
+def sd3_handler():
+    from test_sd3 import make_tiny_sd3_model
+
+    return Handler(model=make_tiny_sd3_model())
+
+
+def test_sd3_inference_mode(sd3_handler):
+    resp = sd3_handler({**SD3_ARGS, "seed": 7}, "sd3-1")
+    assert "error" not in resp, resp.get("traceback")
+    assert resp["seed"] == 7
+    img = decode_image_b64(resp["images"][0])
+    assert img.shape == (16, 16, 3)
+
+
+def test_sd3_scheduler_and_prompt3(sd3_handler):
+    resp = sd3_handler(
+        {**SD3_ARGS, "seed": 1, "prompt_3": "detailed fur",
+         "model": {"scheduler": "FlowMatchEuler"}},
+        "sd3-2",
+    )
+    assert "error" not in resp, resp.get("traceback")
+    assert sd3_handler.model.scheduler_name == "FlowMatchEuler"
+
+
+def test_sd3_lora_via_model_block(sd3_handler, tmp_path):
+    """Train-format (transformer.*) LoRA file loads + fuses through the
+    router's model block, and deleting adapters restores pristine params."""
+    import jax
+
+    from stablediffusion_tpu.lora.core import init_lora
+    from stablediffusion_tpu.lora.formats import save_lora_file
+    from stablediffusion_tpu.train.sd3_train import MMDIT_TARGET_SUFFIXES
+
+    model = sd3_handler.model
+    lora = init_lora(
+        jax.random.key(0), model.transformer_params, 2, MMDIT_TARGET_SUFFIXES
+    )
+    # non-zero up so fusion visibly changes the weights
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    save_lora_file(
+        {"transformer": lora}, str(tmp_path / "sd3_style.safetensors")
+    )
+
+    sd3_handler.lora_dir = str(tmp_path)
+    ref = model.transformer_params
+    resp = sd3_handler(
+        {**SD3_ARGS, "seed": 2, "model": {"loras": {"style": 0.8}}}, "sd3-3"
+    )
+    assert "error" not in resp, resp.get("traceback")
+    assert model.get_list_adapters() == {"style": 0.8}
+    q = "transformer_blocks.0.attn.to_q.weight"
+
+    def get(tree, dotted):
+        for part in dotted.split("."):
+            tree = tree[part]
+        return tree
+
+    assert not jax.numpy.allclose(
+        get(model.transformer_params, q), get(ref, q)
+    )
+    resp = sd3_handler(
+        {**SD3_ARGS, "seed": 2, "model": {"loras": []}}, "sd3-4"
+    )
+    assert "error" not in resp
+    assert model.get_list_adapters() == {}
+    assert get(model.transformer_params, q) is get(ref, q)
