@@ -87,28 +87,48 @@ def _lib_flash_supported(q_shape, k_shape) -> bool:
     ~27% slower than XLA's fusion, but the flash BACKWARD is O(S*D) memory
     where XLA's saves the fp32 [B,H,S,S] logits — the difference between
     batch-16 training fitting in 16G HBM and OOMing by gigabytes.  The
-    trainers set this mode."""
+    trainers set this mode.
+
+    Sequences that are NOT a multiple of 512 (e.g. the SD3/MMDiT joint
+    stream, 4096 image + 333 text = 4429 tokens) are zero-padded up to the
+    next multiple and masked via the kernel's segment ids — the ~4% extra
+    tiles are far cheaper than XLA's materialized fp32 [B,H,S,S] logits at
+    these lengths."""
     _, sq, _, d = q_shape
     skv = k_shape[1]
     d_min = 32 if os.environ.get("SDTPU_FLASH_ATTN") == "all" else 64
-    return (
-        skv >= 1024
-        and d_min <= d <= 128
-        and sq % 512 == 0
-        and skv % 512 == 0
-    )
+    return skv >= 1024 and d_min <= d <= 128
 
 
 def _lib_flash(q, k, v, scale: float) -> jax.Array:
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
+        SegmentIds,
         flash_attention as lib_flash_attention,
     )
 
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
+    # Ragged sequences (SD3 joint stream: 4429): zero-pad to the tile grid
+    # and exclude the padding with segment ids (pad tokens live in segment 0,
+    # real tokens in segment 1 — the kernel masks q/kv segment mismatches).
+    pad_q, pad_k = -Sq % 512, -Skv % 512
+    segment_ids = None
+    if pad_q or pad_k:
+        seg = lambda s, pad: jnp.pad(
+            jnp.ones((B, s), jnp.int32), ((0, 0), (0, pad))
+        )
+        segment_ids = SegmentIds(q=seg(Sq, pad_q), kv=seg(Skv, pad_k))
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        Sq, Skv = Sq + pad_q, Skv + pad_k
     block_q = 512 if Sq >= 2048 else min(1024, Sq)
+    if Sq % block_q:
+        block_q = 512
     block_k = min(1024, Skv)
+    if Skv % block_k:
+        block_k = 512
     bs = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,
@@ -127,10 +147,12 @@ def _lib_flash(q, k, v, scale: float) -> jax.Array:
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
+        segment_ids=segment_ids,
         sm_scale=scale,
         block_sizes=bs,
     )
-    return out.transpose(0, 2, 1, 3)
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, : Sq - pad_q] if pad_q else out
 
 
 def attention(
