@@ -41,7 +41,10 @@ def build(batch: int):
 
     dtype = jnp.bfloat16
     unet_params = random_model_params(unet.init_params, SD15_UNET, dtype=dtype)
-    vae_params = random_model_params(vae.init_params, SD15_VAE, dtype=jnp.float32)
+    # bf16 decode: TPU-native policy (bf16 carries fp32's exponent range, so
+    # diffusers' fp16-overflow force_upcast rationale doesn't apply; ~2x
+    # faster than the fp32 decode on v5e, see pipelines/unified._vae_decode)
+    vae_params = random_model_params(vae.init_params, SD15_VAE, dtype=jnp.bfloat16)
 
     scheduler = make_scheduler("DDIM", SchedulerConfig())
     plan = scheduler.plan(STEPS)

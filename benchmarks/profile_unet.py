@@ -18,12 +18,17 @@ N_INNER = 20
 
 
 def timeit_scanned(op, *args, iters=3):
-    """Time op(*args) scanned N_INNER times inside one jit."""
+    """Time op(*args) scanned N_INNER times inside one jit.
+
+    The LAST argument is perturbed by the (dynamic) carry each iteration —
+    without this, XLA hoists the loop-invariant op out of the scan (LICM)
+    and every measurement collapses to ~1.5 ms of scan overhead."""
 
     @jax.jit
     def run(args):
         def body(carry, _):
-            out = op(*args)
+            largs = (*args[:-1], args[-1] + (carry * 1e-30).astype(args[-1].dtype))
+            out = op(*largs)
             # fold output into carry so iterations aren't DCE'd
             return carry + jnp.sum(out.astype(jnp.float32)), None
 

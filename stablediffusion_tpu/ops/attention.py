@@ -93,10 +93,19 @@ def _lib_flash_supported(q_shape, k_shape) -> bool:
     stream, 4096 image + 333 text = 4429 tokens) are zero-padded up to the
     next multiple and masked via the kernel's segment ids — the ~4% extra
     tiles are far cheaper than XLA's materialized fp32 [B,H,S,S] logits at
-    these lengths."""
-    _, sq, _, d = q_shape
+    these lengths.
+
+    At tiny attention batch (B<=2, i.e. single-image CFG latency serving),
+    the D<64 floor is lifted: the XLA path's materialized probs dominate
+    there and flash wins end-to-end (SD1.5 batch-1 p50 1.106 -> 0.464 s);
+    at batch>=8 the padded-MXU flash loses, so XLA keeps D=40 throughput."""
+    b, sq, _, d = q_shape
     skv = k_shape[1]
-    d_min = 32 if os.environ.get("SDTPU_FLASH_ATTN") == "all" else 64
+    d_min = (
+        32
+        if (os.environ.get("SDTPU_FLASH_ATTN") == "all" or b <= 2)
+        else 64
+    )
     return skv >= 1024 and d_min <= d <= 128
 
 
