@@ -57,6 +57,8 @@ INFERENCE_ARG_KEYS = (
     "control_image",
     "controlnet_conditioning_scale",
     "cross_attention_kwargs",
+    "ip_adapter_image",
+    "ip_adapter_scale",
     # SD3-family extras (pipelines/sd3.py)
     "prompt_3",
     "negative_prompt_3",
@@ -127,6 +129,19 @@ class Handler:
                 self.model.delete_adapters()
         if "scheduler" in model_cfg:
             self.model.set_scheduler(model_cfg["scheduler"])
+        if "ip_adapter" in model_cfg:
+            ip = model_cfg["ip_adapter"]
+            if ip:
+                import os
+
+                path = (
+                    ip
+                    if os.path.exists(str(ip))
+                    else os.path.join(self.model_dir or ".", str(ip))
+                )
+                self.model.load_ip_adapter(path)
+            else:
+                self.model.unload_ip_adapter()
 
     # -- entry ----------------------------------------------------------------
     def __call__(self, request_input: Dict[str, Any], request_id: str = "") -> Dict:
@@ -170,6 +185,10 @@ class Handler:
             args = dict(args, mask_image=decode_image_b64(args["mask_image"]))
         if "control_image" in args and isinstance(args["control_image"], str):
             args = dict(args, control_image=decode_image_b64(args["control_image"]))
+        if "ip_adapter_image" in args and isinstance(args["ip_adapter_image"], str):
+            args = dict(
+                args, ip_adapter_image=decode_image_b64(args["ip_adapter_image"])
+            )
         if getattr(self.model, "model_type", None) == "sd3":
             from stablediffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
 

@@ -309,3 +309,41 @@ def test_sd3_lora_via_model_block(sd3_handler, tmp_path):
     assert "error" not in resp
     assert model.get_list_adapters() == {}
     assert get(model.transformer_params, q) is get(ref, q)
+
+
+def test_ip_adapter_via_model_block(tmp_path):
+    """Model block {"ip_adapter": <path>} loads/unloads the adapter through
+    the router (beyond-parity: reference serving has no IP-Adapter)."""
+    import numpy as np
+
+    from helpers import make_tiny_model
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from test_ip_adapter import _make_ip_sd
+
+    model = make_tiny_model("sd15")
+    cfg = model.unet_config
+    rng = np.random.default_rng(7)
+    flat = {f"ip_adapter.{k}": v for k, v in _make_ip_sd(cfg, rng).items()}
+    tokens, clip_dim = 4, 16
+    flat["image_proj.proj.weight"] = (
+        rng.standard_normal((tokens * cfg.cross_attention_dim, clip_dim))
+        .astype(np.float32) * 0.05
+    )
+    flat["image_proj.proj.bias"] = np.zeros(
+        tokens * cfg.cross_attention_dim, np.float32
+    )
+    flat["image_proj.norm.weight"] = np.ones(cfg.cross_attention_dim, np.float32)
+    flat["image_proj.norm.bias"] = np.zeros(cfg.cross_attention_dim, np.float32)
+    path = str(tmp_path / "ip.safetensors")
+    save_safetensors(flat, path)
+
+    h = Handler(model=model)
+    resp = h(
+        {**ARGS, "seed": 3, "model": {"ip_adapter": path}, "ip_adapter_scale": 0.5},
+        "ip-1",
+    )
+    assert "error" not in resp, resp.get("traceback")
+    assert model.ip_adapter is not None and model.ip_adapter.num_tokens == 4
+    resp = h({**ARGS, "seed": 3, "model": {"ip_adapter": None}}, "ip-2")
+    assert "error" not in resp, resp.get("traceback")
+    assert model.ip_adapter is None
