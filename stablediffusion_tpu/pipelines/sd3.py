@@ -244,13 +244,33 @@ def _sd3_vae_encode(params, image, key, *, config: VAEConfig, sample=True):
 
 
 class StableDiffusion3Pipeline:
-    def __init__(self, do_cfg: bool = True, output_type: str = "np", dtype=None):
+    def __init__(
+        self,
+        do_cfg: bool = True,
+        output_type: str = "np",
+        dtype=None,
+        mesh=None,  # optional jax.sharding.Mesh: shard the batch over `data`
+    ):
         self.do_cfg = do_cfg
         self.output_type = output_type
+        self.mesh = mesh
         if dtype is None:
             platform = jax.devices()[0].platform
             dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
         self.dtype = dtype
+
+    def _shard(self, x):
+        """Batch-sharded placement over the mesh's `data` axis (multi-chip
+        throughput serving, same pattern as the unified pipeline)."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if x.shape[0] % self.mesh.shape["data"] != 0:
+            return x
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
+        )
 
     # -- prompt encoding (StableDiffusion3Pipeline.encode_prompt) -----------
     def encode_prompt(
@@ -414,9 +434,9 @@ class StableDiffusion3Pipeline:
 
         latents = _denoise_sd3(
             model.transformer_params,
-            latents.astype(self.dtype),
-            embeds,
-            pooled,
+            self._shard(latents.astype(self.dtype)),
+            self._shard(embeds),
+            self._shard(pooled),
             plan,
             jnp.asarray(guidance_scale, jnp.float32),
             config=model.transformer_config,

@@ -276,3 +276,25 @@ class TestSD3VAE:
         out = _sd3_vae_decode(params, z, config=cfg)
         assert out.shape == (1, 16, 16, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sd3_multichip_batch_sharding():
+    """SD3 DP inference: batch sharded over the 8-device CPU mesh must match
+    single-device execution exactly (same pattern as the unified pipeline's
+    test_multichip_batch_sharding)."""
+    from stablediffusion_tpu.parallel import make_mesh
+
+    model = make_tiny_sd3_model()
+    kw = dict(
+        prompt=["a cat"] * 4,
+        num_images_per_prompt=2,  # total batch 8 = mesh size
+        height=16,
+        width=16,
+        num_inference_steps=2,
+        seed=9,
+        max_sequence_length=16,
+    )
+    a = StableDiffusion3Pipeline(mesh=make_mesh())(model, **kw)
+    b = StableDiffusion3Pipeline()(model, **kw)
+    assert a.images.shape == (8, 16, 16, 3)
+    np.testing.assert_allclose(a.images, b.images, atol=2e-4)
