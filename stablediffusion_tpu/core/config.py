@@ -457,6 +457,13 @@ class SD3Config:
 
     @classmethod
     def from_diffusers_dict(cls, d: dict) -> "SD3Config":
+        if d.get("dual_attention_layers"):
+            # SD3.5-medium's MMDiT-X adds a second self-attention (attn2) to
+            # these blocks; silently dropping it would sample garbage.
+            raise NotImplementedError(
+                "dual_attention_layers (SD3.5-medium / MMDiT-X) is not "
+                "supported yet; SD3-medium and SD3.5-large load fine"
+            )
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 

@@ -907,8 +907,21 @@ class StableDiffusionUnifiedPipeline:
             )
             control_arr = self._shard(control_arr)
 
-        # hot loop
-        step_keys = jax.random.split(k_steps, plan.num_steps)
+        # hot loop.  With a seed LIST, each sample gets its own step-noise
+        # stream ([num_steps, B] keys; schedulers vmap the draw) so ancestral/
+        # SDE trajectories reproduce per-sample regardless of batch layout
+        # (generator-list parity, ref sd_unified_pipeline.py:1017-1041).
+        psk_steps = _psk(2, batch=latents.shape[0])
+        if psk_steps is not None:
+            step_keys = jnp.moveaxis(
+                jax.vmap(lambda kk: jax.random.split(kk, plan.num_steps))(
+                    psk_steps
+                ),
+                0,
+                1,
+            )
+        else:
+            step_keys = jax.random.split(k_steps, plan.num_steps)
         latents = self._shard(latents)
         embeds = self._shard(embeds)
         if added_cond is not None:

@@ -241,3 +241,17 @@ class BaseScheduler:
     def uses_noise(self) -> bool:
         """Whether `step` consumes a PRNG key (ancestral / SDE variants)."""
         return False
+
+
+def step_noise(key, sample32):
+    """Ancestral/SDE step noise.  A single key draws batch-shaped noise; a
+    [B]-vector of keys draws each sample's noise from its OWN stream
+    (diffusers generator-list parity — sample i's trajectory depends only on
+    seed i, regardless of batch composition)."""
+    import jax
+
+    if key.ndim == 1:
+        return jax.vmap(
+            lambda k, s: jax.random.normal(k, s.shape, jnp.float32)
+        )(key, sample32)
+    return jax.random.normal(key, sample32.shape, jnp.float32)

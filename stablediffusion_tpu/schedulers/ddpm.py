@@ -14,6 +14,7 @@ import numpy as np
 
 from stablediffusion_tpu.core.config import SchedulerConfig
 from stablediffusion_tpu.schedulers.common import (
+    step_noise,
     BaseScheduler,
     Plan,
     make_betas,
@@ -79,7 +80,7 @@ class DDPMScheduler(BaseScheduler):
 
         variance = (1.0 - ac_prev) / (1.0 - ac_t) * current_beta
         variance = jnp.clip(variance, 1e-20)
-        noise = jax.random.normal(key, sample32.shape, jnp.float32)
+        noise = step_noise(key, sample32)
         prev = mean + jnp.where(t > 0, jnp.sqrt(variance), 0.0) * noise
         return prev.astype(sample.dtype), state
 

@@ -22,6 +22,7 @@ import numpy as np
 
 from stablediffusion_tpu.core.config import SchedulerConfig
 from stablediffusion_tpu.schedulers.common import (
+    step_noise,
     BaseScheduler,
     Plan,
     karras_sigma_grid,
@@ -173,7 +174,7 @@ class DPMSolverMultistepScheduler(BaseScheduler):
             assert key is not None, "sde-dpmsolver++ step needs a PRNG key"
             exp_mh = (sig_t * alpha_s0) / (sig_s0 * alpha_t)
             exp_m2h = exp_mh**2
-            noise = jax.random.normal(key, sample32.shape, jnp.float32)
+            noise = step_noise(key, sample32)
             base = (
                 (sig_t / sig_s0) * exp_mh * sample32
                 + alpha_t * (1.0 - exp_m2h) * D0

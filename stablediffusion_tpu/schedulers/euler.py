@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stablediffusion_tpu.schedulers.common import (
+    step_noise,
     BaseScheduler,
     Plan,
     karras_sigma_grid,
@@ -130,6 +131,6 @@ class EulerAncestralScheduler(EulerDiscreteScheduler):
         derivative = (sample32 - x0) / sigma_from
         dt = sigma_down - sigma_from
         prev = sample32 + derivative * dt
-        noise = jax.random.normal(key, prev.shape, jnp.float32)
+        noise = step_noise(key, prev)
         prev = prev + noise * sigma_up
         return prev.astype(sample.dtype), state

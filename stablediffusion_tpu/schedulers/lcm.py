@@ -17,6 +17,7 @@ import numpy as np
 
 from stablediffusion_tpu.core.config import SchedulerConfig
 from stablediffusion_tpu.schedulers.common import (
+    step_noise,
     BaseScheduler,
     Plan,
     prediction_to_x0_eps,
@@ -83,7 +84,7 @@ class LCMScheduler(BaseScheduler):
         c_out = st / jnp.sqrt(st**2 + SIGMA_DATA**2)
         denoised = c_out * x0 + c_skip * sample32
 
-        noise = jax.random.normal(key, sample32.shape, jnp.float32)
+        noise = step_noise(key, sample32)
         renoised = jnp.sqrt(ac_prev) * denoised + jnp.sqrt(1.0 - ac_prev) * noise
         prev = jnp.where(i < plan.num_steps - 1, renoised, denoised)
         return prev.astype(sample.dtype), state

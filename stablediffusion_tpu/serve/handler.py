@@ -131,7 +131,14 @@ class Handler:
             self.model.set_scheduler(model_cfg["scheduler"])
         if "ip_adapter" in model_cfg:
             ip = model_cfg["ip_adapter"]
-            if ip:
+            if not hasattr(self.model, "load_ip_adapter"):
+                # SD3Model has no IP-Adapter; clearing (falsy) is a no-op
+                if ip:
+                    raise ValueError(
+                        "ip_adapter is not supported for model type "
+                        f"{getattr(self.model, 'model_type', '?')!r}"
+                    )
+            elif ip:
                 import os
 
                 path = (
@@ -190,8 +197,20 @@ class Handler:
                 args, ip_adapter_image=decode_image_b64(args["ip_adapter_image"])
             )
         if getattr(self.model, "model_type", None) == "sd3":
+            import inspect
+
             from stablediffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
 
+            # SD3 has a narrower arg surface (no inpaint/controlnet/ip/
+            # refiner); drop keys its __call__ doesn't take, with a warning,
+            # instead of 500ing on a reused SDXL payload
+            known = set(
+                inspect.signature(StableDiffusion3Pipeline.__call__).parameters
+            )
+            dropped = sorted(k for k in args if k not in known)
+            if dropped:
+                logger.warning("sd3: ignoring unsupported args %s", dropped)
+            args = {k: v for k, v in args.items() if k in known}
             return StableDiffusion3Pipeline(do_cfg=True)(self.model, **args)
         pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
         return pipe(self.model, **args)

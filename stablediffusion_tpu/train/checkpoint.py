@@ -67,3 +67,17 @@ def latest_checkpoint(output_dir: str) -> Optional[Tuple[int, str]]:
 def load_checkpoint(path: str, template: Any) -> Any:
     """Restore with `template`'s structure/shardings."""
     return _checkpointer().restore(path, item=template)
+
+
+def resolve_resume(arg: Optional[str], output_dir: str) -> Optional[Tuple[int, str]]:
+    """'latest' -> newest checkpoint-{N} under output_dir; an explicit
+    .../checkpoint-{N} path -> (N, path); else None.  Shared by all trainers
+    (the 'path | latest' resume contract of the diffusers scripts)."""
+    if not arg:
+        return None
+    if arg == "latest":
+        return latest_checkpoint(output_dir)
+    import re
+
+    m = re.search(r"checkpoint-(\d+)$", arg)
+    return (int(m.group(1)), arg) if m else None

@@ -157,6 +157,7 @@ def main(argv=None):
         validation_prompt=args.validation_prompt,
         validation_image=args.validation_image,
         num_validation_images=args.num_validation_images,
+        validation_steps=args.validation_steps,
     )
 
     n_data = math.gcd(args.train_batch_size, jax.device_count())

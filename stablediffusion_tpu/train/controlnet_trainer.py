@@ -73,6 +73,8 @@ class ControlNetTrainingArgs:
     validation_image: Optional[str] = None  # path to a conditioning image
     num_validation_images: int = 4
     validation_epochs: int = 1
+    validation_steps: Optional[int] = None  # step-based override (diffusers
+    #   train_controlnet --validation_steps); epoch-based otherwise
     validation_inference_steps: int = 25
 
 
@@ -179,15 +181,9 @@ class ControlNetTrainer:
         # resume
         start_step = 0
         if args.resume_from_checkpoint:
-            if args.resume_from_checkpoint == "latest":
-                found = ckpt.latest_checkpoint(args.output_dir)
-            else:
-                import re as _re
-
-                m = _re.search(r"checkpoint-(\d+)$", args.resume_from_checkpoint)
-                found = (
-                    (int(m.group(1)), args.resume_from_checkpoint) if m else None
-                )
+            found = ckpt.resolve_resume(
+                args.resume_from_checkpoint, args.output_dir
+            )
             if found:
                 start_step, path = found
                 state = ckpt.load_checkpoint(
@@ -226,10 +222,13 @@ class ControlNetTrainer:
                     self.metrics.observe(
                         "train/lr", float(schedule(step)), step=step
                     )
+            val_every = args.validation_steps or (
+                steps_per_epoch * args.validation_epochs
+            )
             if (
                 args.validation_prompt
                 and args.validation_image
-                and step % (steps_per_epoch * args.validation_epochs) == 0
+                and step % val_every == 0
                 and jax.process_index() == 0
             ):
                 self._log_validation(controlnet, cn_config, step)

@@ -278,10 +278,8 @@ class SD3LoRATrainer:
 
         start_step = 0
         if args.resume_from_checkpoint:
-            found = (
-                ckpt.latest_checkpoint(args.output_dir)
-                if args.resume_from_checkpoint == "latest"
-                else None
+            found = ckpt.resolve_resume(
+                args.resume_from_checkpoint, args.output_dir
             )
             if found:
                 start_step, path = found

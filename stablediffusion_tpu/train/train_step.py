@@ -307,11 +307,26 @@ def make_train_step(
     signature, different trainable pytree)."""
 
     import os
+    from contextlib import contextmanager
 
-    # flash attention everywhere in training: XLA's attention backward keeps
-    # the fp32 [B,H,S,S] logits alive (8G at SD1.5 batch 16) while the flash
-    # backward recomputes in O(S*D); see ops/attention._lib_flash_supported
-    os.environ.setdefault("SDTPU_FLASH_ATTN", "all")
+    @contextmanager
+    def _flash_all():
+        # flash attention everywhere in training: XLA's attention backward
+        # keeps the fp32 [B,H,S,S] logits alive (8G at SD1.5 batch 16) while
+        # the flash backward recomputes in O(S*D); see
+        # ops/attention._lib_flash_supported.  The attention dispatch reads
+        # the env var at TRACE time only, so scoping it around the jitted
+        # call (tracing happens inside the first call) keeps the D>=32 floor
+        # out of any inference traced later in the same process (per-epoch
+        # validation renders, serving after in-process training).
+        if os.environ.get("SDTPU_FLASH_ATTN") is not None:
+            yield
+            return
+        os.environ["SDTPU_FLASH_ATTN"] = "all"
+        try:
+            yield
+        finally:
+            os.environ.pop("SDTPU_FLASH_ATTN", None)
 
     def step(trainable, opt_state, frozen, batch, key):
         loss_val, grads = jax.value_and_grad(loss)(
@@ -334,9 +349,16 @@ def make_train_step(
                 for k, v in b.items()
             }
 
-        return jax.jit(
+        jitted = jax.jit(
             step,
             in_shardings=(repl, repl, repl, None, repl),
             out_shardings=(repl, repl, repl),
         )
-    return jax.jit(step)
+    else:
+        jitted = jax.jit(step)
+
+    def step_scoped(*args, **kwargs):
+        with _flash_all():
+            return jitted(*args, **kwargs)
+
+    return step_scoped

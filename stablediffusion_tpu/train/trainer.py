@@ -190,15 +190,9 @@ class SDLoRATrainer:
         # resume
         start_step = 0
         if args.resume_from_checkpoint:
-            if args.resume_from_checkpoint == "latest":
-                found = ckpt.latest_checkpoint(args.output_dir)
-            else:
-                import re as _re
-
-                m = _re.search(r"checkpoint-(\d+)$", args.resume_from_checkpoint)
-                found = (
-                    (int(m.group(1)), args.resume_from_checkpoint) if m else None
-                )
+            found = ckpt.resolve_resume(
+                args.resume_from_checkpoint, args.output_dir
+            )
             if found:
                 start_step, path = found
                 state = ckpt.load_checkpoint(

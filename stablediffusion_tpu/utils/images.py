@@ -87,13 +87,26 @@ CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 def clip_image_preprocess(image: ImageLike, size: int = 224) -> np.ndarray:
     """-> float32 NHWC, CLIP-normalized (CLIPImageProcessor analog) — the
-    IP-Adapter image-encoder input."""
+    IP-Adapter image-encoder input.  Matches transformers' geometry: resize
+    the SHORTEST side to `size`, then center-crop to size x size (not an
+    anisotropic stretch — a 768x512 portrait must see the same pixels the
+    reference checkpoint was trained with)."""
     batch = _to_numpy_batch(image)
     if batch.shape[-1] == 4:
         batch = batch[..., :3]
     if batch.shape[-1] == 1:
         batch = np.repeat(batch, 3, axis=-1)
-    batch = _resize(batch, size, size)  # [0, 1]
+    h, w = batch.shape[1:3]
+    if h != w:
+        if h < w:
+            nh, nw = size, max(size, round(w * size / h))
+        else:
+            nh, nw = max(size, round(h * size / w)), size
+        batch = _resize(batch, nh, nw)
+        top, left = (nh - size) // 2, (nw - size) // 2
+        batch = batch[:, top : top + size, left : left + size]
+    else:
+        batch = _resize(batch, size, size)  # [0, 1]
     return (batch - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
 
 

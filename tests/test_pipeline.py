@@ -633,3 +633,19 @@ def test_per_sample_seed_img2img(pipe, sd15):
     b = pipe(sd15, seed=[7, 6], **kw)
     np.testing.assert_array_equal(a.images[1], b.images[1])
     assert np.abs(a.images[0] - b.images[0]).max() > 1e-6
+
+
+def test_per_sample_seed_ancestral_steps(pipe, sd15):
+    """Ancestral schedulers draw per-STEP noise too; with a seed list that
+    noise must also be per-sample: changing seed 0 cannot touch sample 1,
+    even under euler_a (review finding: k_steps was seed_list[0]-global)."""
+    sd15.set_scheduler("euler_a")
+    try:
+        kw = dict(prompt=["a cat", "a dog"], height=H, width=W,
+                  num_inference_steps=3)
+        a = pipe(sd15, seed=[11, 22], **kw)
+        b = pipe(sd15, seed=[33, 22], **kw)
+        np.testing.assert_array_equal(a.images[1], b.images[1])
+        assert np.abs(a.images[0] - b.images[0]).max() > 1e-6
+    finally:
+        sd15.set_scheduler("DDIM")
