@@ -450,6 +450,9 @@ class SD3Config:
     out_channels: int = 16
     pos_embed_max_size: int = 192
     qk_norm: Optional[str] = None  # None | "rms_norm" (SD3.5)
+    # MMDiT-X (SD3.5-medium): these blocks carry a second image-stream
+    # self-attention (attn2) and a 9-chunk AdaLN-Zero
+    dual_attention_layers: Tuple[int, ...] = ()
 
     @property
     def dim(self) -> int:
@@ -457,15 +460,11 @@ class SD3Config:
 
     @classmethod
     def from_diffusers_dict(cls, d: dict) -> "SD3Config":
-        if d.get("dual_attention_layers"):
-            # SD3.5-medium's MMDiT-X adds a second self-attention (attn2) to
-            # these blocks; silently dropping it would sample garbage.
-            raise NotImplementedError(
-                "dual_attention_layers (SD3.5-medium / MMDiT-X) is not "
-                "supported yet; SD3-medium and SD3.5-large load fine"
-            )
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kw = {k: v for k, v in d.items() if k in known}
+        if "dual_attention_layers" in kw:
+            kw["dual_attention_layers"] = tuple(kw["dual_attention_layers"])
+        return cls(**kw)
 
 
 SD3_MEDIUM = SD3Config()
@@ -474,6 +473,13 @@ SD35_LARGE = SD3Config(
     num_attention_heads=38,
     caption_projection_dim=2432,
     qk_norm="rms_norm",
+)
+# MMDiT-X; real loads read transformer/config.json via from_diffusers_dict
+SD35_MEDIUM = SD3Config(
+    num_layers=24,
+    pos_embed_max_size=384,
+    qk_norm="rms_norm",
+    dual_attention_layers=tuple(range(13)),
 )
 
 

@@ -87,6 +87,21 @@ def _joint_attention(
     return out_img, out_ctx
 
 
+def _image_self_attention(p: dict, x: jax.Array, config: SD3Config):
+    """MMDiT-X attn2: plain self-attention over the image stream only
+    (diffusers JointTransformerBlock use_dual_attention branch)."""
+    B, S, _ = x.shape
+    H, hd = config.num_attention_heads, config.attention_head_dim
+    q = linear(p["to_q"], x).reshape(B, S, H, hd)
+    k = linear(p["to_k"], x).reshape(B, S, H, hd)
+    v = linear(p["to_v"], x).reshape(B, S, H, hd)
+    if config.qk_norm == "rms_norm":
+        q = _rms_norm(p["norm_q"], q)
+        k = _rms_norm(p["norm_k"], k)
+    o = attention(q, k, v).reshape(B, S, H * hd)
+    return linear(p["to_out"]["0"], o)
+
+
 def _joint_block(
     p: dict,
     x: jax.Array,
@@ -94,9 +109,18 @@ def _joint_block(
     temb: jax.Array,  # [B, D]
     config: SD3Config,
     context_pre_only: bool,
+    dual: bool = False,
 ):
     mod = linear(p["norm1"]["linear"], silu(temb))
-    sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = jnp.split(mod, 6, axis=-1)
+    if dual:
+        # AdaLayerNormZeroX: 9 chunks, the extra 3 modulate/gate attn2
+        (sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp,
+         sh_msa2, sc_msa2, g_msa2) = jnp.split(mod, 9, axis=-1)
+        x_n2 = _modulate(x, sh_msa2, sc_msa2)
+    else:
+        sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = jnp.split(
+            mod, 6, axis=-1
+        )
     x_n = _modulate(x, sh_msa, sc_msa)
 
     if context_pre_only:
@@ -115,6 +139,8 @@ def _joint_block(
         p["attn"], x_n, ctx_n, config, context_pre_only
     )
     x = x + g_msa[:, None] * attn_img
+    if dual:
+        x = x + g_msa2[:, None] * _image_self_attention(p["attn2"], x_n2, config)
     x = x + g_mlp[:, None] * _ff(p["ff"], _modulate(x, sh_mlp, sc_mlp))
 
     if context_pre_only:
@@ -178,6 +204,7 @@ def apply(
         x, ctx = _joint_block(
             bp, x, ctx, temb, config,
             context_pre_only=(i == config.num_layers - 1),
+            dual=(i in config.dual_attention_layers),
         )
 
     # final AdaLN-continuous + projection
@@ -230,15 +257,29 @@ def init_params(key: jax.Array, config: SD3Config, dtype=jnp.float32) -> dict:
             )
         return p
 
-    def block(last):
+    def attn2_p():
         p = {
-            "norm1": {"linear": lin(D, 6 * D)},
+            "to_q": lin(D, D),
+            "to_k": lin(D, D),
+            "to_v": lin(D, D),
+            "to_out": {"0": lin(D, D)},
+        }
+        if config.qk_norm == "rms_norm":
+            hd = config.attention_head_dim
+            p.update(norm_q=norm(hd), norm_k=norm(hd))
+        return p
+
+    def block(last, dual):
+        p = {
+            "norm1": {"linear": lin(D, (9 if dual else 6) * D)},
             "norm1_context": {
                 "linear": lin(D, 2 * D if last else 6 * D)
             },
             "attn": attn_p(),
             "ff": {"net": {"0": {"proj": lin(D, 4 * D)}, "2": lin(4 * D, D)}},
         }
+        if dual:
+            p["attn2"] = attn2_p()
         if last:
             p["attn"].pop("to_add_out")
         else:
@@ -272,7 +313,10 @@ def init_params(key: jax.Array, config: SD3Config, dtype=jnp.float32) -> dict:
         },
         "context_embedder": lin(config.joint_attention_dim, D),
         "transformer_blocks": {
-            str(i): block(i == config.num_layers - 1)
+            str(i): block(
+                i == config.num_layers - 1,
+                i in config.dual_attention_layers,
+            )
             for i in range(config.num_layers)
         },
         "norm_out": {"linear": lin(D, 2 * D)},

@@ -141,8 +141,11 @@ def test_anchor_catches_wiring_mutations(rng):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("qk_norm", [None, "rms_norm"])
-def test_mmdit_forward_matches_torch_mirror(qk_norm, rng):
+@pytest.mark.parametrize(
+    "qk_norm,dual",
+    [(None, ()), ("rms_norm", ()), ("rms_norm", (0,)), (None, (0, 1))],
+)
+def test_mmdit_forward_matches_torch_mirror(qk_norm, dual, rng):
     from stablediffusion_tpu.core.config import tiny_sd3_config
     from stablediffusion_tpu.models import mmdit
     from torch_mirror import MirrorMMDiT
@@ -150,7 +153,9 @@ def test_mmdit_forward_matches_torch_mirror(qk_norm, rng):
     if qk_norm == "rms_norm" and not hasattr(torch.nn, "RMSNorm"):
         pytest.skip("torch too old for nn.RMSNorm")
     torch.manual_seed(0)
-    cfg = dataclasses.replace(tiny_sd3_config(), qk_norm=qk_norm)
+    cfg = dataclasses.replace(
+        tiny_sd3_config(), qk_norm=qk_norm, dual_attention_layers=dual
+    )
     mirror = MirrorMMDiT(cfg).eval()
     params = _params_from_torch(mirror)
 

@@ -455,16 +455,24 @@ class MirrorAdaLNZero(nn.Module):
         if self.n_chunks == 2:  # AdaLayerNormContinuous: (scale, shift)
             scale, shift = chunks
             return self.norm(x) * (1 + scale[:, None]) + shift[:, None], ()
+        if self.n_chunks == 9:  # AdaLayerNormZeroX (MMDiT-X dual attention)
+            (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp,
+             shift_msa2, scale_msa2, gate_msa2) = chunks
+            n = self.norm(x)
+            h = n * (1 + scale_msa[:, None]) + shift_msa[:, None]
+            h2 = n * (1 + scale_msa2[:, None]) + shift_msa2[:, None]
+            return h, (gate_msa, shift_mlp, scale_mlp, gate_mlp, h2, gate_msa2)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = chunks
         h = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
         return h, (gate_msa, shift_mlp, scale_mlp, gate_mlp)
 
 
 class MirrorJointBlock(nn.Module):
-    def __init__(self, dim, heads, head_dim, last, qk_norm=None):
+    def __init__(self, dim, heads, head_dim, last, qk_norm=None, dual=False):
         super().__init__()
         self.heads, self.head_dim, self.last = heads, head_dim, last
-        self.norm1 = MirrorAdaLNZero(dim)
+        self.dual = dual
+        self.norm1 = MirrorAdaLNZero(dim, 9 if dual else 6)
         self.norm1_context = MirrorAdaLNZero(dim, 2 if last else 6)
         attn = nn.Module()
         attn.to_q = nn.Linear(dim, dim)
@@ -483,6 +491,16 @@ class MirrorJointBlock(nn.Module):
             attn.norm_added_k = nn.RMSNorm(head_dim, eps=1e-6)
         self.attn = attn
         self.qk_norm = qk_norm
+        if dual:
+            attn2 = nn.Module()
+            attn2.to_q = nn.Linear(dim, dim)
+            attn2.to_k = nn.Linear(dim, dim)
+            attn2.to_v = nn.Linear(dim, dim)
+            attn2.to_out = nn.ModuleList([nn.Linear(dim, dim)])
+            if qk_norm == "rms_norm":
+                attn2.norm_q = nn.RMSNorm(head_dim, eps=1e-6)
+                attn2.norm_k = nn.RMSNorm(head_dim, eps=1e-6)
+            self.attn2 = attn2
 
         def ff(dim):
             m = nn.Module()
@@ -504,7 +522,12 @@ class MirrorJointBlock(nn.Module):
 
     def forward(self, x, ctx, emb):
         a = self.attn
-        x_n, (g_msa, sh_mlp, sc_mlp, g_mlp) = self.norm1(x, emb)
+        if self.dual:
+            x_n, (g_msa, sh_mlp, sc_mlp, g_mlp, x_n2, g_msa2) = self.norm1(
+                x, emb
+            )
+        else:
+            x_n, (g_msa, sh_mlp, sc_mlp, g_mlp) = self.norm1(x, emb)
         if self.last:
             ctx_n, _ = self.norm1_context(ctx, emb)
             c_gates = None
@@ -528,6 +551,18 @@ class MirrorJointBlock(nn.Module):
         o = o.transpose(1, 2).reshape(x.shape[0], -1, self.heads * self.head_dim)
         o_img, o_ctx = o[:, :S], o[:, S:]
         x = x + g_msa[:, None] * a.to_out[0](o_img)
+        if self.dual:
+            a2 = self.attn2
+            q2 = self._heads(a2.to_q(x_n2))
+            k2 = self._heads(a2.to_k(x_n2))
+            v2 = self._heads(a2.to_v(x_n2))
+            if self.qk_norm == "rms_norm":
+                q2, k2 = a2.norm_q(q2), a2.norm_k(k2)
+            o2 = F.scaled_dot_product_attention(q2, k2, v2)
+            o2 = o2.transpose(1, 2).reshape(
+                x.shape[0], -1, self.heads * self.head_dim
+            )
+            x = x + g_msa2[:, None] * a2.to_out[0](o2)
         h = self.norm2(x) * (1 + sc_mlp[:, None]) + sh_mlp[:, None]
         x = x + g_mlp[:, None] * self.ff.net[2](
             F.gelu(self.ff.net[0].proj(h), approximate="tanh")
@@ -576,6 +611,7 @@ class MirrorMMDiT(nn.Module):
                 MirrorJointBlock(
                     D, cfg.num_attention_heads, cfg.attention_head_dim,
                     last=(i == cfg.num_layers - 1), qk_norm=cfg.qk_norm,
+                    dual=(i in getattr(cfg, "dual_attention_layers", ())),
                 )
                 for i in range(cfg.num_layers)
             ]
