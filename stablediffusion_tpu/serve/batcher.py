@@ -1,0 +1,192 @@
+"""Dynamic request micro-batching — TPU throughput serving (beyond-parity;
+the reference worker is strictly serial, runpod-worker/rp_handler.py:44-63).
+
+Concurrent txt2img requests whose compiled graph and shared scalars match
+(same height/width/steps/guidance/clip_skip — the "bucket") are merged into
+ONE pipeline call: prompts and negatives concatenate into batch lists, and
+every request keeps its own noise stream via the pipeline's per-sample seed
+lists.  Because per-sample streams depend only on their own seed (see
+pipelines/unified step-noise keys), a request's image is bit-identical no
+matter which batch it lands in — batching is a pure throughput optimization,
+invisible to clients.
+
+Requests that can't batch (other modes, model blocks, image/mask/control
+inputs, seed lists, num_images_per_prompt > 1) fall through to the serial
+handler path unchanged.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+import traceback
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+# args that force the serial path (graph-changing inputs or non-txt2img)
+_NON_BATCHABLE = (
+    "image",
+    "mask_image",
+    "masked_image_latents",
+    "control_image",
+    "ip_adapter_image",
+    "ip_adapter_image_embeds",
+    "latents",
+    "prompt_embeds",
+    "model",
+    "params",
+)
+# scalars every member of a batch must share (part of the bucket key)
+_BUCKET_KEYS = (
+    "height",
+    "width",
+    "num_inference_steps",
+    "guidance_scale",
+    "guidance_rescale",
+    "clip_skip",
+    "denoising_start",
+    "denoising_end",
+    "cache_interval",
+    "timesteps",
+    "sigmas",
+    "output_type",
+    "max_sequence_length",
+)
+
+
+class _Pending:
+    __slots__ = ("args", "request_id", "event", "result", "t0")
+
+    def __init__(self, args, request_id):
+        self.args = args
+        self.request_id = request_id
+        self.event = threading.Event()
+        self.result: Optional[Dict] = None
+        self.t0 = time.time()
+
+
+def _batchable(request_input: Dict[str, Any]) -> bool:
+    if request_input.get("mode", "inference") != "inference":
+        return False
+    if any(k in request_input for k in _NON_BATCHABLE):
+        return False
+    if not isinstance(request_input.get("prompt"), str):
+        return False
+    if request_input.get("num_images_per_prompt", 1) != 1:
+        return False
+    seed = request_input.get("seed")
+    if seed is not None and not isinstance(seed, int):
+        return False
+    neg = request_input.get("negative_prompt")
+    if neg is not None and not isinstance(neg, str):
+        return False
+    return True
+
+
+def _bucket(request_input: Dict[str, Any]):
+    def freeze(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return tuple(freeze(request_input.get(k)) for k in _BUCKET_KEYS)
+
+
+class Batcher:
+    """Blocking submit() front-end over a single batching worker thread.
+
+    The worker drains the queue, groups compatible requests arrived within
+    `window_ms` of the first (up to `max_batch`), and runs each group as one
+    merged Handler call."""
+
+    def __init__(self, handler, max_batch: int = 8, window_ms: float = 25.0):
+        self.handler = handler
+        self.max_batch = max_batch
+        self.window_ms = window_ms
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._lock = threading.Lock()  # model-slot single-writer
+        self.merged_calls = 0  # observability; test hook
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side --------------------------------------------------------
+    def submit(self, request_input: Dict[str, Any], request_id: str = "") -> Dict:
+        if not _batchable(request_input):
+            with self._lock:
+                return self.handler(request_input, request_id)
+        item = _Pending(dict(request_input), request_id)
+        self._q.put(item)
+        item.event.wait()
+        return item.result
+
+    # -- worker side --------------------------------------------------------
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            batch = [first]
+            deadline = time.monotonic() + self.window_ms / 1e3
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            # group by bucket; each group is one merged call
+            groups: Dict[Any, list] = {}
+            for item in batch:
+                groups.setdefault(_bucket(item.args), []).append(item)
+            for group in groups.values():
+                self._run_group(group)
+
+    def _run_group(self, group):
+        import numpy as np
+
+        try:
+            merged = dict(group[0].args)
+            merged["prompt"] = [it.args["prompt"] for it in group]
+            merged["negative_prompt"] = [
+                it.args.get("negative_prompt") or "" for it in group
+            ]
+            # ALWAYS a seed list (even batch of 1): the per-sample stream
+            # depends only on the request's own seed, making results
+            # independent of batch composition
+            merged["seed"] = [
+                it.args["seed"]
+                if it.args.get("seed") is not None
+                else int(np.random.randint(0, int(1e9)))
+                for it in group
+            ]
+            with self._lock:
+                self.merged_calls += 1
+                out = self.handler._generate(merged)
+            for i, it in enumerate(group):
+                if self.handler.uploader is not None:
+                    images = self.handler.uploader.upload(
+                        out.images[i : i + 1], it.request_id
+                    )
+                else:
+                    from stablediffusion_tpu.serve.handler import (
+                        encode_images_b64,
+                    )
+
+                    images = encode_images_b64(out.images[i : i + 1])
+                it.result = {
+                    "images": images,
+                    "seed": out.seed[i],
+                    "batched": len(group),
+                    "time_sec": round(time.time() - it.t0, 3),
+                }
+                it.event.set()
+        except Exception as e:  # error channel per request
+            logger.error("batched group failed: %s", e)
+            tb = traceback.format_exc()
+            for it in group:
+                if not it.event.is_set():
+                    it.result = {
+                        "error": f"{type(e).__name__}: {e}",
+                        "traceback": tb,
+                    }
+                    it.event.set()

@@ -28,6 +28,7 @@ logger = logging.getLogger(__name__)
 
 _LOCK = threading.Lock()
 HANDLER: Optional[Handler] = None
+BATCHER = None  # serve/batcher.Batcher when HTTP micro-batching is enabled
 
 
 def get_handler(**kw) -> Handler:
@@ -54,7 +55,12 @@ class _HTTPHandler(BaseHTTPRequestHandler):
         except json.JSONDecodeError as e:
             self._reply(400, {"error": f"bad json: {e}"})
             return
-        result = trigger_fn(request)
+        if BATCHER is not None:
+            result = BATCHER.submit(
+                request.get("input") or {}, request.get("id", "")
+            )
+        else:
+            result = trigger_fn(request)
         self._reply(200 if "error" not in result else 500, result)
 
     def do_GET(self):  # noqa: N802 — health check + UI
@@ -83,10 +89,23 @@ class _HTTPHandler(BaseHTTPRequestHandler):
         logger.info("%s " + fmt, self.client_address[0], *args)
 
 
-def serve_http(port: int = 8000, **handler_kw):
-    get_handler(**handler_kw)
+def serve_http(
+    port: int = 8000,
+    max_batch: int = 8,
+    batch_window_ms: float = 25.0,
+    **handler_kw,
+):
+    """Threaded HTTP server with dynamic micro-batching (serve/batcher.py):
+    concurrent same-shape txt2img requests merge into one pipeline call.
+    max_batch=1 restores the reference's strictly serial behavior."""
+    global BATCHER
+    handler = get_handler(**handler_kw)
+    if max_batch > 1:
+        from stablediffusion_tpu.serve.batcher import Batcher
+
+        BATCHER = Batcher(handler, max_batch=max_batch, window_ms=batch_window_ms)
     server = ThreadingHTTPServer(("0.0.0.0", port), _HTTPHandler)
-    logger.info("serving on :%d", port)
+    logger.info("serving on :%d (max_batch=%d)", port, max_batch)
     server.serve_forever()
 
 
@@ -98,6 +117,9 @@ def main(argv=None):
     p.add_argument("--model_type", type=str, default="sdxl")
     p.add_argument("--model_name", type=str, default=None,
                    help="preload this checkpoint (ref preloads AnimaPencil)")
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="HTTP micro-batch cap; 1 = serial (reference behavior)")
+    p.add_argument("--batch_window_ms", type=float, default=25.0)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -112,7 +134,13 @@ def main(argv=None):
 
         runpod.serverless.start({"handler": trigger_fn})
     except ImportError:
-        serve_http(args.port, model_dir=args.model_dir, lora_dir=args.lora_dir)
+        serve_http(
+            args.port,
+            max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms,
+            model_dir=args.model_dir,
+            lora_dir=args.lora_dir,
+        )
 
 
 if __name__ == "__main__":

@@ -347,3 +347,65 @@ def test_ip_adapter_via_model_block(tmp_path):
     resp = h({**ARGS, "seed": 3, "model": {"ip_adapter": None}}, "ip-2")
     assert "error" not in resp, resp.get("traceback")
     assert model.ip_adapter is None
+
+
+# -- dynamic micro-batching (serve/batcher.py, beyond-parity) ----------------
+
+
+def test_batcher_merges_and_is_composition_invariant(handler):
+    """Concurrent same-bucket requests merge into ONE pipeline call, and each
+    request's image is bit-identical to what it gets when batched alone
+    (per-sample seed streams)."""
+    import threading
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=4, window_ms=200.0)
+    results = {}
+
+    def go(seed):
+        results[seed] = b.submit({**ARGS, "seed": seed}, f"b{seed}")
+
+    threads = [threading.Thread(target=go, args=(s,)) for s in (101, 202, 303)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert b.merged_calls == 1, b.merged_calls
+    for s in (101, 202, 303):
+        r = results[s]
+        assert "error" not in r, r.get("traceback")
+        assert r["seed"] == s and r["batched"] == 3
+
+    solo = b.submit({**ARGS, "seed": 202}, "solo")
+    assert solo["batched"] == 1
+    assert solo["images"][0] == results[202]["images"][0], (
+        "batched result differs from solo result for the same seed"
+    )
+
+
+def test_batcher_buckets_and_serial_fallthrough(handler):
+    from stablediffusion_tpu.serve.batcher import Batcher, _batchable
+
+    b = Batcher(handler, max_batch=4, window_ms=50.0)
+    # different shapes -> different buckets, both succeed
+    r1 = b.submit({**ARGS, "seed": 1}, "s1")
+    r2 = b.submit({**ARGS, "height": 64, "width": 64, "seed": 1}, "s2")
+    assert "error" not in r1 and "error" not in r2
+
+    # non-batchable inputs take the serial handler path
+    assert not _batchable({**ARGS, "model": {"scheduler": "DDIM"}})
+    assert not _batchable({**ARGS, "mode": "constructor"})
+    assert not _batchable({**ARGS, "image": "abc"})
+    assert not _batchable({**ARGS, "seed": [1, 2]})
+    assert not _batchable({**ARGS, "num_images_per_prompt": 2})
+    r3 = b.submit({**ARGS, "seed": 5, "model": {"scheduler": "DDIM"}}, "s3")
+    assert "error" not in r3 and "batched" not in r3
+
+
+def test_batcher_error_channel(handler):
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=2, window_ms=10.0)
+    r = b.submit({**ARGS, "seed": 1, "clip_skip": 99}, "bad")
+    assert "error" in r
