@@ -111,6 +111,11 @@ def main():
             break
     if "batch1_sec" in detail:
         detail["p50_latency_sec_batch1"] = detail["batch1_sec"]
+    # methodology, stable across rounds: 20-step DDIM denoise (CFG) + full
+    # VAE decode from random prompt EMBEDDINGS — text encode excluded
+    # (~4 ms, amortized); vs_baseline divides by the self-chosen 2.0 img/s
+    # A100 fp16 estimate documented in BASELINE.md
+    detail["scope"] = "denoise+vae_decode; text-encode excluded; vae bf16"
     print(
         json.dumps(
             {

@@ -8,7 +8,7 @@ import sys
 import time
 
 
-def run(B, res, remat):
+def run(B, res, remat, mb=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,7 +58,7 @@ def run(B, res, remat):
         scheduler_config=sched_cfg,
         compute_dtype=dt,
         gradient_checkpointing=remat,
-        vae_microbatch=min(8, B),
+        vae_microbatch=mb if mb is not None else min(8, B),
     )
     optimizer = make_optimizer(make_lr_schedule("constant", 1e-4))
     opt_state = optimizer.init(lora)
@@ -107,4 +107,5 @@ if __name__ == "__main__":
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     remat = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
-    run(B, res, remat)
+    mb = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    run(B, res, remat, mb)

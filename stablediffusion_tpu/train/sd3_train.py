@@ -144,9 +144,10 @@ def sd3_lora_loss_fn(
         return mmdit_model.apply(p, statics.transformer_config, x, t, ctx, pool)
 
     if statics.gradient_checkpointing:
-        fwd = jax.checkpoint(
-            fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        )
+        # full recompute (save only inputs): the dots-saveable policy keeps
+        # every matmul output alive and at MM-DiT widths that INCREASES peak
+        # memory (measured 21.2G vs 16.4G un-remat at batch 16 512px)
+        fwd = jax.checkpoint(fwd)
     pred = fwd(
         params, noisy.astype(dt), timesteps, embeds.astype(dt), pooled.astype(dt)
     ).astype(jnp.float32)
