@@ -169,10 +169,13 @@ class SDLoRADataset:
         return ""
 
     def __getitem__(self, idx: int) -> Example:
+        return self._load_item(idx, self.rng)
+
+    def _load_item(self, idx: int, rng) -> Example:
         path = self.items[idx]
         cond_path = self._conditioning_path(path)
         arr, original_size, crop_top_left, target_size, cond = transform_image(
-            Image.open(path), self.rng, self.resolution, self.center_crop,
+            Image.open(path), rng, self.resolution, self.center_crop,
             self.random_flip, self.flip_p,
             conditioning_img=Image.open(cond_path) if cond_path else None,
         )
@@ -194,23 +197,65 @@ class SDLoRADataset:
         shard_index: int = 0,
         num_shards: int = 1,
         drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 1,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Epoch iterator of collated batches (collate analog,
         train_lora_pipeline.py:320-342).  `shard_index/num_shards` give
-        per-host sharding for multi-host data parallel."""
-        epoch = 0
-        while epochs is None or epoch < epochs:
-            order = np.arange(len(self))
-            if shuffle:
-                self.rng.shuffle(order)
-            order = order[shard_index::num_shards]
-            for s in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
-                idxs = order[s : s + batch_size]
-                if drop_last and len(idxs) < batch_size:
-                    break
-                ex = [self[int(i)] for i in idxs]
-                yield _collate(ex)
-            epoch += 1
+        per-host sharding for multi-host data parallel.
+
+        Image decode/augment runs on `num_workers` threads (PIL releases the
+        GIL) with `prefetch` batches built ahead, so host-side IO overlaps
+        the device step.  Each item gets its own spawned RNG — results don't
+        depend on thread scheduling or worker count."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(num_workers) if num_workers > 1 else None
+
+        def load_batch(idxs, rngs):
+            # rngs are spawned by the CALLER (main thread) so the stream is
+            # deterministic regardless of worker scheduling
+            pairs = list(zip([int(i) for i in idxs], rngs))
+            if pool is None:
+                ex = [self._load_item(i, r) for i, r in pairs]
+            else:
+                ex = list(pool.map(lambda p: self._load_item(*p), pairs))
+            return _collate(ex)
+
+        def index_stream():
+            epoch = 0
+            while epochs is None or epoch < epochs:
+                order = np.arange(len(self))
+                if shuffle:
+                    self.rng.shuffle(order)
+                order = order[shard_index::num_shards]
+                stop = len(order) - (batch_size - 1 if drop_last else 0)
+                for s in range(0, stop, batch_size):
+                    idxs = order[s : s + batch_size]
+                    if drop_last and len(idxs) < batch_size:
+                        break
+                    yield idxs
+                epoch += 1
+
+        try:
+            if pool is None:
+                for idxs in index_stream():
+                    yield load_batch(idxs, self.rng.spawn(len(idxs)))
+                return
+            pending = deque()
+            stream = index_stream()
+            for idxs in stream:
+                pending.append(
+                    pool.submit(load_batch, idxs, self.rng.spawn(len(idxs)))
+                )
+                if len(pending) > prefetch:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
 
 class HFImageCaptionDataset(SDLoRADataset):
@@ -299,8 +344,9 @@ class HFImageCaptionDataset(SDLoRADataset):
     def __len__(self) -> int:
         return len(self.ds)
 
-    def _pick_caption(self, value) -> str:
+    def _pick_caption(self, value, rng=None) -> str:
         # the reference accepts str or list-of-str columns (random choice)
+        rng = rng if rng is not None else self.rng
         if value is None:
             return ""
         if isinstance(value, str):
@@ -308,12 +354,15 @@ class HFImageCaptionDataset(SDLoRADataset):
         if isinstance(value, (list, tuple, np.ndarray)):
             if len(value) == 0:
                 return ""
-            return str(value[int(self.rng.integers(0, len(value)))])
+            return str(value[int(rng.integers(0, len(value)))])
         raise ValueError(
             f"caption column should be str or list of str, got {type(value)}"
         )
 
     def __getitem__(self, idx: int) -> Example:
+        return self._load_item(idx, self.rng)
+
+    def _load_item(self, idx: int, rng) -> Example:
         row = self.ds[int(idx)]
         img = row[self.image_column]
         if isinstance(img, str):  # path column
@@ -324,11 +373,11 @@ class HFImageCaptionDataset(SDLoRADataset):
             if isinstance(cond_img, str):
                 cond_img = Image.open(cond_img)
         arr, original_size, crop_top_left, target_size, cond = transform_image(
-            img, self.rng, self.resolution, self.center_crop,
+            img, rng, self.resolution, self.center_crop,
             self.random_flip, self.flip_p, conditioning_img=cond_img,
         )
         caption = (
-            self._pick_caption(row.get(self.caption_column))
+            self._pick_caption(row.get(self.caption_column), rng)
             if self.caption_column
             else ""
         )

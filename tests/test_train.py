@@ -152,3 +152,15 @@ def test_gradient_checkpointing(data_dir, tmp_path):
     assert all(np.isfinite(l) for _, l in t.history)
     up_norm = sum(float(jnp.abs(f["up"]).sum()) for f in lora["unet"].values())
     assert up_norm > 0.0
+
+
+def test_dataset_threaded_loading_deterministic(data_dir):
+    """batches() decodes on a thread pool; the augmentation stream must be
+    identical regardless of num_workers (per-item spawned RNGs)."""
+    ds1 = SDLoRADataset(data_dir, resolution=32, seed=7)
+    ds2 = SDLoRADataset(data_dir, resolution=32, seed=7)
+    it1 = ds1.batches(4, epochs=1, num_workers=1)
+    it8 = ds2.batches(4, epochs=1, num_workers=8, prefetch=2)
+    for b1, b8 in zip(it1, it8):
+        np.testing.assert_array_equal(b1["pixel_values"], b8["pixel_values"])
+        assert b1["captions"] == b8["captions"]
