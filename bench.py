@@ -99,6 +99,9 @@ def measure(batch: int, iters: int = 3):
 
 
 def main():
+    from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     best_ips = 0.0
     detail = {}
     for batch in (1, 8, 16):

@@ -11,6 +11,9 @@ STEPS = 30
 
 
 def main():
+    from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

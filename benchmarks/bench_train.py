@@ -9,6 +9,9 @@ import time
 
 
 def main():
+    from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

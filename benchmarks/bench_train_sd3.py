@@ -9,6 +9,9 @@ import time
 
 
 def run(B, res, remat, mb=None):
+    from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
