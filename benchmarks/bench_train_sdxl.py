@@ -1,0 +1,111 @@
+"""SDXL LoRA training throughput on one chip (1024² default, rank 16, UNet
+LoRA only, frozen towers/VAE; fp32 VAE micro-batched encode).  Mirrors
+bench_train16.py methodology."""
+
+import json
+import sys
+import time
+
+
+def run(B, res, remat, mb=None, vae_bf16=False):
+    from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stablediffusion_tpu.core.config import (
+        SD15_TEXT_ENCODER,
+        SDXL_SCHEDULER,
+        SDXL_TEXT_ENCODER_2,
+        SDXL_UNET,
+        SDXL_VAE,
+    )
+    from stablediffusion_tpu.lora.core import UNET_TARGET_SUFFIXES, init_lora
+    from stablediffusion_tpu.models import clip, unet, vae
+    from stablediffusion_tpu.schedulers import DDPMScheduler
+    from stablediffusion_tpu.train.optim import make_lr_schedule, make_optimizer
+    from stablediffusion_tpu.train.train_step import TrainStatics, make_train_step
+    from stablediffusion_tpu.utils.testing import random_model_params
+
+    dt = jnp.bfloat16
+    frozen = {
+        "unet": random_model_params(unet.init_params, SDXL_UNET, dtype=dt),
+        "vae": random_model_params(vae.init_params, SDXL_VAE, dtype=jnp.float32),
+        "text_encoder": random_model_params(
+            clip.init_params, SD15_TEXT_ENCODER, dtype=dt
+        ),
+        "text_encoder_2": random_model_params(
+            clip.init_params, SDXL_TEXT_ENCODER_2, dtype=dt
+        ),
+    }
+    lora = {
+        "unet": init_lora(
+            jax.random.key(0), frozen["unet"], 16, UNET_TARGET_SUFFIXES,
+            store_alpha=False,
+        )
+    }
+    statics = TrainStatics(
+        unet_config=SDXL_UNET,
+        vae_config=SDXL_VAE,
+        text_config=SD15_TEXT_ENCODER,
+        text_config_2=SDXL_TEXT_ENCODER_2,
+        scheduler_config=SDXL_SCHEDULER,
+        train_text_encoder=False,
+        snr_gamma=5.0,
+        compute_dtype=dt,
+        gradient_checkpointing=remat,
+        vae_dtype=jnp.bfloat16 if vae_bf16 else jnp.float32,
+        vae_microbatch=mb if mb is not None else min(4, B),
+    )
+    optimizer = make_optimizer(make_lr_schedule("constant", 1e-4))
+    opt_state = optimizer.init(lora)
+    step_fn = make_train_step(statics, DDPMScheduler(SDXL_SCHEDULER), optimizer)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((B, res, res, 3)) * 0.5, jnp.float32
+        ),
+        "input_ids": jnp.asarray(rng.integers(0, 49407, (B, 77)), jnp.int32),
+        "input_ids_2": jnp.asarray(rng.integers(0, 49407, (B, 77)), jnp.int32),
+        "original_sizes": jnp.asarray([[res, res]] * B, jnp.float32),
+        "crop_top_lefts": jnp.asarray([[0, 0]] * B, jnp.float32),
+        "target_sizes": jnp.asarray([[res, res]] * B, jnp.float32),
+    }
+
+    t0 = time.perf_counter()
+    lora, opt_state, m = step_fn(lora, opt_state, frozen, batch, jax.random.key(1))
+    loss = float(m["loss"])
+    print(f"B={B} res={res} remat={remat}: compiled+step1 in "
+          f"{time.perf_counter()-t0:.1f}s loss={loss:.4f}", flush=True)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        lora, opt_state, m = step_fn(
+            lora, opt_state, frozen, batch, jax.random.key(2 + i)
+        )
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "metric": f"sdxl_{res}px_lora_train_images_per_sec_per_chip",
+                "value": round(B / best, 3),
+                "detail": {"batch": B, "sec_per_step": round(best, 3),
+                           "remat": remat},
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    res = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    remat = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    mb = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    vae_bf16 = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    run(B, res, remat, mb, vae_bf16)

@@ -66,6 +66,11 @@ class TrainStatics:
     # remat the UNet forward during backprop (SURVEY.md D12; the reference's
     # --gradient_checkpointing flag, train_text_to_image_lora.py:560-561)
     gradient_checkpointing: bool = False
+    # VAE encode dtype.  fp32 is the reference policy
+    # (train_lora_pipeline.py:238); bf16 is range-safe on TPU (bf16 shares
+    # fp32's exponent) and halves the fp32 encoder-activation peak — the
+    # difference between SDXL 1024px batch-4 training fitting in 16G or not
+    vae_dtype: Any = jnp.float32
     # encode pixels through the fp32 VAE in chunks of this many images
     # (0 = whole batch): the fp32 encoder activations at 512^2 are the
     # memory peak and cap the trainable batch size otherwise
@@ -115,23 +120,28 @@ def _prepare_diffusion(
     k_sample, k_noise, k_t, k_offset = jax.random.split(key, 4)
     dt = statics.compute_dtype
 
-    # 1. VAE encode (always fp32 — ref dtype policy train_lora_pipeline.py:238).
-    # Optionally micro-batched: fp32 encoder activations at 512^2 dominate
-    # the memory peak.
-    pixels = batch["pixel_values"].astype(jnp.float32)
+    # 1. VAE encode (fp32 by default — ref dtype policy
+    # train_lora_pipeline.py:238; statics.vae_dtype=bf16 halves the
+    # encoder-activation peak).  Optionally micro-batched: encoder
+    # activations at 512^2+ dominate the memory peak.
+    vdt = getattr(statics, "vae_dtype", jnp.float32)
+    pixels = batch["pixel_values"].astype(vdt)
+    vae_params = frozen["vae"]
+    if vdt != jnp.float32:
+        vae_params = jax.tree_util.tree_map(lambda a: a.astype(vdt), vae_params)
     mb = statics.vae_microbatch
     if mb and pixels.shape[0] > mb and pixels.shape[0] % mb == 0:
         chunks = pixels.reshape(pixels.shape[0] // mb, mb, *pixels.shape[1:])
 
         def enc(c):
-            return vae_model.encode(frozen["vae"], statics.vae_config, c)
+            return vae_model.encode(vae_params, statics.vae_config, c)
 
         mean, logvar = jax.lax.map(enc, chunks)
         mean = mean.reshape(pixels.shape[0], *mean.shape[2:])
         logvar = logvar.reshape(pixels.shape[0], *logvar.shape[2:])
     else:
-        mean, logvar = vae_model.encode(frozen["vae"], statics.vae_config, pixels)
-    latents = vae_model.sample_latent(mean, logvar, k_sample)
+        mean, logvar = vae_model.encode(vae_params, statics.vae_config, pixels)
+    latents = vae_model.sample_latent(mean, logvar, k_sample).astype(jnp.float32)
     latents = latents * statics.vae_config.scaling_factor
 
     # 2. noise + random timesteps
@@ -222,9 +232,10 @@ def loss_fn(
         )
 
     if statics.gradient_checkpointing:
-        unet_fwd = jax.checkpoint(
-            unet_fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        )
+        # full recompute: the dots-saveable policy keeps every matmul output
+        # alive, which measurably INCREASES peak memory at SD widths (same
+        # finding as the MM-DiT trainer, sd3_train.py)
+        unet_fwd = jax.checkpoint(unet_fwd)
     pred = unet_fwd(
         unet_params,
         noisy.astype(dt),
