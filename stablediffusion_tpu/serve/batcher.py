@@ -39,7 +39,10 @@ _NON_BATCHABLE = (
     "model",
     "params",
 )
-# scalars every member of a batch must share (part of the bucket key)
+# args every member of a batch must share (part of the bucket key).  This
+# must cover EVERY per-request arg the merged call forwards besides
+# prompt/negative_prompt/seed — anything missing here would silently apply
+# the first request's value to the whole group.
 _BUCKET_KEYS = (
     "height",
     "width",
@@ -52,8 +55,17 @@ _BUCKET_KEYS = (
     "cache_interval",
     "timesteps",
     "sigmas",
-    "output_type",
     "max_sequence_length",
+    "prompt_2",
+    "negative_prompt_2",
+    "prompt_3",
+    "negative_prompt_3",
+    "cross_attention_kwargs",
+    "ip_adapter_scale",
+    "num_images_per_prompt",
+    "strength",
+    "padding_mask_crop",
+    "controlnet_conditioning_scale",
 )
 
 
@@ -86,11 +98,17 @@ def _batchable(request_input: Dict[str, Any]) -> bool:
     return True
 
 
-def _bucket(request_input: Dict[str, Any]):
-    def freeze(v):
-        return tuple(v) if isinstance(v, list) else v
+def _freeze(v):
+    """Hashable view of any JSON value (lists/dicts recursively frozen)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return v
 
-    return tuple(freeze(request_input.get(k)) for k in _BUCKET_KEYS)
+
+def _bucket(request_input: Dict[str, Any]):
+    return tuple(_freeze(request_input.get(k)) for k in _BUCKET_KEYS)
 
 
 class Batcher:
@@ -112,12 +130,19 @@ class Batcher:
 
     # -- client side --------------------------------------------------------
     def submit(self, request_input: Dict[str, Any], request_id: str = "") -> Dict:
-        if not _batchable(request_input):
+        # SD3Model has no per-sample seed streams yet — without them a merged
+        # call could not be batch-composition invariant, so sd3 stays serial
+        if (
+            not _batchable(request_input)
+            or getattr(self.handler.model, "model_type", None)
+            not in ("sd15", "sdxl")
+        ):
             with self._lock:
                 return self.handler(request_input, request_id)
         item = _Pending(dict(request_input), request_id)
         self._q.put(item)
-        item.event.wait()
+        if not item.event.wait(timeout=1800.0):
+            return {"error": "TimeoutError: batched request timed out"}
         return item.result
 
     # -- worker side --------------------------------------------------------
@@ -134,18 +159,35 @@ class Batcher:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            # group by bucket; each group is one merged call
-            groups: Dict[Any, list] = {}
-            for item in batch:
-                groups.setdefault(_bucket(item.args), []).append(item)
-            for group in groups.values():
-                self._run_group(group)
+            # group by bucket; each group is one merged call.  Nothing here
+            # may kill the singleton worker thread — a dead loop would hang
+            # every pending and future batchable request.
+            try:
+                groups: Dict[Any, list] = {}
+                for item in batch:
+                    groups.setdefault(_bucket(item.args), []).append(item)
+                for group in groups.values():
+                    self._run_group(group)
+            except Exception as e:  # pragma: no cover — belt and braces
+                logger.exception("batch loop error: %s", e)
+                for item in batch:
+                    if not item.event.is_set():
+                        item.result = {"error": f"{type(e).__name__}: {e}"}
+                        item.event.set()
 
     def _run_group(self, group):
         import numpy as np
 
+        from stablediffusion_tpu.serve.handler import INFERENCE_ARG_KEYS
+
         try:
-            merged = dict(group[0].args)
+            # mirror Handler.__call__'s arg filtering exactly: the batched
+            # path must honor the same keys the serial path does, no more
+            merged = {
+                k: v
+                for k, v in group[0].args.items()
+                if k in INFERENCE_ARG_KEYS
+            }
             merged["prompt"] = [it.args["prompt"] for it in group]
             merged["negative_prompt"] = [
                 it.args.get("negative_prompt") or "" for it in group

@@ -54,6 +54,8 @@ INFERENCE_ARG_KEYS = (
     "masked_image_latents",
     "padding_mask_crop",
     "cache_interval",
+    "timesteps",
+    "sigmas",
     "control_image",
     "controlnet_conditioning_scale",
     "cross_attention_kwargs",

@@ -212,6 +212,10 @@ class SDLoRADataset:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(num_workers) if num_workers > 1 else None
+        # batch-assembly wrappers block on per-item futures; they must run on
+        # their OWN executor or they could occupy every item worker and
+        # deadlock (wrappers waiting on item tasks that can never start)
+        assembler = ThreadPoolExecutor(prefetch + 1) if pool is not None else None
 
         def load_batch(idxs, rngs):
             # rngs are spawned by the CALLER (main thread) so the stream is
@@ -247,7 +251,7 @@ class SDLoRADataset:
             stream = index_stream()
             for idxs in stream:
                 pending.append(
-                    pool.submit(load_batch, idxs, self.rng.spawn(len(idxs)))
+                    assembler.submit(load_batch, idxs, self.rng.spawn(len(idxs)))
                 )
                 if len(pending) > prefetch:
                     yield pending.popleft().result()
@@ -255,6 +259,7 @@ class SDLoRADataset:
                 yield pending.popleft().result()
         finally:
             if pool is not None:
+                assembler.shutdown(wait=False, cancel_futures=True)
                 pool.shutdown(wait=False, cancel_futures=True)
 
 

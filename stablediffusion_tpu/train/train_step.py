@@ -124,7 +124,7 @@ def _prepare_diffusion(
     # train_lora_pipeline.py:238; statics.vae_dtype=bf16 halves the
     # encoder-activation peak).  Optionally micro-batched: encoder
     # activations at 512^2+ dominate the memory peak.
-    vdt = getattr(statics, "vae_dtype", jnp.float32)
+    vdt = statics.vae_dtype
     pixels = batch["pixel_values"].astype(vdt)
     vae_params = frozen["vae"]
     if vdt != jnp.float32:

@@ -409,3 +409,18 @@ def test_batcher_error_channel(handler):
     b = Batcher(handler, max_batch=2, window_ms=10.0)
     r = b.submit({**ARGS, "seed": 1, "clip_skip": 99}, "bad")
     assert "error" in r
+
+
+def test_batcher_survives_malformed_and_filters_args(handler):
+    """A request that errors inside the merged call (or has unhashable args)
+    must return a per-request error WITHOUT killing the singleton batch
+    thread; extra client keys and 'mode' are filtered like the serial path."""
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=4, window_ms=10.0)
+    r = b.submit({**ARGS, "seed": 1, "sigmas": {"0": 1}}, "bad")
+    assert "error" in r
+    r = b.submit(
+        {**ARGS, "seed": 2, "mode": "inference", "webhook": "http://x"}, "ok"
+    )
+    assert "error" not in r, r.get("traceback")
