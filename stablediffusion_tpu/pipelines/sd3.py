@@ -384,9 +384,33 @@ class StableDiffusion3Pipeline:
         n = num_images_per_prompt
         do_cfg = self.do_cfg and guidance_scale > 1.0
 
-        if seed is None:
-            seed = int(np.random.randint(0, 2**31 - 1))
-        key = as_key(seed)
+        # per-sample seed LISTS (diffusers generator-list parity; same
+        # semantics as the unified pipeline): sample i's noise depends only
+        # on seed i, regardless of batch composition
+        seed_list = None
+        if isinstance(seed, (list, tuple)):
+            seed_list = [int(x) for x in seed]
+            if len(seed_list) != B * n:
+                raise ValueError(
+                    f"seed list length {len(seed_list)} != batch size {B * n}"
+                )
+            key = as_key(seed_list[0])
+            seed = list(seed_list)
+        else:
+            if seed is None:
+                seed = int(np.random.randint(0, 2**31 - 1))
+            key = as_key(seed)
+        sample_keys = (
+            jax.vmap(jax.random.key)(jnp.asarray(seed_list, jnp.uint32))
+            if seed_list is not None
+            else None
+        )
+
+        def _psk(tag):
+            if sample_keys is None:
+                return None
+            return jax.vmap(lambda kk: jax.random.fold_in(kk, tag))(sample_keys)
+
         k_latent, k_encode = jax.random.split(key)
 
         embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
@@ -407,7 +431,9 @@ class StableDiffusion3Pipeline:
                                   sigmas=sigmas)
             shape = (B * n, height // vf, width // vf, lat_c)
             if latents is None:
-                latents = randn(k_latent, shape, jnp.float32)
+                latents = randn(
+                    k_latent, shape, jnp.float32, per_sample_keys=_psk(0)
+                )
                 # sigma_max = 1 -> pure noise start
                 latents = latents * plan.init_noise_sigma
         else:
@@ -427,7 +453,9 @@ class StableDiffusion3Pipeline:
                 model.vae_params, img, k_encode, config=model.vae_config
             )
             init_lat = jnp.tile(init_lat, (B * n // init_lat.shape[0], 1, 1, 1))
-            noise = randn(k_latent, init_lat.shape, jnp.float32)
+            noise = randn(
+                k_latent, init_lat.shape, jnp.float32, per_sample_keys=_psk(0)
+            )
             latents = scheduler.add_noise_index(
                 plan, init_lat.astype(jnp.float32), noise, 0
             )

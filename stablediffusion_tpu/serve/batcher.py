@@ -130,12 +130,12 @@ class Batcher:
 
     # -- client side --------------------------------------------------------
     def submit(self, request_input: Dict[str, Any], request_id: str = "") -> Dict:
-        # SD3Model has no per-sample seed streams yet — without them a merged
-        # call could not be batch-composition invariant, so sd3 stays serial
+        # all three families support per-sample seed lists (the invariance
+        # mechanism); anything else (no model yet, unknown type) stays serial
         if (
             not _batchable(request_input)
             or getattr(self.handler.model, "model_type", None)
-            not in ("sd15", "sdxl")
+            not in ("sd15", "sdxl", "sd3")
         ):
             with self._lock:
                 return self.handler(request_input, request_id)

@@ -424,3 +424,29 @@ def test_batcher_survives_malformed_and_filters_args(handler):
         {**ARGS, "seed": 2, "mode": "inference", "webhook": "http://x"}, "ok"
     )
     assert "error" not in r, r.get("traceback")
+
+
+def test_batcher_sd3(sd3_handler):
+    """SD3 requests batch too (per-sample seed lists in pipelines/sd3.py):
+    merged results are bit-identical to solo results for the same seed."""
+    import threading
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(sd3_handler, max_batch=4, window_ms=200.0)
+    results = {}
+
+    def go(seed):
+        results[seed] = b.submit({**SD3_ARGS, "seed": seed}, f"s{seed}")
+
+    threads = [threading.Thread(target=go, args=(s,)) for s in (11, 22)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for s in (11, 22):
+        assert "error" not in results[s], results[s].get("traceback")
+        assert results[s]["seed"] == s and results[s]["batched"] == 2
+    solo = b.submit({**SD3_ARGS, "seed": 22}, "solo")
+    assert solo["batched"] == 1
+    assert solo["images"][0] == results[22]["images"][0]
