@@ -389,3 +389,40 @@ class TestPipelineE2E:
         )
         assert out.images.shape == (1, 16, 16, 3)
         assert np.isfinite(out.images).all()
+
+
+def test_pipeline_with_embeds_sdxl(tmp_path):
+    """IP-Adapter on the SDXL variant (uneven per-block heads, dual towers):
+    fuse + generate + scale-0 reproduces the no-adapter image."""
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from stablediffusion_tpu.pipelines import StableDiffusionUnifiedPipeline
+
+    model = make_tiny_model("sdxl")
+    cfg = model.unet_config
+    rng = np.random.default_rng(11)
+    flat = {f"ip_adapter.{k}": v for k, v in _make_ip_sd(cfg, rng).items()}
+    tokens_n, clip_dim = 4, 16
+    flat["image_proj.proj.weight"] = rng.standard_normal(
+        (tokens_n * cfg.cross_attention_dim, clip_dim)
+    ).astype(np.float32) * 0.05
+    flat["image_proj.proj.bias"] = np.zeros(
+        tokens_n * cfg.cross_attention_dim, np.float32
+    )
+    flat["image_proj.norm.weight"] = np.ones(cfg.cross_attention_dim, np.float32)
+    flat["image_proj.norm.bias"] = np.zeros(cfg.cross_attention_dim, np.float32)
+    path = str(tmp_path / "ip_sdxl.safetensors")
+    save_safetensors(flat, path)
+
+    model.load_ip_adapter(path)
+    pipe = StableDiffusionUnifiedPipeline()
+    xdim = cfg.cross_attention_dim
+    tokens = rng.standard_normal((1, 4, xdim)).astype(np.float32)
+    kw = dict(prompt="a cat", num_inference_steps=2, height=16, width=16,
+              seed=42)
+    out = pipe(model, ip_adapter_image_embeds=tokens, **kw)
+    assert out.images.shape == (1, 16, 16, 3)
+    out0 = pipe(model, ip_adapter_image_embeds=tokens, ip_adapter_scale=0.0, **kw)
+    model.unload_ip_adapter()
+    ref = pipe(model, **kw)
+    np.testing.assert_allclose(out0.images, ref.images, atol=2e-3)
+    assert not np.allclose(out.images, ref.images, atol=2e-3)
