@@ -18,9 +18,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from stablediffusion_tpu.parallel.mesh import TENSOR_AXIS
 
 # column-parallel (shard output features): q/k/v and up projections
-_COL_SUFFIXES = ("to_q", "to_k", "to_v", "proj")
+_COL_SUFFIXES = (
+    "to_q", "to_k", "to_v", "proj",
+    # MM-DiT context stream (models/mmdit.py)
+    "add_q_proj", "add_k_proj", "add_v_proj",
+)
 # row-parallel (shard input features): output projections
-_ROW_SUFFIXES = ("to_out.0", "2")  # ff.net.2
+_ROW_SUFFIXES = ("to_out.0", "to_add_out", "2")  # ff(_context).net.2
 
 
 def _spec_for(path: str, ndim: int, tensor_size: int, shape) -> P:

@@ -298,3 +298,32 @@ def test_sd3_multichip_batch_sharding():
     b = StableDiffusion3Pipeline()(model, **kw)
     assert a.images.shape == (8, 16, 16, 3)
     np.testing.assert_allclose(a.images, b.images, atol=2e-4)
+
+
+def test_sd3_tensor_parallel_params():
+    """TP sharding generalizes to the MM-DiT: both streams' attention/MLP
+    kernels shard over the tensor axis; output identical to replicated."""
+    from stablediffusion_tpu.models import mmdit
+    from stablediffusion_tpu.parallel import make_mesh
+    from stablediffusion_tpu.parallel.tp import shard_params_tp
+
+    model = make_tiny_sd3_model()
+    mesh = make_mesh(data=4, tensor=2)
+    sharded = shard_params_tp(model.transformer_params, mesh)
+    blk = sharded["transformer_blocks"]["0"]["attn"]
+    assert not blk["to_q"]["weight"].sharding.is_fully_replicated
+    assert not blk["add_k_proj"]["weight"].sharding.is_fully_replicated
+    assert not blk["to_add_out"]["weight"].sharding.is_fully_replicated
+
+    cfg = model.transformer_config
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(
+        jax.random.key(1), (2, 9, cfg.joint_attention_dim)
+    )
+    pooled = jax.random.normal(
+        jax.random.key(2), (2, cfg.pooled_projection_dim)
+    )
+    t = jnp.asarray([500.0, 20.0])
+    a = mmdit.apply(model.transformer_params, cfg, x, t, ctx, pooled)
+    b = mmdit.apply(sharded, cfg, x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
