@@ -27,6 +27,18 @@ def enable_compilation_cache(path: str | None = None) -> bool:
         os.path.join(os.path.expanduser("~"), ".cache", "sdtpu-xla"),
     )
     try:
+        # TPU-only, in its own subdirectory.  Two hard-won reasons:
+        #  * cache keys can collide across backends here (remote axon TPU vs
+        #    cpu) and deserializing a TPU executable in a CPU process
+        #    SEGFAULTS (observed: CPU pytest crash reading a TPU bench entry);
+        #  * executable (de)serialization on the CPU backend with the axon
+        #    plugin co-registered segfaults nondeterministically too.
+        # CPU compiles are cheap; the cache's value is TPU cold-starts.
+        backend = jax.default_backend()
+        if backend not in ("tpu", "axon"):
+            logger.info("compilation cache skipped on %s backend", backend)
+            return False
+        path = os.path.join(path, backend)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

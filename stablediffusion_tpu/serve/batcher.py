@@ -145,10 +145,17 @@ class Batcher:
             return {"error": "TimeoutError: batched request timed out"}
         return item.result
 
+    def close(self):
+        """Stop the worker thread (used by tests; servers run forever)."""
+        self._q.put(None)
+        self._thread.join(timeout=10.0)
+
     # -- worker side --------------------------------------------------------
     def _loop(self):
         while True:
             first = self._q.get()
+            if first is None:
+                return
             batch = [first]
             deadline = time.monotonic() + self.window_ms / 1e3
             while len(batch) < self.max_batch:
@@ -156,9 +163,13 @@ class Batcher:
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self._q.get(timeout=remaining))
+                    nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if nxt is None:  # close() during gather: finish then exit
+                    self._q.put(None)
+                    break
+                batch.append(nxt)
             # group by bucket; each group is one merged call.  Nothing here
             # may kill the singleton worker thread — a dead loop would hang
             # every pending and future batchable request.

@@ -293,12 +293,14 @@ class SD3LoRATrainer:
         step = start_step
         t0 = time.time()
         history = []
-        for batch in dataset.batches(
+        batch_iter = dataset.batches(
             args.train_batch_size,
             epochs=None,
             shard_index=jax.process_index(),
             num_shards=jax.process_count(),
-        ):
+        )
+        try:
+          for batch in batch_iter:
             if step >= total_steps:
                 break
             jb = self._prepare_batch(batch)
@@ -326,6 +328,10 @@ class SD3LoRATrainer:
                     args.checkpoints_total_limit,
                 )
 
+        finally:
+            # deterministic pool shutdown: the generator may be
+            # abandoned mid-epoch (max_train_steps break)
+            batch_iter.close()
         self.history = history
         self.lora = lora
         if self.metrics is not None:

@@ -382,6 +382,7 @@ def test_batcher_merges_and_is_composition_invariant(handler):
     assert solo["images"][0] == results[202]["images"][0], (
         "batched result differs from solo result for the same seed"
     )
+    b.close()
 
 
 def test_batcher_buckets_and_serial_fallthrough(handler):
@@ -401,6 +402,7 @@ def test_batcher_buckets_and_serial_fallthrough(handler):
     assert not _batchable({**ARGS, "num_images_per_prompt": 2})
     r3 = b.submit({**ARGS, "seed": 5, "model": {"scheduler": "DDIM"}}, "s3")
     assert "error" not in r3 and "batched" not in r3
+    b.close()
 
 
 def test_batcher_error_channel(handler):
@@ -409,6 +411,7 @@ def test_batcher_error_channel(handler):
     b = Batcher(handler, max_batch=2, window_ms=10.0)
     r = b.submit({**ARGS, "seed": 1, "clip_skip": 99}, "bad")
     assert "error" in r
+    b.close()
 
 
 def test_batcher_survives_malformed_and_filters_args(handler):
@@ -424,6 +427,7 @@ def test_batcher_survives_malformed_and_filters_args(handler):
         {**ARGS, "seed": 2, "mode": "inference", "webhook": "http://x"}, "ok"
     )
     assert "error" not in r, r.get("traceback")
+    b.close()
 
 
 def test_batcher_sd3(sd3_handler):
@@ -450,3 +454,4 @@ def test_batcher_sd3(sd3_handler):
     solo = b.submit({**SD3_ARGS, "seed": 22}, "solo")
     assert solo["batched"] == 1
     assert solo["images"][0] == results[22]["images"][0]
+    b.close()
