@@ -11,11 +11,15 @@ Layout: q [B, Sq, H, D], k/v [B, Skv, H, D] -> out [B, Sq, H, D].
 
 from __future__ import annotations
 
+import contextvars
 import os
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+_flash_mode_var = contextvars.ContextVar("sdtpu_flash_mode", default=None)
 
 
 def attention_xla(
@@ -52,6 +56,32 @@ def attention_xla(
 
 
 _on_tpu_cache: Optional[bool] = None
+
+
+def _flash_mode() -> str:
+    """Effective flash-attention mode: the scoped `flash_attention_mode`
+    override if active in this thread/context, else the SDTPU_FLASH_ATTN env
+    var, else "1" (auto dispatch).  Values: "0" (XLA everywhere), "1" (auto),
+    "all" (lower the head-dim floor to 32 — training backward memory)."""
+    ov = _flash_mode_var.get()
+    if ov is not None:
+        return ov
+    return os.environ.get("SDTPU_FLASH_ATTN", "1")
+
+
+@contextmanager
+def flash_attention_mode(mode: str):
+    """Scoped, thread-local override of the flash-attention dispatch mode.
+
+    Used by the trainers to trace their jitted step with mode="all" without
+    mutating the process-global env var: a concurrent thread tracing an
+    attention-bearing jit (in-process serving, a validation render) keeps
+    its own mode.  The dispatch reads the mode at TRACE time only."""
+    tok = _flash_mode_var.set(str(mode))
+    try:
+        yield
+    finally:
+        _flash_mode_var.reset(tok)
 
 
 def _on_tpu() -> bool:
@@ -101,11 +131,7 @@ def _lib_flash_supported(q_shape, k_shape) -> bool:
     at batch>=8 the padded-MXU flash loses, so XLA keeps D=40 throughput."""
     b, sq, _, d = q_shape
     skv = k_shape[1]
-    d_min = (
-        32
-        if (os.environ.get("SDTPU_FLASH_ATTN") == "all" or b <= 2)
-        else 64
-    )
+    d_min = 32 if (_flash_mode() == "all" or b <= 2) else 64
     return skv >= 1024 and d_min <= d <= 128
 
 
@@ -188,7 +214,7 @@ def attention(
                 return flash_attention(q, k, v, scale=scale)
             if k.shape[1] >= 2048:  # long KV: streaming online-softmax kernel
                 return flash_attention_streaming(q, k, v, scale=scale)
-        if os.environ.get("SDTPU_FLASH_ATTN", "1") != "0" and _lib_flash_supported(
+        if _flash_mode() != "0" and _lib_flash_supported(
             q.shape, k.shape
         ):
             return _lib_flash(q, k, v, scale if scale is not None else q.shape[-1] ** -0.5)

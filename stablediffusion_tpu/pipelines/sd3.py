@@ -434,8 +434,11 @@ class StableDiffusion3Pipeline:
                 latents = randn(
                     k_latent, shape, jnp.float32, per_sample_keys=_psk(0)
                 )
-                # sigma_max = 1 -> pure noise start
-                latents = latents * plan.init_noise_sigma
+                # diffusers' StableDiffusion3Pipeline never scales the
+                # initial latents (flow matching starts from pure noise);
+                # with the default grid the first shifted sigma is 1.0 so a
+                # multiply would be a no-op, but user-supplied sigmas /
+                # timesteps with sigma[0] < 1 must NOT rescale the start.
         else:
             plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
                                   sigmas=sigmas)

@@ -39,45 +39,53 @@ _NON_BATCHABLE = (
     "model",
     "params",
 )
-# args every member of a batch must share (part of the bucket key).  This
-# must cover EVERY per-request arg the merged call forwards besides
-# prompt/negative_prompt/seed — anything missing here would silently apply
-# the first request's value to the whole group.
-_BUCKET_KEYS = (
-    "height",
-    "width",
-    "num_inference_steps",
-    "guidance_scale",
-    "guidance_rescale",
-    "clip_skip",
-    "denoising_start",
-    "denoising_end",
-    "cache_interval",
-    "timesteps",
-    "sigmas",
-    "max_sequence_length",
-    "prompt_2",
-    "negative_prompt_2",
-    "prompt_3",
-    "negative_prompt_3",
-    "cross_attention_kwargs",
-    "ip_adapter_scale",
-    "num_images_per_prompt",
-    "strength",
-    "padding_mask_crop",
-    "controlnet_conditioning_scale",
-)
+# args the merged call composes per-request instead of sharing
+_MERGED_KEYS = ("prompt", "negative_prompt", "seed")
+
+_BUCKET_KEYS_CACHE = None
+
+
+def _bucket_keys():
+    """Every member of a batch must share these (the bucket key).  DERIVED
+    from the handler's INFERENCE_ARG_KEYS so a newly added pipeline arg is
+    automatically a bucket key (splitting batches — the safe default) rather
+    than silently applying request #1's value to the whole merged group.
+    test_serve asserts the three-way partition stays total."""
+    global _BUCKET_KEYS_CACHE
+    if _BUCKET_KEYS_CACHE is None:
+        from stablediffusion_tpu.serve.handler import INFERENCE_ARG_KEYS
+
+        _BUCKET_KEYS_CACHE = tuple(
+            k
+            for k in INFERENCE_ARG_KEYS
+            if k not in _MERGED_KEYS and k not in _NON_BATCHABLE
+        )
+    return _BUCKET_KEYS_CACHE
 
 
 class _Pending:
-    __slots__ = ("args", "request_id", "event", "result", "t0")
+    __slots__ = (
+        "args",
+        "request_id",
+        "event",
+        "result",
+        "t0",
+        "generation",
+        "abandoned",
+    )
 
-    def __init__(self, args, request_id):
+    def __init__(self, args, request_id, generation=0):
         self.args = args
         self.request_id = request_id
         self.event = threading.Event()
         self.result: Optional[Dict] = None
         self.t0 = time.time()
+        # handler.model_generation snapshot at enqueue; a mismatch at run
+        # time means the model was reconfigured while we queued
+        self.generation = generation
+        # set when submit()'s wait times out: the worker must not burn TPU
+        # time generating an image nobody will read
+        self.abandoned = False
 
 
 def _batchable(request_input: Dict[str, Any]) -> bool:
@@ -108,7 +116,7 @@ def _freeze(v):
 
 
 def _bucket(request_input: Dict[str, Any]):
-    return tuple(_freeze(request_input.get(k)) for k in _BUCKET_KEYS)
+    return tuple(_freeze(request_input.get(k)) for k in _bucket_keys())
 
 
 class Batcher:
@@ -118,13 +126,23 @@ class Batcher:
     `window_ms` of the first (up to `max_batch`), and runs each group as one
     merged Handler call."""
 
-    def __init__(self, handler, max_batch: int = 8, window_ms: float = 25.0):
+    def __init__(
+        self,
+        handler,
+        max_batch: int = 8,
+        window_ms: float = 25.0,
+        max_queue: int = 64,
+        timeout_s: float = 1800.0,
+    ):
         self.handler = handler
         self.max_batch = max_batch
         self.window_ms = window_ms
+        self.max_queue = max_queue  # overload shedding threshold
+        self.timeout_s = timeout_s
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._lock = threading.Lock()  # model-slot single-writer
         self.merged_calls = 0  # observability; test hook
+        self.shed_requests = 0  # observability; overload-shed counter
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -139,9 +157,25 @@ class Batcher:
         ):
             with self._lock:
                 return self.handler(request_input, request_id)
-        item = _Pending(dict(request_input), request_id)
+        # overload shedding: beyond max_queue pending requests the client is
+        # better served by an immediate 503-style error than a multi-minute
+        # queue wait (each merged call is seconds of TPU time)
+        if self._q.qsize() >= self.max_queue:
+            self.shed_requests += 1
+            return {
+                "error": "OverloadedError: request queue full, retry later"
+            }
+        item = _Pending(
+            dict(request_input),
+            request_id,
+            generation=getattr(self.handler, "model_generation", 0),
+        )
         self._q.put(item)
-        if not item.event.wait(timeout=1800.0):
+        if not item.event.wait(timeout=self.timeout_s):
+            # mark abandoned so the worker drops it from future groups
+            # instead of generating an image nobody reads; if generation
+            # already started the result is simply discarded
+            item.abandoned = True
             return {"error": "TimeoutError: batched request timed out"}
         return item.result
 
@@ -191,6 +225,9 @@ class Batcher:
 
         from stablediffusion_tpu.serve.handler import INFERENCE_ARG_KEYS
 
+        group = [it for it in group if not it.abandoned]
+        if not group:
+            return
         try:
             # mirror Handler.__call__'s arg filtering exactly: the batched
             # path must honor the same keys the serial path does, no more
@@ -199,20 +236,38 @@ class Batcher:
                 for k, v in group[0].args.items()
                 if k in INFERENCE_ARG_KEYS
             }
-            merged["prompt"] = [it.args["prompt"] for it in group]
-            merged["negative_prompt"] = [
-                it.args.get("negative_prompt") or "" for it in group
-            ]
-            # ALWAYS a seed list (even batch of 1): the per-sample stream
-            # depends only on the request's own seed, making results
-            # independent of batch composition
-            merged["seed"] = [
-                it.args["seed"]
-                if it.args.get("seed") is not None
-                else int(np.random.randint(0, int(1e9)))
-                for it in group
-            ]
             with self._lock:
+                # revalidate model identity under the lock: a concurrent
+                # serial request carrying a model block may have swapped
+                # checkpoints / LoRA / scheduler state between enqueue and
+                # now — those items re-run through the full serial handler
+                # (fresh validation against the CURRENT model)
+                cur_gen = getattr(self.handler, "model_generation", 0)
+                stale = [it for it in group if it.generation != cur_gen]
+                group = [it for it in group if it.generation == cur_gen]
+                for it in stale:
+                    if it.abandoned:
+                        continue
+                    try:
+                        it.result = self.handler(it.args, it.request_id)
+                    except Exception as e:  # handler catches; belt+braces
+                        it.result = {"error": f"{type(e).__name__}: {e}"}
+                    it.event.set()
+                if not group:
+                    return
+                merged["prompt"] = [it.args["prompt"] for it in group]
+                merged["negative_prompt"] = [
+                    it.args.get("negative_prompt") or "" for it in group
+                ]
+                # ALWAYS a seed list (even batch of 1): the per-sample
+                # stream depends only on the request's own seed, making
+                # results independent of batch composition
+                merged["seed"] = [
+                    it.args["seed"]
+                    if it.args.get("seed") is not None
+                    else int(np.random.randint(0, int(1e9)))
+                    for it in group
+                ]
                 self.merged_calls += 1
                 out = self.handler._generate(merged)
             for i, it in enumerate(group):

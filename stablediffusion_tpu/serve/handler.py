@@ -103,6 +103,11 @@ class Handler:
         self.model = model
         self.model_dir = model_dir
         self.lora_dir = lora_dir or model_dir
+        # bumped on every request that may mutate model state (model block,
+        # constructor sweep, train mode); the Batcher snapshots it at enqueue
+        # and falls back to serial handling for requests that were queued
+        # under a different model state (see serve/batcher.py)
+        self.model_generation = 0
         # BUCKET_ENDPOINT_URL-gated image sink (ref handler_logic.py:32-51):
         # when configured, responses carry URLs instead of base64
         self.uploader = uploader if uploader is not None else make_uploader()
@@ -159,6 +164,10 @@ class Handler:
             mode = request_input.get("mode", "inference")
             if "model" in request_input and request_input["model"]:
                 self.maybe_reload_model(request_input["model"])
+                self.model_generation += 1
+            if mode in ("constructor", "train"):
+                # these modes mutate scheduler / adapter / LoRA state
+                self.model_generation += 1
             if self.model is None:
                 raise ValueError("no model loaded")
 

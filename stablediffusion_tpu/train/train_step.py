@@ -318,26 +318,22 @@ def make_train_step(
     signature, different trainable pytree)."""
 
     import os
-    from contextlib import contextmanager
+    from contextlib import nullcontext
 
-    @contextmanager
     def _flash_all():
         # flash attention everywhere in training: XLA's attention backward
         # keeps the fp32 [B,H,S,S] logits alive (8G at SD1.5 batch 16) while
         # the flash backward recomputes in O(S*D); see
-        # ops/attention._lib_flash_supported.  The attention dispatch reads
-        # the env var at TRACE time only, so scoping it around the jitted
-        # call (tracing happens inside the first call) keeps the D>=32 floor
-        # out of any inference traced later in the same process (per-epoch
-        # validation renders, serving after in-process training).
+        # ops/attention._lib_flash_supported.  The dispatch reads the mode at
+        # TRACE time only, and the contextvar override is thread-local, so a
+        # concurrent thread tracing inference (in-process serving, validation
+        # renders) never sees the training-only D>=32 floor.  An explicit
+        # SDTPU_FLASH_ATTN env var still wins (user override).
+        from stablediffusion_tpu.ops.attention import flash_attention_mode
+
         if os.environ.get("SDTPU_FLASH_ATTN") is not None:
-            yield
-            return
-        os.environ["SDTPU_FLASH_ATTN"] = "all"
-        try:
-            yield
-        finally:
-            os.environ.pop("SDTPU_FLASH_ATTN", None)
+            return nullcontext()
+        return flash_attention_mode("all")
 
     def step(trainable, opt_state, frozen, batch, key):
         loss_val, grads = jax.value_and_grad(loss)(

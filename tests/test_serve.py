@@ -455,3 +455,92 @@ def test_batcher_sd3(sd3_handler):
     assert solo["batched"] == 1
     assert solo["images"][0] == results[22]["images"][0]
     b.close()
+
+def test_bucket_keys_partition():
+    """Every handler inference arg must be classified: merged per-request,
+    non-batchable (forces the serial path), or part of the bucket key.  The
+    bucket key is DERIVED (INFERENCE_ARG_KEYS minus the other two classes) so
+    a new pipeline arg automatically splits batches instead of silently
+    applying request #1's value to a merged group."""
+    from stablediffusion_tpu.serve.batcher import (
+        _MERGED_KEYS,
+        _NON_BATCHABLE,
+        _bucket_keys,
+    )
+    from stablediffusion_tpu.serve.handler import INFERENCE_ARG_KEYS
+
+    merged = set(_MERGED_KEYS)
+    nonbatch = set(_NON_BATCHABLE) & set(INFERENCE_ARG_KEYS)
+    bucket = set(_bucket_keys())
+    # three-way partition: total, pairwise disjoint
+    assert merged | nonbatch | bucket == set(INFERENCE_ARG_KEYS)
+    assert not (merged & nonbatch) and not (merged & bucket)
+    assert not (nonbatch & bucket)
+    # the graph/value-shaping args must be bucket keys (a regression here
+    # would merge requests with different compiled graphs or scalars)
+    for k in ("height", "width", "num_inference_steps", "guidance_scale",
+              "clip_skip", "timesteps", "sigmas"):
+        assert k in bucket, k
+
+
+def test_batcher_overload_shedding(handler):
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=2, window_ms=10.0, max_queue=0)
+    r = b.submit({**ARGS, "seed": 1}, "shed")
+    assert "error" in r and "Overloaded" in r["error"]
+    assert b.shed_requests == 1
+    b.close()
+
+
+def test_batcher_stale_generation_falls_back_serial(handler):
+    """A model reconfiguration between enqueue and the merged call must NOT
+    let queued requests render under the new model state silently: items
+    whose generation snapshot is stale re-run through the full serial
+    handler under the lock (advisor round-2 medium finding)."""
+    from stablediffusion_tpu.serve.batcher import Batcher, _Pending
+
+    b = Batcher(handler, max_batch=4, window_ms=10.0)
+    gen0 = handler.model_generation
+    try:
+        stale = _Pending({**ARGS, "seed": 9}, "stale", generation=gen0)
+        handler.model_generation = gen0 + 1  # concurrent model block applied
+        fresh = _Pending(
+            {**ARGS, "seed": 10}, "fresh", generation=gen0 + 1
+        )
+        b._run_group([stale, fresh])
+        assert stale.event.is_set() and fresh.event.is_set()
+        # stale item went through the serial handler (no 'batched' marker)
+        assert "error" not in stale.result, stale.result
+        assert "batched" not in stale.result
+        # fresh item still rode the merged path
+        assert fresh.result.get("batched") == 1, fresh.result
+    finally:
+        handler.model_generation = gen0
+        b.close()
+
+
+def test_batcher_abandoned_items_are_dropped(handler):
+    """Timed-out (abandoned) requests must not burn TPU time: the worker
+    drops them from groups instead of generating unread results."""
+    from stablediffusion_tpu.serve.batcher import Batcher, _Pending
+
+    b = Batcher(handler, max_batch=4, window_ms=10.0)
+    try:
+        it = _Pending({**ARGS, "seed": 1}, "gone",
+                      generation=handler.model_generation)
+        it.abandoned = True
+        before = b.merged_calls
+        b._run_group([it])
+        assert b.merged_calls == before  # no pipeline call happened
+        assert not it.event.is_set()
+    finally:
+        b.close()
+
+
+def test_model_generation_bumps(handler):
+    g0 = handler.model_generation
+    handler({**ARGS, "seed": 1, "model": {"scheduler": "DDIM"}}, "g1")
+    assert handler.model_generation == g0 + 1
+    handler({**ARGS, "seed": 1}, "g2")  # plain inference: no bump
+    assert handler.model_generation == g0 + 1
