@@ -19,6 +19,12 @@ def main():
     from stablediffusion_tpu.models import mmdit, vae
     from stablediffusion_tpu.pipelines.sd3 import _denoise_sd3, _sd3_vae_decode
     from stablediffusion_tpu.schedulers.flow_match import FlowMatchEulerScheduler
+    from stablediffusion_tpu.utils.bench_utils import (
+        aot_compile,
+        compiled_cost,
+        flops_fields,
+        record_result,
+    )
     from stablediffusion_tpu.utils.testing import random_model_params
 
     dt = jnp.bfloat16
@@ -33,32 +39,45 @@ def main():
     embeds = jax.random.normal(jax.random.key(1), (2 * B, 333, 4096), dt)
     pooled = jax.random.normal(jax.random.key(2), (2 * B, 2048), dt)
 
-    def run():
-        lat = _denoise_sd3(
-            tf_params, latents, embeds, pooled, plan,
-            jnp.asarray(7.0, jnp.float32),
-            config=SD3_MEDIUM, scheduler=scheduler, do_cfg=True,
+    den_args = (
+        tf_params, latents, embeds, pooled, plan,
+        jnp.asarray(7.0, jnp.float32),
+    )
+    den_kw = dict(config=SD3_MEDIUM, scheduler=scheduler, do_cfg=True)
+    den_c = aot_compile(_denoise_sd3, *den_args, **den_kw)
+    dec_c = aot_compile(_sd3_vae_decode, vae_params, latents, config=SD3_VAE)
+    flops = sum(
+        f
+        for f in (
+            compiled_cost(den_c).get("flops"),
+            compiled_cost(dec_c).get("flops"),
         )
-        img = _sd3_vae_decode(vae_params, lat, config=SD3_VAE)
+        if f
+    )
+
+    def run():
+        img = dec_c(vae_params, den_c(*den_args))
         return float(jnp.mean(img.astype(jnp.float32)))
 
-    run()  # compile
+    run()  # warm up
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
     times.sort()
-    print(
-        json.dumps(
-            {
-                "metric": "sd3m_1024px_28step_p50_latency",
-                "value": round(times[len(times) // 2], 3),
-                "unit": "sec/image",
-                "detail": {"times": [round(t, 3) for t in times]},
-            }
-        )
-    )
+    p50 = times[len(times) // 2]
+    payload = {
+        "metric": "sd3m_1024px_28step_p50_latency",
+        "value": round(p50, 3),
+        "unit": "sec/image",
+        "detail": {
+            "times": [round(t, 3) for t in times],
+            **flops_fields(flops, p50, per=B),
+        },
+    }
+    record_result("sd3m_txt2img_p50", payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

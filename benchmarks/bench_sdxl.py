@@ -21,6 +21,12 @@ def main():
     from stablediffusion_tpu.models import unet, vae
     from stablediffusion_tpu.pipelines.unified import _denoise, _vae_decode
     from stablediffusion_tpu.schedulers import make_scheduler
+    from stablediffusion_tpu.utils.bench_utils import (
+        aot_compile,
+        compiled_cost,
+        flops_fields,
+        record_result,
+    )
     from stablediffusion_tpu.utils.testing import random_model_params
 
     dt = jnp.bfloat16
@@ -40,16 +46,29 @@ def main():
     }
     keys = jax.random.split(jax.random.key(3), STEPS)
 
+    den_args = (
+        unet_params, latents, embeds, plan, keys, 7.0, 0.0, added,
+        None, None, None, None,
+    )
+    den_kw = dict(
+        unet_config=SDXL_UNET, scheduler=scheduler, do_cfg=True,
+        inpaint_mode="none", use_rescale=False,
+    )
+    den_c = aot_compile(_denoise, *den_args, **den_kw)
+    dec_c = aot_compile(
+        _vae_decode, vae_params, latents, config=SDXL_VAE, force_upcast=True
+    )
+    flops = sum(
+        f
+        for f in (
+            compiled_cost(den_c).get("flops"),
+            compiled_cost(dec_c).get("flops"),
+        )
+        if f
+    )
+
     def run():
-        lat = _denoise(
-            unet_params, latents, embeds, plan, keys, 7.0, 0.0, added,
-            None, None, None, None,
-            unet_config=SDXL_UNET, scheduler=scheduler, do_cfg=True,
-            inpaint_mode="none", use_rescale=False,
-        )
-        return _vae_decode(
-            vae_params, lat, config=SDXL_VAE, force_upcast=True
-        )
+        return dec_c(vae_params, den_c(*den_args))
 
     float(jnp.mean(run()))  # compile + warm (host fetch forces execution)
     times = []
@@ -59,16 +78,17 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
-    print(
-        json.dumps(
-            {
-                "metric": "sdxl_1024px_30step_p50_latency",
-                "value": round(p50, 3),
-                "unit": "sec/image",
-                "detail": {"times": [round(t, 3) for t in times]},
-            }
-        )
-    )
+    payload = {
+        "metric": "sdxl_1024px_30step_p50_latency",
+        "value": round(p50, 3),
+        "unit": "sec/image",
+        "detail": {
+            "times": [round(t, 3) for t in times],
+            **flops_fields(flops, p50, per=B),
+        },
+    }
+    record_result("sdxl_txt2img_p50", payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -50,8 +50,13 @@ class LCMScheduler(BaseScheduler):
                 )
             c = T // ORIGIN_STEPS
             origin = np.arange(1, ORIGIN_STEPS + 1) * c - 1  # ascending
-            skip = len(origin) // num_steps
-            timesteps = origin[::-1][::skip][:num_steps]
+            # diffusers LCMScheduler convention: floor-linspace indices into
+            # the descending origin grid (NOT a fixed stride — they differ
+            # from index 2 on, e.g. 4 steps: [999, 759, 499, 259])
+            idx = np.floor(
+                np.linspace(0, len(origin), num_steps, endpoint=False)
+            ).astype(np.int64)
+            timesteps = origin[::-1][idx]
         timesteps = np.asarray(timesteps)
         return Plan(
             timesteps=jnp.asarray(timesteps, jnp.int32),

@@ -152,10 +152,11 @@ class UniPCScheduler(BaseScheduler):
         corrected = jnp.where(prev_order >= 2, corr2, corr1)
         use_corrector = i > 0
         sample_eff = jnp.where(use_corrector, corrected, sample32)
-        # the x0 prediction must be consistent with the corrected sample
-        m_this = jnp.where(
-            use_corrector, self._convert_to_x0(out32, sample_eff, sigma_cur), m_this
-        )
+        # NOTE: the x0 history entry stays the PRE-corrector conversion
+        # (UniPC paper / diffusers `convert_model_output` runs before the
+        # corrector and its result is what lands in model_outputs); the
+        # round-3 full-loop torch anchor caught the re-conversion variant
+        # diverging at MSE ~7e-4 (tests/test_scheduler_anchors.py).
 
         # ---- predictor (advance from sigma_cur to sigmas[i+1]) ------------
         sigma_t = s[i + 1]
