@@ -97,12 +97,16 @@ class Handler:
         model_dir: Optional[str] = None,
         lora_dir: Optional[str] = None,
         uploader=None,
+        mesh=None,  # jax.sharding.Mesh: shard request batches over `data`
+        #   (multi-chip throughput serving, SURVEY §2.10; per-sample seed
+        #   streams keep per-request results identical to single-chip)
     ):
         from stablediffusion_tpu.serve.upload import make_uploader
 
         self.model = model
         self.model_dir = model_dir
         self.lora_dir = lora_dir or model_dir
+        self.mesh = mesh
         # bumped on every request that may mutate model state (model block,
         # constructor sweep, train mode); the Batcher snapshots it at enqueue
         # and falls back to serial handling for requests that were queued
@@ -222,8 +226,10 @@ class Handler:
             if dropped:
                 logger.warning("sd3: ignoring unsupported args %s", dropped)
             args = {k: v for k, v in args.items() if k in known}
-            return StableDiffusion3Pipeline(do_cfg=True)(self.model, **args)
-        pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
+            return StableDiffusion3Pipeline(do_cfg=True, mesh=self.mesh)(
+                self.model, **args
+            )
+        pipe = StableDiffusionUnifiedPipeline(do_cfg=True, mesh=self.mesh)
         return pipe(self.model, **args)
 
     def inference_mode(

@@ -39,6 +39,25 @@ def get_handler(**kw) -> Handler:
     return HANDLER
 
 
+def build_serving_mesh(dp: int):
+    """`--mesh dp=N` support: a data-parallel Mesh over the first N local
+    devices (N=-1: all).  Merged request batches shard over the `data` axis
+    (SURVEY §2.10 "shard batch across chips for throughput serving"); the
+    per-sample seed streams keep every request's image bit-identical to its
+    single-chip render, so meshing is invisible to clients."""
+    import jax
+
+    from stablediffusion_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if dp in (0, 1) and len(devices) == 1:
+        return None  # single chip: no mesh overhead
+    n = len(devices) if dp in (-1, 0) else dp
+    if n > len(devices):
+        raise ValueError(f"--mesh dp={dp}: only {len(devices)} devices")
+    return make_mesh(data=n, tensor=1, devices=devices[:n])
+
+
 def trigger_fn(request: Dict[str, Any]) -> Dict[str, Any]:
     """Job entry: {id, input: {mode?, model?, params?, prompt...}}
     (ref schema: rp_handler.py:48-60)."""
@@ -120,10 +139,18 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=8,
                    help="HTTP micro-batch cap; 1 = serial (reference behavior)")
     p.add_argument("--batch_window_ms", type=float, default=25.0)
+    p.add_argument("--mesh_dp", type=int, default=0,
+                   help="shard merged batches over N chips (data-parallel "
+                        "mesh); -1 = all local devices, 0 = off")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
-    handler = get_handler(model_dir=args.model_dir, lora_dir=args.lora_dir)
+    mesh = build_serving_mesh(args.mesh_dp) if args.mesh_dp else None
+    if mesh is not None:
+        logger.info("serving mesh: %s", dict(mesh.shape))
+    handler = get_handler(
+        model_dir=args.model_dir, lora_dir=args.lora_dir, mesh=mesh
+    )
     if args.model_name:
         handler.maybe_reload_model(
             {"type": args.model_type, "name": args.model_name}

@@ -544,3 +544,57 @@ def test_model_generation_bumps(handler):
     assert handler.model_generation == g0 + 1
     handler({**ARGS, "seed": 1}, "g2")  # plain inference: no bump
     assert handler.model_generation == g0 + 1
+
+def test_mesh_serving_http_batch_bit_identical():
+    """SURVEY §2.10 'shard batch across chips for throughput serving': an
+    HTTP batch of 8 merged by the Batcher on a mesh-backed Handler shards
+    over 8 virtual devices, and every request's image is BIT-IDENTICAL to
+    its solo, meshless render (per-sample seed streams + DP sharding are
+    both invisible to clients)."""
+    import threading
+
+    import jax
+
+    from stablediffusion_tpu.parallel.mesh import make_mesh
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    mesh = make_mesh(data=8, tensor=1, devices=jax.devices()[:8])
+    model = make_tiny_model("sd15")
+    h_mesh = Handler(model=model, mesh=mesh)
+    b = Batcher(h_mesh, max_batch=8, window_ms=1000.0)
+    seeds = list(range(1, 9))
+    results = {}
+
+    def go(s):
+        results[s] = b.submit({**ARGS, "seed": s}, f"m{s}")
+
+    threads = [threading.Thread(target=go, args=(s,)) for s in seeds]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    b.close()
+    for s in seeds:
+        assert "error" not in results[s], results[s].get("traceback")
+        assert results[s]["seed"] == s
+    assert b.merged_calls == 1 and results[1]["batched"] == 8
+
+    h_solo = Handler(model=model)  # single-device, serial
+    for s in (1, 5, 8):
+        solo = h_solo({**ARGS, "seed": s}, f"solo{s}")
+        assert solo["images"][0] == results[s]["images"][0], (
+            f"mesh-batched result differs from solo render for seed {s}"
+        )
+
+
+def test_build_serving_mesh():
+    import jax
+
+    from stablediffusion_tpu.serve.worker import build_serving_mesh
+
+    mesh = build_serving_mesh(-1)
+    assert mesh is not None and mesh.shape["data"] == len(jax.devices())
+    mesh = build_serving_mesh(4)
+    assert mesh.shape["data"] == 4
+    with pytest.raises(ValueError):
+        build_serving_mesh(999)
