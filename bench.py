@@ -74,8 +74,11 @@ def build(batch: int):
         _vae_decode, vae_params, latents,
         config=SD15_VAE, force_upcast=False,
     )
+    # XLA cost analysis counts a lax.scan body ONCE (verified: scan lengths
+    # 1 and 20 report identical flops) — the denoise program is one scan of
+    # STEPS trips, so scale its body count by the trip count
     flops = {
-        "denoise": compiled_cost(den_c).get("flops"),
+        "denoise": (compiled_cost(den_c).get("flops") or 0) * STEPS,
         "decode": compiled_cost(dec_c).get("flops"),
     }
 

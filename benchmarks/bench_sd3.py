@@ -46,13 +46,9 @@ def main():
     den_kw = dict(config=SD3_MEDIUM, scheduler=scheduler, do_cfg=True)
     den_c = aot_compile(_denoise_sd3, *den_args, **den_kw)
     dec_c = aot_compile(_sd3_vae_decode, vae_params, latents, config=SD3_VAE)
-    flops = sum(
-        f
-        for f in (
-            compiled_cost(den_c).get("flops"),
-            compiled_cost(dec_c).get("flops"),
-        )
-        if f
+    # scan bodies are counted once by XLA cost analysis -> scale by trips
+    flops = (compiled_cost(den_c).get("flops") or 0) * STEPS + (
+        compiled_cost(dec_c).get("flops") or 0
     )
 
     def run():

@@ -58,13 +58,9 @@ def main():
     dec_c = aot_compile(
         _vae_decode, vae_params, latents, config=SDXL_VAE, force_upcast=True
     )
-    flops = sum(
-        f
-        for f in (
-            compiled_cost(den_c).get("flops"),
-            compiled_cost(dec_c).get("flops"),
-        )
-        if f
+    # scan bodies are counted once by XLA cost analysis -> scale by trips
+    flops = (compiled_cost(den_c).get("flops") or 0) * STEPS + (
+        compiled_cost(dec_c).get("flops") or 0
     )
 
     def run():

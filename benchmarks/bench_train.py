@@ -78,17 +78,33 @@ def main():
         float(m["loss"])
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(
-        json.dumps(
-            {
-                "metric": "sd15_512px_lora_train_images_per_sec_per_chip",
-                "value": round(B / best, 3),
-                "unit": "images/sec",
-                "detail": {"batch": B, "sec_per_step": round(best, 3),
-                           "rank": 16},
-            }
-        )
+
+    # FLOPs of the whole fwd+bwd+optimizer step (same trace-time flash mode)
+    from stablediffusion_tpu.utils.bench_utils import (
+        compiled_cost,
+        flops_fields,
+        record_result,
     )
+
+    with step_fn._flash_all():
+        cost = compiled_cost(
+            step_fn._jitted.lower(
+                lora, opt_state, frozen, batch, jax.random.key(1)
+            ).compile()
+        )
+    payload = {
+        "metric": "sd15_512px_lora_train_images_per_sec_per_chip",
+        "value": round(B / best, 3),
+        "unit": "images/sec",
+        "detail": {
+            "batch": B,
+            "sec_per_step": round(best, 3),
+            "rank": 16,
+            **flops_fields(cost.get("flops"), best, per=B),
+        },
+    }
+    record_result("sd15_lora_train", payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

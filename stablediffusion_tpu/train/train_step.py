@@ -368,4 +368,7 @@ def make_train_step(
         with _flash_all():
             return jitted(*args, **kwargs)
 
+    # benches lower this for XLA FLOPs / MFU accounting (utils/bench_utils)
+    step_scoped._jitted = jitted
+    step_scoped._flash_all = _flash_all
     return step_scoped
