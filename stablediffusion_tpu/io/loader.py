@@ -217,15 +217,20 @@ def load_sd3_model(
     if os.path.isdir(te3_dir) and os.path.exists(
         os.path.join(te3_dir, "config.json")
     ):
-        from transformers import AutoTokenizer
+        # first-party SentencePiece-unigram tokenizer (no transformers
+        # runtime dependency; transformers remains a test anchor only —
+        # SURVEY §2.9 D4, tokenizer/sentencepiece_unigram.py)
+        from stablediffusion_tpu.tokenizer.sentencepiece_unigram import (
+            SentencePieceUnigramTokenizer,
+        )
 
         kwargs.update(
             text_encoder_3_config=T5Config.from_diffusers_dict(
                 _read_json(os.path.join(te3_dir, "config.json"))
             ),
             text_encoder_3_params=_load("text_encoder_3"),
-            tokenizer_3=T5TokenizerAdapter(
-                AutoTokenizer.from_pretrained(os.path.join(path, "tokenizer_3"))
+            tokenizer_3=SentencePieceUnigramTokenizer.from_pretrained(
+                os.path.join(path, "tokenizer_3")
             ),
         )
 
