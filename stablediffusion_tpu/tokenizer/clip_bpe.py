@@ -39,11 +39,76 @@ try:  # optional mojibake repair, as CLIP's basic_clean uses
 except ImportError:  # pragma: no cover
     ftfy = None
 
+# -- pure-Python ftfy-equivalent mojibake repair ----------------------------
+# CLIP's basic_clean runs ftfy.fix_text; when the library is absent we repair
+# the dominant mojibake class ourselves: UTF-8 bytes mis-decoded as
+# windows-1252/latin-1 ("Ã©" -> "é", "â€œ" -> '"', "ðŸ˜€" -> "😀").  The
+# check is conservative by construction — a candidate repair is accepted ONLY
+# if the re-encoded bytes decode as STRICT UTF-8 (legitimate accented words
+# like "âme"/"Âge" re-encode to invalid UTF-8 and pass through untouched).
+# ftfy also NFC-normalizes; we match that.
+
+# windows-1252's 0x80-0x9F graphics; the five unmapped bytes (0x81 0x8D 0x8F
+# 0x90 0x9D) fall back to the C1 controls like ftfy's sloppy-windows-1252,
+# so "â€\x9d" (mis-decoded ") still round-trips
+_C1_TO_CP1252 = {
+    0x20AC: 0x80, 0x201A: 0x82, 0x0192: 0x83, 0x201E: 0x84, 0x2026: 0x85,
+    0x2020: 0x86, 0x2021: 0x87, 0x02C6: 0x88, 0x2030: 0x89, 0x0160: 0x8A,
+    0x2039: 0x8B, 0x0152: 0x8C, 0x017D: 0x8E, 0x2018: 0x91, 0x2019: 0x92,
+    0x201C: 0x93, 0x201D: 0x94, 0x2022: 0x95, 0x2013: 0x96, 0x2014: 0x97,
+    0x02DC: 0x98, 0x2122: 0x99, 0x0161: 0x9A, 0x203A: 0x9B, 0x0153: 0x9C,
+    0x017E: 0x9E, 0x0178: 0x9F,
+}
+
+
+def _sloppy_cp1252_bytes(text: str) -> Optional[bytes]:
+    """Inverse of a sloppy windows-1252 decode; None if any char can't have
+    come from a single cp1252 byte."""
+    out = bytearray()
+    for ch in text:
+        cp = ord(ch)
+        if cp <= 0xFF:  # latin-1 range incl. C1 controls (sloppy fallback)
+            out.append(cp)
+        elif cp in _C1_TO_CP1252:
+            out.append(_C1_TO_CP1252[cp])
+        else:
+            return None
+    return bytes(out)
+
+
+def _fix_segment(seg: str) -> str:
+    raw = _sloppy_cp1252_bytes(seg)
+    if raw is None or raw.isascii():
+        return seg
+    try:
+        return raw.decode("utf-8")  # strict: invalid sequences -> no repair
+    except UnicodeDecodeError:
+        return seg
+
+
+def fix_mojibake(text: str) -> str:
+    """ftfy.fix_text-equivalent for the UTF-8-as-cp1252 class + NFC.
+
+    Runs per whitespace-separated segment so CJK/emoji neighbours don't
+    block repair of a mojibake word; iterates like ftfy to unwind doubly
+    mis-decoded text."""
+    for _ in range(3):
+        if any(ord(c) > 0x7F for c in text):
+            fixed = " ".join(_fix_segment(s) for s in text.split(" "))
+        else:
+            fixed = text
+        if fixed == text:
+            break
+        text = fixed
+    import unicodedata
+
+    return unicodedata.normalize("NFC", text)
+
 
 def _clean(text: str) -> str:
-    # CLIP's basic_clean (ftfy when available) + whitespace_clean
-    if ftfy is not None:
-        text = ftfy.fix_text(text)
+    # CLIP's basic_clean (ftfy when available, first-party repair otherwise)
+    # + whitespace_clean
+    text = ftfy.fix_text(text) if ftfy is not None else fix_mojibake(text)
     text = html.unescape(html.unescape(text))
     return _WHITESPACE.sub(" ", text).strip()
 

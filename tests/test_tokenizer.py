@@ -123,3 +123,54 @@ def test_native_bpe_matches_python(both):
         np.testing.assert_array_equal(
             ours([text]), py([text]), err_msg=f"text={text!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# ftfy-equivalent mojibake repair (VERDICT r2 item 9): CLIP's basic_clean
+# runs ftfy.fix_text; with no ftfy in this env, clip_bpe.fix_mojibake must
+# repair the UTF-8-as-cp1252 class itself.  Anchor: our tokenizer fed the
+# MOJIBAKE text must produce the ids transformers produces for the INTENDED
+# text (what a transformers+ftfy stack would emit end-to-end).
+# ---------------------------------------------------------------------------
+
+MOJIBAKE_PAIRS = [
+    ("cafÃ© au lait", "café au lait"),          # Ã© -> é
+    ("naÃ¯ve rÃ©sumÃ©", "naïve résumé"),
+    ("â€œthe catâ€\x9d", "“the cat”"),
+    ("the ðŸ˜€ dog", "the \U0001F600 dog"),
+    ("Ã¼ber cat", "über cat"),
+]
+
+LEGIT_NON_ASCII = [
+    "âme sœur",        # real French: must NOT be "repaired"
+    "Âge d'or",
+    "déjà vu 😀 猫",
+]
+
+
+def test_fix_mojibake_repairs():
+    from stablediffusion_tpu.tokenizer.clip_bpe import fix_mojibake
+
+    for broken, fixed in MOJIBAKE_PAIRS:
+        assert fix_mojibake(broken) == fixed, repr(broken)
+
+
+def test_fix_mojibake_preserves_legit_text():
+    from stablediffusion_tpu.tokenizer.clip_bpe import fix_mojibake
+    import unicodedata
+
+    for text in LEGIT_NON_ASCII:
+        assert fix_mojibake(text) == unicodedata.normalize("NFC", text), (
+            repr(text)
+        )
+
+
+@pytest.mark.parametrize("broken,fixed", MOJIBAKE_PAIRS)
+def test_mojibake_prompt_token_equality(both, broken, fixed):
+    ours, theirs = both
+    got = ours([broken], max_length=77)[0]
+    want = theirs(
+        [fixed], padding="max_length", max_length=77, truncation=True,
+        return_tensors="np",
+    )["input_ids"][0]
+    np.testing.assert_array_equal(got, want, err_msg=f"text={broken!r}")
