@@ -1,13 +1,39 @@
 """SDXL LoRA training throughput on one chip (1024² default, rank 16, UNet
-LoRA only, frozen towers/VAE; fp32 VAE micro-batched encode).  Mirrors
-bench_train16.py methodology."""
+LoRA only, frozen towers/VAE).  Mirrors bench_train16.py methodology.
+
+Usage: bench_train_sdxl.py [B] [res] [remat_policy] [split] [vae_bf16]
+  remat_policy: none | full | dots | offload
+  split: 1 = encode VAE/text in a SEPARATE jitted program (--cache_latents
+  path, train_step.make_encode_fn) so encoder activations and CLIP towers
+  never share a program with the UNet backward.
+
+Round-2 finding being attacked: the fused single-program step needs
+15.9-16.9G at batch 2-4 (> the 15.75G v5e chip) under every remat policy,
+peak = UNet backward, non-monotone in batch.  Round 3: the split-encode
+step + offload/full remat is measured here; results recorded to
+benchmarks/RESULTS.json.
+"""
 
 import json
 import sys
 import time
 
 
-def run(B, res, remat, mb=None, vae_bf16=False):
+def hbm_stats():
+    import jax
+
+    try:
+        st = jax.devices()[0].memory_stats() or {}
+        return {
+            "peak_gb": round(st.get("peak_bytes_in_use", 0) / 2**30, 2),
+            "in_use_gb": round(st.get("bytes_in_use", 0) / 2**30, 2),
+            "limit_gb": round(st.get("bytes_limit", 0) / 2**30, 2),
+        }
+    except Exception:
+        return {}
+
+
+def run(B, res, policy, split, vae_bf16=False):
     from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -26,7 +52,11 @@ def run(B, res, remat, mb=None, vae_bf16=False):
     from stablediffusion_tpu.models import clip, unet, vae
     from stablediffusion_tpu.schedulers import DDPMScheduler
     from stablediffusion_tpu.train.optim import make_lr_schedule, make_optimizer
-    from stablediffusion_tpu.train.train_step import TrainStatics, make_train_step
+    from stablediffusion_tpu.train.train_step import (
+        TrainStatics,
+        make_encode_fn,
+        make_train_step,
+    )
     from stablediffusion_tpu.utils.testing import random_model_params
 
     dt = jnp.bfloat16
@@ -55,13 +85,14 @@ def run(B, res, remat, mb=None, vae_bf16=False):
         train_text_encoder=False,
         snr_gamma=5.0,
         compute_dtype=dt,
-        gradient_checkpointing=remat,
+        remat_policy=policy,
         vae_dtype=jnp.bfloat16 if vae_bf16 else jnp.float32,
-        vae_microbatch=mb if mb is not None else min(4, B),
+        vae_microbatch=min(4, B),
     )
     optimizer = make_optimizer(make_lr_schedule("constant", 1e-4))
     opt_state = optimizer.init(lora)
     step_fn = make_train_step(statics, DDPMScheduler(SDXL_SCHEDULER), optimizer)
+    encode_fn = make_encode_fn(statics) if split else None
 
     rng = np.random.default_rng(0)
     batch = {
@@ -75,37 +106,51 @@ def run(B, res, remat, mb=None, vae_bf16=False):
         "target_sizes": jnp.asarray([[res, res]] * B, jnp.float32),
     }
 
+    def one_step(key):
+        b = batch
+        if encode_fn is not None:
+            key, k_enc = jax.random.split(key)
+            b = encode_fn(frozen, b, k_enc)
+        return step_fn(lora, opt_state, frozen, b, key)
+
     t0 = time.perf_counter()
-    lora, opt_state, m = step_fn(lora, opt_state, frozen, batch, jax.random.key(1))
+    lora, opt_state, m = one_step(jax.random.key(1))
     loss = float(m["loss"])
-    print(f"B={B} res={res} remat={remat}: compiled+step1 in "
-          f"{time.perf_counter()-t0:.1f}s loss={loss:.4f}", flush=True)
+    print(
+        f"B={B} res={res} policy={policy} split={split}: compiled+step1 in "
+        f"{time.perf_counter()-t0:.1f}s loss={loss:.4f} hbm={hbm_stats()}",
+        flush=True,
+    )
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        lora, opt_state, m = step_fn(
-            lora, opt_state, frozen, batch, jax.random.key(2 + i)
-        )
+        lora, opt_state, m = one_step(jax.random.key(2 + i))
         float(m["loss"])
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(
-        json.dumps(
-            {
-                "metric": f"sdxl_{res}px_lora_train_images_per_sec_per_chip",
-                "value": round(B / best, 3),
-                "detail": {"batch": B, "sec_per_step": round(best, 3),
-                           "remat": remat},
-            }
-        ),
-        flush=True,
-    )
+    payload = {
+        "metric": f"sdxl_{res}px_lora_train_images_per_sec_per_chip",
+        "value": round(B / best, 3),
+        "unit": "images/sec",
+        "detail": {
+            "batch": B,
+            "sec_per_step": round(best, 3),
+            "rank": 16,
+            "remat_policy": policy,
+            "split_encode": bool(split),
+            "hbm": hbm_stats(),
+        },
+    }
+    print(json.dumps(payload), flush=True)
+    from stablediffusion_tpu.utils.bench_utils import record_result
+
+    record_result(f"sdxl_{res}_lora_train", payload)
 
 
 if __name__ == "__main__":
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    remat = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
-    mb = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    policy = sys.argv[3] if len(sys.argv) > 3 else "none"
+    split = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
     vae_bf16 = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
-    run(B, res, remat, mb, vae_bf16)
+    run(B, res, policy, split, vae_bf16)

@@ -54,6 +54,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--remat_policy", type=str, default="",
+                   choices=["", "none", "full", "dots", "offload"],
+                   help="UNet backward remat policy (offload = host-offloaded residuals)")
+    # encode VAE latents + text embeds in a separate program each step
+    # (diffusers --cache_latents; fits SDXL 1024^2 on one 16G chip)
+    p.add_argument("--cache_latents", action="store_true")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")
@@ -164,6 +170,8 @@ def main(argv=None):
         lr_warmup_steps=args.lr_warmup_steps,
         resolution=args.resolution,
         gradient_checkpointing=args.gradient_checkpointing,
+        remat_policy=args.remat_policy,
+        cache_latents=args.cache_latents,
         max_grad_norm=args.max_grad_norm,
         seed=args.seed,
         snr_gamma=args.snr_gamma,
@@ -185,12 +193,25 @@ def main(argv=None):
     import math
 
     n_data = math.gcd(args.train_batch_size, jax.device_count())
+    if args.remat_policy == "offload":
+        # host-offload remat is single-program only (SPMD partitioner
+        # rejects its placement annotations — train_step.make_train_step)
+        if jax.device_count() > 1:
+            logging.getLogger(__name__).warning(
+                "--remat_policy offload runs single-chip; ignoring the "
+                "other %d devices", jax.device_count() - 1,
+            )
+        n_data = 1
     if n_data < jax.device_count():
         logging.getLogger(__name__).warning(
             "batch %d not divisible by %d devices; using %d-device data mesh",
             args.train_batch_size, jax.device_count(), n_data,
         )
-    mesh = make_mesh(data=n_data, devices=jax.devices()[:n_data])
+    mesh = (
+        None
+        if args.remat_policy == "offload"
+        else make_mesh(data=n_data, devices=jax.devices()[:n_data])
+    )
     dataset = None
     use_hf = args.dataset_name is not None or (
         args.train_data_dir

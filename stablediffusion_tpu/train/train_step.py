@@ -75,6 +75,13 @@ class TrainStatics:
     # (0 = whole batch): the fp32 encoder activations at 512^2 are the
     # memory peak and cap the trainable batch size otherwise
     vae_microbatch: int = 0
+    # UNet backward rematerialization policy: "" defers to the legacy
+    # gradient_checkpointing bool ("full" when set); "none" | "full"
+    # (recompute everything) | "dots" (keep matmul outputs) | "offload"
+    # (checkpoint residuals to pinned HOST memory during forward, fetch
+    # them back in backward — trades HBM peak for host-link traffic,
+    # jax.checkpoint_policies.offload_dot_with_no_batch_dims)
+    remat_policy: str = ""
     # ControlNet training: architecture of the trainable ControlNet (defaults
     # to the UNet's own block layout, as ControlNetModel.from_unet does)
     controlnet_config: Optional[UNetConfig] = None
@@ -104,6 +111,28 @@ def encode_prompt_train(
     return embeds, out2.projected_pooled
 
 
+def _resolve_remat(statics: "TrainStatics"):
+    policy = statics.remat_policy or (
+        "full" if statics.gradient_checkpointing else "none"
+    )
+    if policy == "none":
+        return lambda fn: fn
+    if policy == "full":
+        return jax.checkpoint
+    if policy == "dots":
+        return lambda fn: jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    if policy == "offload":
+        return lambda fn: jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                "device", "pinned_host"
+            ),
+        )
+    raise ValueError(f"unknown remat_policy {policy!r}")
+
+
 def _prepare_diffusion(
     frozen: Dict[str, Any],
     batch: Dict[str, jax.Array],
@@ -123,26 +152,41 @@ def _prepare_diffusion(
     # 1. VAE encode (fp32 by default — ref dtype policy
     # train_lora_pipeline.py:238; statics.vae_dtype=bf16 halves the
     # encoder-activation peak).  Optionally micro-batched: encoder
-    # activations at 512^2+ dominate the memory peak.
-    vdt = statics.vae_dtype
-    pixels = batch["pixel_values"].astype(vdt)
-    vae_params = frozen["vae"]
-    if vdt != jnp.float32:
-        vae_params = jax.tree_util.tree_map(lambda a: a.astype(vdt), vae_params)
-    mb = statics.vae_microbatch
-    if mb and pixels.shape[0] > mb and pixels.shape[0] % mb == 0:
-        chunks = pixels.reshape(pixels.shape[0] // mb, mb, *pixels.shape[1:])
-
-        def enc(c):
-            return vae_model.encode(vae_params, statics.vae_config, c)
-
-        mean, logvar = jax.lax.map(enc, chunks)
-        mean = mean.reshape(pixels.shape[0], *mean.shape[2:])
-        logvar = logvar.reshape(pixels.shape[0], *logvar.shape[2:])
+    # activations at 512^2+ dominate the memory peak.  A batch carrying
+    # "latents" (already sampled+scaled, from make_encode_fn's separate
+    # program or a latent cache) skips the encoder entirely — at SDXL
+    # 1024^2 this is what keeps the VAE's fp32 activations from ever
+    # coexisting with the UNet backward peak in one XLA program.
+    if "latents" in batch:
+        latents = batch["latents"].astype(jnp.float32)
     else:
-        mean, logvar = vae_model.encode(vae_params, statics.vae_config, pixels)
-    latents = vae_model.sample_latent(mean, logvar, k_sample).astype(jnp.float32)
-    latents = latents * statics.vae_config.scaling_factor
+        vdt = statics.vae_dtype
+        pixels = batch["pixel_values"].astype(vdt)
+        vae_params = frozen["vae"]
+        if vdt != jnp.float32:
+            vae_params = jax.tree_util.tree_map(
+                lambda a: a.astype(vdt), vae_params
+            )
+        mb = statics.vae_microbatch
+        if mb and pixels.shape[0] > mb and pixels.shape[0] % mb == 0:
+            chunks = pixels.reshape(
+                pixels.shape[0] // mb, mb, *pixels.shape[1:]
+            )
+
+            def enc(c):
+                return vae_model.encode(vae_params, statics.vae_config, c)
+
+            mean, logvar = jax.lax.map(enc, chunks)
+            mean = mean.reshape(pixels.shape[0], *mean.shape[2:])
+            logvar = logvar.reshape(pixels.shape[0], *logvar.shape[2:])
+        else:
+            mean, logvar = vae_model.encode(
+                vae_params, statics.vae_config, pixels
+            )
+        latents = vae_model.sample_latent(mean, logvar, k_sample).astype(
+            jnp.float32
+        )
+        latents = latents * statics.vae_config.scaling_factor
 
     # 2. noise + random timesteps
     noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
@@ -158,14 +202,21 @@ def _prepare_diffusion(
     )
     noisy = scheduler.add_noise(latents, noise, timesteps)
 
-    # 3. text encode (per step, matching T4's no-caching behavior)
-    embeds, pooled = encode_prompt_train(
-        statics,
-        te if te is not None else frozen["text_encoder"],
-        te2 if te2 is not None else frozen.get("text_encoder_2"),
-        batch["input_ids"],
-        batch.get("input_ids_2"),
-    )
+    # 3. text encode (per step, matching T4's no-caching behavior) —
+    # or precomputed "prompt_embeds" (+"pooled_embeds") from the separate
+    # encode program (incompatible with --train_text_encoder, which needs
+    # the towers inside the grad program)
+    if "prompt_embeds" in batch:
+        embeds = batch["prompt_embeds"]
+        pooled = batch.get("pooled_embeds")
+    else:
+        embeds, pooled = encode_prompt_train(
+            statics,
+            te if te is not None else frozen["text_encoder"],
+            te2 if te2 is not None else frozen.get("text_encoder_2"),
+            batch["input_ids"],
+            batch.get("input_ids_2"),
+        )
 
     # 4. SDXL micro-conditioning (ref: train_lora_pipeline.py:432-447)
     added_cond = None
@@ -180,6 +231,58 @@ def _prepare_diffusion(
         )
         added_cond = {"text_embeds": pooled.astype(dt), "time_ids": time_ids}
     return latents, noise, timesteps, noisy, embeds, added_cond
+
+
+def make_encode_fn(statics: TrainStatics, mesh=None):
+    """Separate jitted VAE+text encode program (the diffusers CLIs'
+    --cache_latents split, train_text_to_image_lora_sdxl.py).
+
+    Returns `encode(frozen, batch, key) -> batch'` where batch' replaces
+    pixel_values/input_ids with "latents" (sampled + scaled, fp32) and
+    "prompt_embeds"/"pooled_embeds", and keeps the micro-conditioning keys.
+    Because this runs as its OWN XLA program, the fp32 VAE-encoder
+    activations (0.5 G per 1024^2 conv layer per image) and both CLIP
+    towers are gone from the gradient program — the difference between
+    SDXL 1024^2 LoRA training fitting one 16G chip or not.  Not valid with
+    train_text_encoder (the towers must live inside the grad program)."""
+    if statics.train_text_encoder:
+        raise ValueError("cached encode is incompatible with train_text_encoder")
+
+    def encode(frozen, batch, key):
+        vdt = statics.vae_dtype
+        pixels = batch["pixel_values"].astype(vdt)
+        vae_params = frozen["vae"]
+        if vdt != jnp.float32:
+            vae_params = jax.tree_util.tree_map(
+                lambda a: a.astype(vdt), vae_params
+            )
+        mean, logvar = vae_model.encode(vae_params, statics.vae_config, pixels)
+        latents = vae_model.sample_latent(mean, logvar, key).astype(jnp.float32)
+        latents = latents * statics.vae_config.scaling_factor
+        embeds, pooled = encode_prompt_train(
+            statics,
+            frozen["text_encoder"],
+            frozen.get("text_encoder_2"),
+            batch["input_ids"],
+            batch.get("input_ids_2"),
+        )
+        out = {
+            k: v
+            for k, v in batch.items()
+            if k not in ("pixel_values", "input_ids", "input_ids_2")
+        }
+        out["latents"] = latents
+        out["prompt_embeds"] = embeds
+        if pooled is not None:
+            out["pooled_embeds"] = pooled
+        return out
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        return jax.jit(encode, in_shardings=(repl, None, repl))
+    return jax.jit(encode)
 
 
 def _prediction_loss(
@@ -231,11 +334,12 @@ def loss_fn(
             p, statics.unet_config, x, t, ctx, added_cond=added
         )
 
-    if statics.gradient_checkpointing:
-        # full recompute: the dots-saveable policy keeps every matmul output
-        # alive, which measurably INCREASES peak memory at SD widths (same
-        # finding as the MM-DiT trainer, sd3_train.py)
-        unet_fwd = jax.checkpoint(unet_fwd)
+    # full recompute is the legacy gradient_checkpointing default: the
+    # dots-saveable policy keeps every matmul output alive, which measurably
+    # INCREASES peak memory at SD widths (same finding as the MM-DiT
+    # trainer, sd3_train.py); remat_policy overrides ("offload" checkpoints
+    # residuals to pinned host memory)
+    unet_fwd = _resolve_remat(statics)(unet_fwd)
     pred = unet_fwd(
         unet_params,
         noisy.astype(dt),
@@ -288,7 +392,9 @@ def controlnet_loss_fn(
             down_block_residuals=down_res, mid_block_residual=mid_res,
         )
 
-    if statics.gradient_checkpointing:
+    if statics.remat_policy:
+        fwd = _resolve_remat(statics)(fwd)
+    elif statics.gradient_checkpointing:
         fwd = jax.checkpoint(
             fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         )
@@ -319,6 +425,16 @@ def make_train_step(
 
     import os
     from contextlib import nullcontext
+
+    if mesh is not None and statics.remat_policy == "offload":
+        # XLA's SPMD partitioner RET_CHECKs on the offload policy's
+        # annotate_device_placement custom-calls (no sharding attached, this
+        # jaxlib) — host-offloaded remat is a single-program feature here
+        raise ValueError(
+            "remat_policy='offload' cannot be used with a mesh: the SPMD "
+            "partitioner rejects host-offload placement annotations; run "
+            "single-chip or use remat_policy='full'/'dots'"
+        )
 
     def _flash_all():
         # flash attention everywhere in training: XLA's attention backward

@@ -67,6 +67,14 @@ class SDTrainingArgs:
     random_flip: bool = True
     center_crop: bool = False
     gradient_checkpointing: bool = False
+    # "" | "none" | "full" | "dots" | "offload" — see TrainStatics.remat_policy
+    remat_policy: str = ""
+    # encode VAE latents + text embeds in a SEPARATE jitted program each
+    # step (diffusers --cache_latents analog): removes the fp32 VAE encoder
+    # and both CLIP towers from the gradient program's memory peak.  This is
+    # what fits SDXL 1024^2 LoRA training on one 16G chip.  Requires
+    # train_text_encoder=False.
+    cache_latents: bool = False
     vae_microbatch: int = 8
     checkpointing_steps: Optional[int] = None
     checkpoints_total_limit: Optional[int] = None
@@ -175,9 +183,19 @@ class SDLoRATrainer:
             noise_offset=args.noise_offset,
             compute_dtype=dtype,
             gradient_checkpointing=args.gradient_checkpointing,
+            remat_policy=args.remat_policy,
             vae_microbatch=args.vae_microbatch,
         )
         step_fn = make_train_step(statics, scheduler, optimizer, mesh=self.mesh)
+        self._encode_fn = None
+        if args.cache_latents:
+            if args.train_text_encoder:
+                raise ValueError(
+                    "--cache_latents requires train_text_encoder=False"
+                )
+            from stablediffusion_tpu.train.train_step import make_encode_fn
+
+            self._encode_fn = make_encode_fn(statics, mesh=self.mesh)
 
         frozen = {
             "unet": model.unet_params,
@@ -217,6 +235,11 @@ class SDLoRATrainer:
                 break
             jb = self._prepare_batch(batch)
             k_loop, k_step = jax.random.split(k_loop)
+            if self._encode_fn is not None:
+                # VAE+text encode as its own XLA program (fresh key: latent
+                # sampling stays per-step stochastic like the fused path)
+                k_step, k_enc = jax.random.split(k_step)
+                jb = self._encode_fn(frozen, jb, k_enc)
             lora, opt_state, metrics = step_fn(lora, opt_state, frozen, jb, k_step)
             step += 1
             if step % args.log_every == 0 or step == total_steps:

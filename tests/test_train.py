@@ -164,3 +164,139 @@ def test_dataset_threaded_loading_deterministic(data_dir):
     for b1, b8 in zip(it1, it8):
         np.testing.assert_array_equal(b1["pixel_values"], b8["pixel_values"])
         assert b1["captions"] == b8["captions"]
+
+
+def _tiny_step_setup(model_type="sdxl", **statics_kw):
+    from stablediffusion_tpu.lora.core import UNET_TARGET_SUFFIXES, init_lora
+    from stablediffusion_tpu.schedulers import DDPMScheduler
+    from stablediffusion_tpu.train.train_step import TrainStatics
+
+    model = make_tiny_model(model_type)
+    statics = TrainStatics(
+        unet_config=model.unet_config,
+        vae_config=model.vae_config,
+        text_config=model.text_encoder_config,
+        text_config_2=model.text_encoder_2_config if model.is_sdxl else None,
+        scheduler_config=model.scheduler_config,
+        train_text_encoder=False,
+        snr_gamma=None,
+        compute_dtype=jnp.float32,
+        **statics_kw,
+    )
+    frozen = {
+        "unet": model.unet_params,
+        "vae": model.vae_params,
+        "text_encoder": model.text_encoder_params,
+    }
+    if model.is_sdxl:
+        frozen["text_encoder_2"] = model.text_encoder_2_params
+    lora = {
+        "unet": init_lora(
+            jax.random.key(0), model.unet_params, 2, UNET_TARGET_SUFFIXES,
+            store_alpha=False,
+        )
+    }
+    rng = np.random.default_rng(0)
+    B = 2
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((B, 32, 32, 3)) * 0.5, jnp.float32
+        ),
+        "input_ids": jnp.asarray(rng.integers(0, 99, (B, 77)), jnp.int32),
+    }
+    if model.is_sdxl:
+        batch.update(
+            input_ids_2=jnp.asarray(rng.integers(0, 99, (B, 77)), jnp.int32),
+            original_sizes=jnp.asarray([[32, 32]] * B, jnp.float32),
+            crop_top_lefts=jnp.asarray([[0, 0]] * B, jnp.float32),
+            target_sizes=jnp.asarray([[32, 32]] * B, jnp.float32),
+        )
+    return model, statics, frozen, lora, batch, DDPMScheduler(
+        model.scheduler_config
+    )
+
+
+@pytest.mark.parametrize("model_type", ["sd15", "sdxl"])
+def test_split_encode_exact_equivalence(model_type):
+    """make_encode_fn + grad program == the fused single-program step,
+    bit-for-bit: feeding encode the fused path's k_sample reproduces the
+    identical latents, and the grad program re-derives the same noise /
+    timestep keys from the step key."""
+    from stablediffusion_tpu.train.train_step import loss_fn, make_encode_fn
+
+    model, statics, frozen, lora, batch, sched = _tiny_step_setup(model_type)
+    key = jax.random.key(7)
+    fused = loss_fn(lora, frozen, batch, key, statics, sched)
+
+    k_sample = jax.random.split(key, 4)[0]
+    enc = make_encode_fn(statics)(frozen, batch, k_sample)
+    assert "latents" in enc and "prompt_embeds" in enc
+    assert "pixel_values" not in enc and "input_ids" not in enc
+    if model.is_sdxl:
+        assert "pooled_embeds" in enc and "original_sizes" in enc
+    split = loss_fn(lora, frozen, enc, key, statics, sched)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(split), rtol=0, atol=0
+    )
+
+
+@pytest.mark.parametrize("policy", ["full", "dots", "offload"])
+def test_remat_policies(policy):
+    """Every remat_policy compiles and matches the no-remat loss (remat
+    must never change numerics, only the backward's memory schedule)."""
+    from stablediffusion_tpu.train.train_step import loss_fn
+    import dataclasses as dc
+
+    model, statics, frozen, lora, batch, sched = _tiny_step_setup("sd15")
+    key = jax.random.key(3)
+    base_loss, base_grads = jax.value_and_grad(loss_fn)(
+        lora, frozen, batch, key, statics, sched
+    )
+    st = dc.replace(statics, remat_policy=policy)
+    loss, grads = jax.value_and_grad(loss_fn)(
+        lora, frozen, batch, key, st, sched
+    )
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(base_loss),
+                               rtol=1e-6)
+    a = jax.tree_util.tree_leaves(base_grads)[0]
+    b = jax.tree_util.tree_leaves(grads)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_trainer_cache_latents(data_dir, tmp_path):
+    """--cache_latents end-to-end: separate encode program per step, LoRA
+    still trains; incompatible with train_text_encoder."""
+    model = make_tiny_model("sdxl")
+    common = dict(
+        train_batch_size=2, rank=2, resolution=32, max_train_steps=2,
+        learning_rate=1e-3, lr_scheduler="constant", lr_warmup_steps=0,
+        mixed_precision="no", cache_latents=True,
+        output_dir=str(tmp_path / "cl"), seed=11,
+    )
+    args = SDTrainingArgs(train_text_encoder=False, **common)
+    t = SDLoRATrainer(model, args, data_dir)
+    lora = t.train()
+    assert all(np.isfinite(l) for _, l in t.history)
+    up_norm = sum(float(jnp.abs(f["up"]).sum()) for f in lora["unet"].values())
+    assert up_norm > 0.0
+
+    bad = SDTrainingArgs(train_text_encoder=True, **common)
+    with pytest.raises(ValueError, match="cache_latents"):
+        SDLoRATrainer(model, bad, data_dir).train()
+
+
+def test_offload_remat_mesh_guard():
+    """offload remat is single-program only: the SPMD partitioner rejects
+    its host-placement annotations (measured on this jaxlib), so the step
+    factory must refuse a mesh instead of failing deep inside XLA."""
+    import dataclasses as dc
+
+    from stablediffusion_tpu.train.optim import make_lr_schedule, make_optimizer
+    from stablediffusion_tpu.train.train_step import make_train_step
+
+    _, statics, _, lora, _, sched = _tiny_step_setup("sd15")
+    st = dc.replace(statics, remat_policy="offload")
+    opt = make_optimizer(make_lr_schedule("constant", 1e-3))
+    with pytest.raises(ValueError, match="offload"):
+        make_train_step(st, sched, opt, mesh=make_mesh())
