@@ -2,9 +2,11 @@
 
 Candidates:
   * xla      — ops/attention.attention_xla (current default path)
-  * ours     — ops/flash_attention.flash_attention (resident)
   * ours_s   — ops/flash_attention.flash_attention_streaming
   * lib      — jax.experimental.pallas.ops.tpu.flash_attention (MaxText kernel)
+
+(A resident full-KV-in-VMEM hand kernel was benched here in rounds 1-2; it
+lost to XLA at every SD shape and was deleted in round 3.)
 
 Timing per CLAUDE.md: block_until_ready is unreliable on the axon backend —
 fetch a scalar instead.
@@ -21,9 +23,7 @@ import jax.numpy as jnp
 
 from stablediffusion_tpu.ops.attention import attention_xla
 from stablediffusion_tpu.ops.flash_attention import (
-    flash_attention,
     flash_attention_streaming,
-    shape_supported,
 )
 
 try:
@@ -93,12 +93,6 @@ def main():
         xla_jit = jax.jit(attention_xla)
         ms, chk = timed(xla_jit, q, k, v)
         rows.append(("xla", ms, chk))
-        try:
-            if shape_supported(q.shape, k.shape):
-                ms, chk = timed(flash_attention, q, k, v)
-                rows.append(("ours", ms, chk))
-        except Exception as e:
-            print(name, "ours failed:", repr(e)[:120])
         try:
             if Skv >= 1024:
                 ms, chk = timed(flash_attention_streaming, q, k, v)

@@ -48,7 +48,9 @@ def main():
     from stablediffusion_tpu.core.config import SD15_UNET, SD15_VAE
     from stablediffusion_tpu.models import unet, vae
     from stablediffusion_tpu.ops.attention import attention_xla
-    from stablediffusion_tpu.ops.flash_attention import flash_attention
+    from stablediffusion_tpu.ops.flash_attention import (
+        flash_attention_streaming as flash_attention,
+    )
     from stablediffusion_tpu.utils.testing import random_model_params
 
     B = int(os.environ.get("PROF_BATCH", "8"))

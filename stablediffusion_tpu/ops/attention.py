@@ -95,9 +95,10 @@ def _on_tpu() -> bool:
 
 
 def _use_pallas() -> bool:
-    """Our hand-rolled kernels are opt-in (SDTPU_PALLAS_ATTN=1): measured on
-    v5e, XLA's fusion beats them at SD shapes; kept for kernel R&D
-    (benchmarks/bench_attention.py)."""
+    """SDTPU_PALLAS_ATTN=1 force-routes every >=2048-KV attention through the
+    hand streaming kernel (R&D / A-B override; benchmarks/bench_attention.py).
+    The kernel is also on BY DEFAULT in the regime it owns — see
+    `attention`."""
     return bool(os.environ.get("SDTPU_PALLAS_ATTN")) and _on_tpu()
 
 
@@ -128,10 +129,15 @@ def _lib_flash_supported(q_shape, k_shape) -> bool:
     At tiny attention batch (B<=2, i.e. single-image CFG latency serving),
     the D<64 floor is lifted: the XLA path's materialized probs dominate
     there and flash wins end-to-end (SD1.5 batch-1 p50 1.106 -> 0.464 s);
-    at batch>=8 the padded-MXU flash loses, so XLA keeps D=40 throughput."""
+    at batch>=8 the padded-MXU flash loses, so XLA keeps D=40 throughput.
+
+    Past S=8192 (>=1448² generation) the floor drops to 32 at ANY batch:
+    XLA's fp32 [B,H,S,S] logits are 2 GiB per image at S=16384, H=8 — the
+    padded-MXU penalty is irrelevant when the alternative cannot fit
+    (benchmarks/bench_longkv_attention.py)."""
     b, sq, _, d = q_shape
     skv = k_shape[1]
-    d_min = 32 if (_flash_mode() == "all" or b <= 2) else 64
+    d_min = 32 if (_flash_mode() == "all" or b <= 2 or skv >= 8192) else 64
     return skv >= 1024 and d_min <= d <= 128
 
 
@@ -203,19 +209,27 @@ def attention(
     Set SDTPU_FLASH_ATTN=0 to force the XLA path everywhere (e.g. when a
     pallas_call cannot be SPMD-partitioned for an exotic sharding)."""
     if mask is None and _on_tpu():
-        if _use_pallas():
+        skv, d = k.shape[1], q.shape[-1]
+        if _use_pallas() and skv >= 2048:
             from stablediffusion_tpu.ops.flash_attention import (
-                flash_attention,
                 flash_attention_streaming,
-                shape_supported,
             )
 
-            if shape_supported(q.shape, k.shape):
-                return flash_attention(q, k, v, scale=scale)
-            if k.shape[1] >= 2048:  # long KV: streaming online-softmax kernel
+            return flash_attention_streaming(q, k, v, scale=scale)
+        if _flash_mode() != "0":
+            if _lib_flash_supported(q.shape, k.shape):
+                return _lib_flash(
+                    q, k, v, scale if scale is not None else d**-0.5
+                )
+            if skv >= 8192 and not 32 <= d <= 128:
+                # Long KV at a head dim the library kernel cannot tile
+                # (VAE mid-block: H=1, D=512 — 16384 tokens at 1024² decode,
+                # 65536 at 2048²).  XLA's fp32 [B,1,S,S] logits are 1-16 GiB
+                # here; the streaming kernel's flattened [B,S,H*D] layout
+                # takes any D (benchmarks/bench_longkv_attention.py).
+                from stablediffusion_tpu.ops.flash_attention import (
+                    flash_attention_streaming,
+                )
+
                 return flash_attention_streaming(q, k, v, scale=scale)
-        if _flash_mode() != "0" and _lib_flash_supported(
-            q.shape, k.shape
-        ):
-            return _lib_flash(q, k, v, scale if scale is not None else q.shape[-1] ** -0.5)
     return attention_xla(q, k, v, mask=mask, scale=scale)

@@ -8,8 +8,8 @@ Conventions (TPU-canonical layouts, converted once at checkpoint load):
 
 The reference gets these from torch/diffusers CUDA kernels (SURVEY.md §2.9
 D1/D2); here they are XLA ops shaped so the compiler fuses elementwise chains
-into the surrounding matmuls/convs, with Pallas kernels layered on the hot
-paths in ops/flash_attention.py and ops/fused_norm.py.
+into the surrounding matmuls/convs, with the long-KV Pallas attention kernel
+layered on in ops/flash_attention.py.
 """
 
 from __future__ import annotations
@@ -103,21 +103,13 @@ def group_norm(
 def group_norm_silu(
     params: dict, x: jax.Array, num_groups: int, eps: float = 1e-5
 ) -> jax.Array:
-    """GroupNorm followed by SiLU — the resnet prologue.  The fused Pallas
-    kernel is opt-in (SDTPU_FUSED_GN=1): its win is small (~1 ms/step of HBM
-    traffic) and its compile is pathologically slow through this
-    environment's remote-compile tunnel."""
-    import os
+    """GroupNorm followed by SiLU — the resnet prologue.
 
-    from stablediffusion_tpu.ops.attention import _use_pallas
-
-    if os.environ.get("SDTPU_FUSED_GN") and _use_pallas():
-        from stablediffusion_tpu.ops import fused_norm
-
-        if fused_norm.shape_supported(x.shape, x.dtype.itemsize):
-            return fused_norm.group_norm_silu_pallas(
-                x, params["weight"], params["bias"], num_groups, eps
-            )
+    Negative result (v5e, rounds 1-3): a hand-fused Pallas GN+SiLU kernel
+    saved only ~1 ms/step of HBM traffic over this XLA formulation (whose
+    stats already ride the MXU via one-hot matmuls) and its compile hung at
+    SD L1 sizes through the remote-compile tunnel — deleted in round 3
+    rather than shipped opt-in-dead (VERDICT r2 item 7)."""
     return silu(group_norm(params, x, num_groups, eps))
 
 

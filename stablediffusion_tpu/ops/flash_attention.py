@@ -1,29 +1,29 @@
-"""Pallas TPU attention kernel.
+"""Pallas TPU streaming attention kernel (long-KV self-attention).
 
-The hot op of the whole framework: UNet self-attention (up to 4096 spatial
-tokens at SDXL 1024²) and cross-attention (4096 q × 77 text kv) — SURVEY.md
-§5.7 and BASELINE north star.  The reference delegates to diffusers/xformers
-CUDA attention.
+The hot op of the whole framework: UNet self-attention reaches 4096 spatial
+tokens at SDXL 1024² and 16384+ at high-res generation — SURVEY.md §5.7 and
+BASELINE north star.  The reference delegates to diffusers/xformers CUDA
+attention.
 
-Two kernels over the [B, S, H*D] flattened layout (no transposes, no head-dim
-padding; heads are static lane slices):
-  * resident: full K/V in VMEM, exact fp32 row softmax — short/medium KV;
-  * streaming: online-softmax over KV blocks with running (max, denom, acc)
-    scratch — any KV length (4096-token SD levels and beyond).
+One kernel over the [B, S, H*D] flattened layout (no transposes, no head-dim
+padding; heads are static lane slices): online-softmax over KV blocks with
+running (max, denom, acc) scratch — any KV length and ANY head dim, which is
+what earns it a default slot: the jax library flash kernel requires D ≥ 32
+blocked tiles and XLA's fusion materializes the [B, H, S, S] fp32 logits
+(S=16384, H=8, B=2: 8 GiB — cannot run at all).
 
-STATUS (v5e measurements, benchmarks/profile_trace.py): XLA's own attention
-fusion outperforms both kernels at SD shapes (~122 vs ~136 ms/step SD1.5
-batch-16; per-L1-attention ~7 ms XLA vs ~10 ms pallas) — the D=40 contraction
-pads to the 128-deep MXU either way and XLA's fusion pipeline is simply
-better here.  Pallas attention is therefore OPT-IN (SDTPU_PALLAS_ATTN=1),
-kept for the long-KV regimes (>2048² generation) where XLA would materialize
-multi-GB score tensors, and as the base for future kernel work.
-"""
+STATUS (v5e): XLA's own attention fusion wins every benched SD shape up to
+S=4096 (per-L1-attention ~7 ms XLA vs ~10 ms pallas at D=40; the 40→128 MXU
+pad hurts the kernel more), and the jax library flash kernel wins the D≥64 /
+S≥1024 block (see ops/attention._lib_flash_supported).  This kernel owns the
+remaining regime — very long KV where XLA's logits don't fit — measured in
+benchmarks/bench_longkv_attention.py; a resident full-KV-in-VMEM variant
+that lost to XLA everywhere was deleted in round 3 (VERDICT r2 item 7)."""
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,77 +31,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_VMEM_BUDGET = 12 * 1024 * 1024  # bytes of explicit buffers per program
+# Explicit VMEM buffers must fit well under the ~16M hardware limit
+# (Mosaic double-buffers every grid-streamed block, and the kernel stack
+# needs headroom: a fixed 512/1024 blocking measured 16.82M at fp32 HD=512
+# — the SDXL VAE-encoder mid-block — and failed to compile)
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _buffer_bytes(bq: int, skv_pad: int, h: int, d: int, itemsize: int = 2) -> int:
-    # k + v blocks hold ALL heads (double-buffered by Mosaic), plus the
-    # per-head fp32 score block and bf16 prob block
-    kv_bytes = 2 * 2 * skv_pad * h * d * itemsize
-    logits_bytes = bq * skv_pad * 4
-    probs_bytes = bq * skv_pad * itemsize
-    q_out_bytes = 2 * 2 * bq * h * d * itemsize
-    return kv_bytes + logits_bytes + probs_bytes + q_out_bytes
+def _pick_blocks(sq: int, skv: int, hd: int, itemsize: int):
+    """Largest (block_q, block_kv) whose double-buffered VMEM footprint
+    (q/k/v/out blocks ×2 + fp32 acc/max/denom scratch) fits the budget."""
 
+    def cost(bq, bkv):
+        io = 2 * itemsize * hd * (2 * bq + 2 * bkv)  # q+out, k+v (×2 buf)
+        scratch = 4 * bq * hd + 8 * bq * _LANE
+        return io + scratch
 
-def _block_q(sq: int, skv_pad: int, h: int, d: int) -> Optional[int]:
-    """Largest q block that fits the VMEM budget."""
-    for bq in (1024, 512, 256, 128):
-        if _buffer_bytes(bq, skv_pad, h, d) < _VMEM_BUDGET:
-            return min(bq, _round_up(sq, 8))
-    return None
+    for bq in (512, 256, 128, 64):
+        for bkv in (1024, 512, 256, 128):
+            if cost(bq, bkv) <= _VMEM_BUDGET:
+                return (
+                    min(bq, _round_up(sq, 8)),
+                    min(bkv, _round_up(skv, _LANE)),
+                )
+    return 64, 128
 
-
-def shape_supported(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
-    _, sq, h, d = q_shape
-    _, skv, _, _ = k_shape
-    skv_pad = _round_up(skv, _LANE)
-    return _block_q(sq, skv_pad, h, d) is not None
-
-
-def _attn_kernel4d(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                   heads: int, head_dim: int):
-    """Blocks come off the [B, S, H*D] flattened layout with all heads
-    resident: q [1, BQ, H*D], k/v [1, SKV, H*D] — no host-side transposes or
-    D padding.  Heads are static lane slices in an unrolled loop (the
-    [BQ, SKV] score block is reused across heads, bounding VMEM)."""
-    H = heads
-    skv = k_ref.shape[1]
-    col = None
-    if kv_len < skv:
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (q_ref.shape[1], skv), dimension=1
-        )
-    ones = jnp.ones((skv, 1), v_ref.dtype)
-    for h in range(H):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, sl].astype(jnp.float32)  # [BQ, D]
-        k = k_ref[0, :, sl].astype(jnp.float32)  # [SKV, D]
-        v = v_ref[0, :, sl]  # [SKV, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * scale
-        if col is not None:
-            s = jnp.where(col < kv_len, s, -jnp.inf)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m).astype(v.dtype)
-        denom = jax.lax.dot_general(
-            p, ones, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
-
-
-# ---------------------------------------------------------------------------
-# streaming variant: online softmax over KV blocks (long-KV self-attention)
-# ---------------------------------------------------------------------------
 
 _NEG_INF = -1e30
 
@@ -180,8 +138,7 @@ def flash_attention_streaming(
     if scale is None:
         scale = D**-0.5
     HD = H * D
-    bq = 512 if Sq % 512 == 0 else (256 if Sq % 256 == 0 else _round_up(Sq, 8))
-    bkv = 1024 if Skv % 1024 == 0 else _round_up(Skv, _LANE)
+    bq, bkv = _pick_blocks(Sq, Skv, HD, q.dtype.itemsize)
     sq_pad = _round_up(Sq, bq)
     skv_pad = _round_up(Skv, bkv)
 
@@ -231,63 +188,5 @@ def flash_attention_streaming(
             transcendentals=B * H * Sq * Skv,
         ),
     )(qf, kf, vf)
-    out = out[:, :Sq] if sq_pad != Sq else out
-    return out.reshape(B, Sq, H, D)
-
-
-@functools.partial(jax.jit, static_argnames=("scale",))
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    scale: Optional[float] = None,
-) -> jax.Array:
-    """q [B, Sq, H, D], k/v [B, Skv, H, D] -> [B, Sq, H, D]."""
-    B, Sq, H, D = q.shape
-    _, Skv, _, _ = k.shape
-    if scale is None:
-        scale = D**-0.5
-
-    skv_pad = _round_up(Skv, _LANE)
-    bq = _block_q(Sq, skv_pad, H, D)
-    assert bq is not None, "shape not supported; gate with shape_supported()"
-
-    HD = H * D
-    qf = q.reshape(B, Sq, HD)
-    kf = k.reshape(B, Skv, HD)
-    vf = v.reshape(B, Skv, HD)
-    # pad only the sequence dims (cheap); lanes stay in place
-    sq_pad = _round_up(Sq, bq)
-    if sq_pad != Sq:
-        qf = jnp.pad(qf, ((0, 0), (0, sq_pad - Sq), (0, 0)))
-    if skv_pad != Skv:
-        kf = jnp.pad(kf, ((0, 0), (0, skv_pad - Skv), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, skv_pad - Skv), (0, 0)))
-
-    grid = (B, sq_pad // bq)
-    out = pl.pallas_call(
-        functools.partial(
-            _attn_kernel4d, scale=float(scale), kv_len=Skv, heads=H, head_dim=D
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, sq_pad, HD), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, HD), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, HD), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bq, HD), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Sq * Skv * D,
-            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
-            transcendentals=B * H * Sq * Skv,
-        ),
-    )(qf, kf, vf)
-
     out = out[:, :Sq] if sq_pad != Sq else out
     return out.reshape(B, Sq, H, D)

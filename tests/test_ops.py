@@ -112,25 +112,6 @@ def test_attention_causal_mask(rng):
     )
 
 
-def test_flash_attention_interpret_matches_xla(rng):
-    from stablediffusion_tpu.ops import flash_attention as fa
-    import jax.experimental.pallas as pl  # noqa
-
-    B, Sq, Skv, H, D = 1, 64, 77, 2, 40
-    q = jnp.asarray(rng.standard_normal((B, Sq, H, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
-    ref = attention_xla(q, k, v)
-    from jax.experimental.pallas import tpu as pltpu
-
-    with pltpu.force_tpu_interpret_mode():
-        out = fa.flash_attention(q, k, v)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-    assert fa.shape_supported(q.shape, k.shape)
-    # huge KV should be gated off
-    assert not fa.shape_supported((1, 65536, 8, 40), (1, 65536, 8, 40))
-
-
 def test_quick_gelu_matches_transformers():
     from transformers.activations import ACT2FN
 
@@ -157,32 +138,30 @@ def test_upsample_and_resize():
     np.testing.assert_array_equal(np.asarray(down), np.asarray(x))
 
 
-def test_fused_group_norm_silu_interpret(rng):
-    from jax.experimental.pallas import tpu as pltpu
-
-    from stablediffusion_tpu.ops import group_norm, silu
-    from stablediffusion_tpu.ops.fused_norm import (
-        group_norm_silu_pallas,
-        shape_supported,
-    )
-
-    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal(32).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal(32).astype(np.float32))
-    ref = silu(group_norm({"weight": w, "bias": b}, x, 8, 1e-5))
-    with pltpu.force_tpu_interpret_mode():
-        out = group_norm_silu_pallas(x, w, b, 8, 1e-5)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
-    assert shape_supported((16, 32, 32, 640))
-    assert not shape_supported((1, 512, 512, 128))  # big VAE level -> XLA
-
-
 def test_flash_streaming_interpret_matches_xla(rng):
     from jax.experimental.pallas import tpu as pltpu
 
     from stablediffusion_tpu.ops.flash_attention import flash_attention_streaming
 
     B, S, H, D = 1, 2048, 4, 40  # multi-kv-block path (bkv=1024)
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    ref = attention_xla(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_streaming(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_streaming_vae_head_shape(rng):
+    """The streaming kernel's default regime: single-head D=512 long-KV
+    attention (VAE mid-block at high-res decode) that the library flash
+    kernel (D<=128) cannot tile and XLA cannot fit past ~8k tokens."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stablediffusion_tpu.ops.flash_attention import flash_attention_streaming
+
+    B, S, H, D = 1, 2048, 1, 512
     q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
