@@ -204,10 +204,13 @@ def attention(
     scale: Optional[float] = None,
 ) -> jax.Array:
     """Shape-based dispatch: library TPU flash kernel where it wins (see
-    `_lib_flash_supported`), opt-in hand kernels, else the XLA fusion.
+    `_lib_flash_supported`), the hand streaming kernel for long-KV head
+    dims the library kernel cannot tile, else the XLA fusion.
 
     Set SDTPU_FLASH_ATTN=0 to force the XLA path everywhere (e.g. when a
-    pallas_call cannot be SPMD-partitioned for an exotic sharding)."""
+    pallas_call cannot be SPMD-partitioned for an exotic sharding);
+    SDTPU_PALLAS_ATTN=1 force-routes every >=2048-KV call through the
+    streaming kernel (A/B, benchmarks/bench_longkv_attention.py)."""
     if mask is None and _on_tpu():
         skv, d = k.shape[1], q.shape[-1]
         if _use_pallas() and skv >= 2048:

@@ -169,3 +169,60 @@ def test_flash_streaming_vae_head_shape(rng):
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention_streaming(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_attention_dispatch_routing(monkeypatch):
+    """The shape->kernel routing table (ops/attention.attention), checked
+    without hardware by faking _on_tpu and intercepting the kernel entries.
+    Regimes (benchmarks/bench_longkv_attention.py, sweep_attention.py):
+      * short KV / D=40 big-batch  -> XLA fusion
+      * D>=64 self-attn S>=1024    -> library flash
+      * batch<=2 or S>=8192, D>=32 -> library flash (floor drops to 32)
+      * S>=8192 with D outside [32,128] (VAE mid-block) -> streaming kernel
+    """
+    import importlib
+
+    # the ops package re-exports the `attention` FUNCTION under the same
+    # name as the submodule; go through importlib for the module itself
+    A = importlib.import_module("stablediffusion_tpu.ops.attention")
+
+    calls = []
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        A, "_lib_flash", lambda q, k, v, s: calls.append("lib") or q
+    )
+    monkeypatch.setattr(
+        A, "attention_xla",
+        lambda q, k, v, mask=None, scale=None: calls.append("xla") or q,
+    )
+
+    import stablediffusion_tpu.ops.flash_attention as FA
+
+    monkeypatch.setattr(
+        FA, "flash_attention_streaming",
+        lambda q, k, v, scale=None: calls.append("stream") or q,
+    )
+
+    def route(B, S, H, D, Skv=None):
+        calls.clear()
+        q = jnp.zeros((B, S, H, D), jnp.bfloat16)
+        kv = jnp.zeros((B, Skv if Skv else S, H, D), jnp.bfloat16)
+        A.attention(q, kv, kv)
+        return calls[0]
+
+    assert route(16, 4096, 8, 40) == "xla"        # SD15 L1 big batch
+    assert route(16, 4096, 8, 40, Skv=77) == "xla"  # cross-attn short KV
+    assert route(8, 4096, 10, 64) == "lib"        # SDXL L1
+    assert route(2, 4096, 8, 40) == "lib"         # latency batch, floor 32
+    assert route(16, 9216, 8, 40) == "lib"        # long KV drops floor
+    assert route(1, 16384, 1, 512) == "stream"    # VAE mid-block high-res
+    assert route(1, 4096, 1, 512) == "xla"        # VAE mid-block 512² decode
+
+    # force flag: any >=2048 KV through the streaming kernel
+    monkeypatch.setenv("SDTPU_PALLAS_ATTN", "1")
+    assert route(16, 4096, 8, 40) == "stream"
+    monkeypatch.delenv("SDTPU_PALLAS_ATTN")
+
+    # kill switch: XLA everywhere
+    monkeypatch.setenv("SDTPU_FLASH_ATTN", "0")
+    assert route(8, 4096, 10, 64) == "xla"
