@@ -8,7 +8,20 @@ import sys
 import time
 
 
-def run(B, res, remat, mb=None):
+def hbm_stats():
+    import jax
+
+    try:
+        st = jax.devices()[0].memory_stats() or {}
+        return {
+            "peak_gb": round(st.get("peak_bytes_in_use", 0) / 2**30, 2),
+            "in_use_gb": round(st.get("bytes_in_use", 0) / 2**30, 2),
+        }
+    except Exception:
+        return {}
+
+
+def run(B, res, policy="none", split=0, mb=None):
     from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -30,6 +43,7 @@ def run(B, res, remat, mb=None):
     from stablediffusion_tpu.train.sd3_train import (
         MMDIT_TARGET_SUFFIXES,
         SD3TrainStatics,
+        make_sd3_encode_fn,
         sd3_lora_loss_fn,
     )
     from stablediffusion_tpu.train.train_step import make_train_step
@@ -60,7 +74,7 @@ def run(B, res, remat, mb=None):
         text_config_3=None,  # T5-dropped training configuration
         scheduler_config=sched_cfg,
         compute_dtype=dt,
-        gradient_checkpointing=remat,
+        remat_policy=policy,
         vae_microbatch=mb if mb is not None else min(8, B),
     )
     optimizer = make_optimizer(make_lr_schedule("constant", 1e-4))
@@ -69,6 +83,14 @@ def run(B, res, remat, mb=None):
         statics, FlowMatchEulerScheduler(sched_cfg), optimizer,
         loss=sd3_lora_loss_fn,
     )
+    encode_fn = make_sd3_encode_fn(statics) if split else None
+
+    def one_step(key):
+        b = batch
+        if encode_fn is not None:
+            key, k_enc = jax.random.split(key)
+            b = encode_fn(frozen, b, k_enc)
+        return step_fn(lora, opt_state, frozen, b, key)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -80,35 +102,39 @@ def run(B, res, remat, mb=None):
     }
 
     t0 = time.perf_counter()
-    lora, opt_state, m = step_fn(lora, opt_state, frozen, batch, jax.random.key(1))
+    lora, opt_state, m = one_step(jax.random.key(1))
     loss = float(m["loss"])
-    print(f"B={B} res={res} remat={remat}: compiled+step1 in "
-          f"{time.perf_counter()-t0:.1f}s loss={loss:.4f}", flush=True)
+    print(f"B={B} res={res} policy={policy} split={split}: compiled+step1 in "
+          f"{time.perf_counter()-t0:.1f}s loss={loss:.4f} hbm={hbm_stats()}",
+          flush=True)
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        lora, opt_state, m = step_fn(
-            lora, opt_state, frozen, batch, jax.random.key(2 + i)
-        )
+        lora, opt_state, m = one_step(jax.random.key(2 + i))
         float(m["loss"])
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(
-        json.dumps(
+    payload = (
             {
                 "metric": f"sd3m_{res}px_lora_train_images_per_sec_per_chip",
                 "value": round(B / best, 3),
+                "unit": "images/sec",
                 "detail": {"batch": B, "sec_per_step": round(best, 3),
-                           "remat": remat},
+                           "remat_policy": policy, "split_encode": bool(split),
+                           "hbm": hbm_stats()},
             }
-        ),
-        flush=True,
     )
+    payload["unit"] = "images/sec"
+    print(json.dumps(payload), flush=True)
+    from stablediffusion_tpu.utils.bench_utils import record_result
+
+    record_result(f"sd3m_{res}_lora_train", payload)
 
 
 if __name__ == "__main__":
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    remat = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
-    mb = int(sys.argv[4]) if len(sys.argv) > 4 else None
-    run(B, res, remat, mb)
+    policy = sys.argv[3] if len(sys.argv) > 3 else "none"
+    split = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    mb = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    run(B, res, policy, split, mb)

@@ -59,6 +59,10 @@ class SD3TrainStatics:
     logit_std: float = 1.0
     gradient_checkpointing: bool = False
     vae_microbatch: int = 0
+    # MM-DiT backward remat: "" defers to gradient_checkpointing ("full"
+    # when set); none | full | dots | offload (pinned-host residuals) —
+    # same policy set as train_step.TrainStatics
+    remat_policy: str = ""
 
 
 def _encode_prompts_train(statics: SD3TrainStatics, frozen, batch):
@@ -87,6 +91,40 @@ def _encode_prompts_train(statics: SD3TrainStatics, frozen, batch):
     return jnp.concatenate([h, t5_h.astype(h.dtype)], axis=1), pooled
 
 
+def make_sd3_encode_fn(statics: SD3TrainStatics, mesh=None):
+    """Separate jitted VAE + triple-text encode program (the --cache_latents
+    split, mirroring train_step.make_encode_fn).  Returns
+    ``encode(frozen, batch, key) -> batch'`` replacing pixel_values /
+    input_ids* with "latents" (sampled + shift/scale-normalized, fp32) and
+    "prompt_embeds"/"pooled_embeds" — so the fp32 VAE encoder and the three
+    text towers never share an XLA program with the MM-DiT backward peak."""
+
+    def encode(frozen, batch, key):
+        pixels = batch["pixel_values"].astype(jnp.float32)
+        mean, logvar = vae_model.encode(frozen["vae"], statics.vae_config, pixels)
+        latents = vae_model.sample_latent(mean, logvar, key)
+        if statics.vae_config.shift_factor:
+            latents = latents - statics.vae_config.shift_factor
+        latents = latents * statics.vae_config.scaling_factor
+        embeds, pooled = _encode_prompts_train(statics, frozen, batch)
+        out = {
+            k: v
+            for k, v in batch.items()
+            if k not in ("pixel_values", "input_ids", "input_ids_2", "input_ids_3")
+        }
+        out["latents"] = latents
+        out["prompt_embeds"] = embeds
+        out["pooled_embeds"] = pooled
+        return out
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        return jax.jit(encode, in_shardings=(repl, None, repl))
+    return jax.jit(encode)
+
+
 def sd3_lora_loss_fn(
     lora,
     frozen: Dict[str, Any],
@@ -98,23 +136,31 @@ def sd3_lora_loss_fn(
     k_sample, k_noise, k_t = jax.random.split(key, 3)
     dt = statics.compute_dtype
 
-    # VAE encode (fp32) + SD3 latent normalization
-    pixels = batch["pixel_values"].astype(jnp.float32)
-    mb = statics.vae_microbatch
-    if mb and pixels.shape[0] > mb and pixels.shape[0] % mb == 0:
-        chunks = pixels.reshape(pixels.shape[0] // mb, mb, *pixels.shape[1:])
-        mean, logvar = jax.lax.map(
-            lambda c: vae_model.encode(frozen["vae"], statics.vae_config, c),
-            chunks,
-        )
-        mean = mean.reshape(pixels.shape[0], *mean.shape[2:])
-        logvar = logvar.reshape(pixels.shape[0], *logvar.shape[2:])
+    # VAE encode (fp32) + SD3 latent normalization — or precomputed
+    # "latents" from make_sd3_encode_fn's separate program (the
+    # --cache_latents split: keeps the fp32 VAE encoder out of the XLA
+    # program holding the MM-DiT backward peak)
+    if "latents" in batch:
+        latents = batch["latents"].astype(jnp.float32)
     else:
-        mean, logvar = vae_model.encode(frozen["vae"], statics.vae_config, pixels)
-    latents = vae_model.sample_latent(mean, logvar, k_sample)
-    if statics.vae_config.shift_factor:
-        latents = latents - statics.vae_config.shift_factor
-    latents = latents * statics.vae_config.scaling_factor
+        pixels = batch["pixel_values"].astype(jnp.float32)
+        mb = statics.vae_microbatch
+        if mb and pixels.shape[0] > mb and pixels.shape[0] % mb == 0:
+            chunks = pixels.reshape(pixels.shape[0] // mb, mb, *pixels.shape[1:])
+            mean, logvar = jax.lax.map(
+                lambda c: vae_model.encode(frozen["vae"], statics.vae_config, c),
+                chunks,
+            )
+            mean = mean.reshape(pixels.shape[0], *mean.shape[2:])
+            logvar = logvar.reshape(pixels.shape[0], *logvar.shape[2:])
+        else:
+            mean, logvar = vae_model.encode(
+                frozen["vae"], statics.vae_config, pixels
+            )
+        latents = vae_model.sample_latent(mean, logvar, k_sample)
+        if statics.vae_config.shift_factor:
+            latents = latents - statics.vae_config.shift_factor
+        latents = latents * statics.vae_config.scaling_factor
 
     # logit-normal density timestep sampling over the shifted sigma table
     # (diffusers compute_density_for_timestep_sampling)
@@ -136,18 +182,23 @@ def sd3_lora_loss_fn(
     sig_b = sigmas[:, None, None, None]
     noisy = (1.0 - sig_b) * latents + sig_b * noise
 
-    embeds, pooled = _encode_prompts_train(statics, frozen, batch)
+    if "prompt_embeds" in batch:
+        embeds, pooled = batch["prompt_embeds"], batch["pooled_embeds"]
+    else:
+        embeds, pooled = _encode_prompts_train(statics, frozen, batch)
 
     params = apply_lora_for_training(frozen["transformer"], lora["transformer"])
 
     def fwd(p, x, t, ctx, pool):
         return mmdit_model.apply(p, statics.transformer_config, x, t, ctx, pool)
 
-    if statics.gradient_checkpointing:
-        # full recompute (save only inputs): the dots-saveable policy keeps
-        # every matmul output alive and at MM-DiT widths that INCREASES peak
-        # memory (measured 21.2G vs 16.4G un-remat at batch 16 512px)
-        fwd = jax.checkpoint(fwd)
+    # remat policy notes: the dots-saveable policy keeps every matmul output
+    # alive and at MM-DiT widths that INCREASES peak memory (measured 21.2G
+    # vs 16.4G un-remat at batch 16 512px); "full" recomputes everything,
+    # "offload" checkpoints residuals to pinned host memory
+    from stablediffusion_tpu.train.train_step import _resolve_remat
+
+    fwd = _resolve_remat(statics)(fwd)
     pred = fwd(
         params, noisy.astype(dt), timesteps, embeds.astype(dt), pooled.astype(dt)
     ).astype(jnp.float32)
@@ -185,6 +236,8 @@ class SD3TrainingArgs:
     center_crop: bool = False
     gradient_checkpointing: bool = False
     vae_microbatch: int = 0
+    remat_policy: str = ""
+    cache_latents: bool = False
     checkpointing_steps: Optional[int] = None
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None
@@ -263,9 +316,15 @@ class SD3LoRATrainer:
             logit_std=args.logit_std,
             gradient_checkpointing=args.gradient_checkpointing,
             vae_microbatch=args.vae_microbatch,
+            remat_policy=args.remat_policy,
         )
         step_fn = make_train_step(
             statics, scheduler, optimizer, mesh=self.mesh, loss=sd3_lora_loss_fn
+        )
+        encode_fn = (
+            make_sd3_encode_fn(statics, mesh=self.mesh)
+            if args.cache_latents
+            else None
         )
 
         frozen = {
@@ -305,6 +364,9 @@ class SD3LoRATrainer:
                 break
             jb = self._prepare_batch(batch)
             k_loop, k_step = jax.random.split(k_loop)
+            if encode_fn is not None:
+                k_step, k_enc = jax.random.split(k_step)
+                jb = encode_fn(frozen, jb, k_enc)
             lora, opt_state, metrics = step_fn(lora, opt_state, frozen, jb, k_step)
             step += 1
             if step % args.log_every == 0 or step == total_steps:
