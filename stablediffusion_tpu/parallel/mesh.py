@@ -35,8 +35,17 @@ def maybe_initialize_distributed() -> bool:
 
     import jax
 
-    if jax.process_count() > 1:
-        return True
+    # NB: do NOT touch jax.process_count()/jax.devices() before deciding —
+    # they initialize the XLA backend, after which jax.distributed.initialize
+    # raises ("must be called before any JAX calls").  Found by the
+    # two-process CPU test (tests/test_distributed.py).
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True  # already initialized (idempotent re-entry)
+    except ImportError:  # pragma: no cover - private API moved
+        pass
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
     on_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
     if coordinator:
@@ -49,7 +58,7 @@ def maybe_initialize_distributed() -> bool:
     if on_pod:
         jax.distributed.initialize()
         return True
-    return False
+    return jax.process_count() > 1
 
 
 @dataclass(frozen=True)

@@ -1,4 +1,4 @@
-"""StableDiffusion3Pipeline — MM-DiT txt2img/img2img (beyond-parity family).
+"""StableDiffusion3Pipeline — MM-DiT txt2img/img2img/inpaint (beyond-parity family).
 
 Mirrors diffusers' StableDiffusion3Pipeline semantics: triple text encoding
 (CLIP-L and CLIP-bigG penultimate hidden states concatenated on the channel
@@ -203,11 +203,19 @@ def _denoise_sd3(
     pooled,  # [2B or B, pooled_dim]
     plan: Plan,
     guidance_scale,
+    mask=None,  # None | [B, h, w, 1] — inpaint blend (1 = region to repaint)
+    image_latents=None,  # None | [B, h, w, C] original-image latents
+    noise=None,  # None | [B, h, w, C] the initial noise, re-applied per step
     *,
     config: SD3Config,
     scheduler: BaseScheduler,
     do_cfg: bool,
 ):
+    """One lax.scan over the flow-matching denoise.  With a mask, each step
+    blends the kept region back to the original latents re-noised to the
+    NEXT step's sigma (diffusers StableDiffusion3InpaintPipeline semantics —
+    the MM-DiT has no 9-channel inpaint variant, so blend is the whole
+    mechanism; same rule as the unified pipeline's blend4 mode)."""
     N = plan.num_steps
     state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
 
@@ -220,6 +228,16 @@ def _denoise_sd3(
             uncond, text = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance_scale * (text - uncond)
         lat, state = scheduler.step(plan, state, i, pred, lat)
+        if mask is not None:
+            init_prop = jnp.where(
+                i < N - 1,
+                scheduler.add_noise_index(
+                    plan, image_latents, noise, jnp.clip(i + 1, 0, N - 1)
+                ),
+                image_latents,
+            )
+            m = mask.astype(lat.dtype)
+            lat = (1.0 - m) * init_prop.astype(lat.dtype) + m * lat
         return (lat, state), ()
 
     (final, _), _ = jax.lax.scan(body, (latents, state0), jnp.arange(N))
@@ -373,6 +391,9 @@ class StableDiffusion3Pipeline:
         # img2img
         image=None,
         strength: float = 0.6,
+        # inpaint (diffusers StableDiffusion3InpaintPipeline analog:
+        # latent blend — MM-DiT has no 9-channel inpaint variant)
+        mask_image=None,
         timesteps=None,
         sigmas=None,
     ) -> SDPipelineOutput:
@@ -426,6 +447,10 @@ class StableDiffusion3Pipeline:
         pooled = pooled.astype(self.dtype)
 
         lat_c = model.vae_config.latent_channels
+        mask_lat = inpaint_image_lat = inpaint_noise = None
+        if mask_image is not None:
+            if image is None:
+                raise ValueError("inpaint needs both image and mask_image")
         if image is None:
             plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
                                   sigmas=sigmas)
@@ -462,6 +487,13 @@ class StableDiffusion3Pipeline:
             latents = scheduler.add_noise_index(
                 plan, init_lat.astype(jnp.float32), noise, 0
             )
+            if mask_image is not None:
+                mask_small = img_utils.preprocess_mask(
+                    mask_image, height // vf, width // vf
+                )
+                mask_lat = jnp.tile(jnp.asarray(mask_small), (B * n, 1, 1, 1))
+                inpaint_image_lat = init_lat.astype(jnp.float32)
+                inpaint_noise = noise
 
         latents = _denoise_sd3(
             model.transformer_params,
@@ -470,6 +502,11 @@ class StableDiffusion3Pipeline:
             self._shard(pooled),
             plan,
             jnp.asarray(guidance_scale, jnp.float32),
+            self._shard(mask_lat) if mask_lat is not None else None,
+            self._shard(inpaint_image_lat)
+            if inpaint_image_lat is not None
+            else None,
+            self._shard(inpaint_noise) if inpaint_noise is not None else None,
             config=model.transformer_config,
             scheduler=scheduler,
             do_cfg=do_cfg,

@@ -244,6 +244,58 @@ class TestSD3Pipeline:
         assert out.images.shape == (1, 16, 16, 3)
         assert np.isfinite(out.images).all()
 
+    def test_inpaint(self, model):
+        """SD3 inpaint = per-step latent blend (no 9-ch MM-DiT variant).
+        diffusers StableDiffusion3InpaintPipeline semantics."""
+        pipe = StableDiffusion3Pipeline()
+        rng = np.random.default_rng(0)
+        init = rng.random((16, 16, 3)).astype(np.float32)
+        mask = np.zeros((16, 16), np.float32)
+        mask[:, 8:] = 1.0  # repaint the right half
+        out = pipe(
+            model, prompt="a cat", image=init, mask_image=mask,
+            strength=1.0, num_inference_steps=4, height=16, width=16,
+            seed=5, max_sequence_length=16,
+        )
+        assert out.images.shape == (1, 16, 16, 3)
+        assert np.isfinite(out.images).all()
+        # mask requires the image
+        with pytest.raises(ValueError, match="mask_image"):
+            pipe(model, prompt="x", mask_image=mask, height=16, width=16,
+                 num_inference_steps=2, max_sequence_length=16)
+
+    def test_inpaint_blend_semantics(self, model):
+        """Blend rule at the _denoise_sd3 level: an all-zeros mask returns
+        the original-image latents EXACTLY (last step assigns them); an
+        all-ones mask equals the unmasked denoise exactly."""
+        from stablediffusion_tpu.pipelines.sd3 import _denoise_sd3
+
+        cfg = model.transformer_config
+        B, h, w = 1, 2, 2
+        lc = model.vae_config.latent_channels
+        key = jax.random.key(0)
+        lat = jax.random.normal(key, (B, h, w, lc), jnp.float32)
+        il = jax.random.normal(jax.random.key(1), lat.shape, jnp.float32)
+        nz = jax.random.normal(jax.random.key(2), lat.shape, jnp.float32)
+        embeds = jax.random.normal(
+            jax.random.key(3), (B, 8, cfg.joint_attention_dim), jnp.float32
+        )
+        pooled = jax.random.normal(
+            jax.random.key(4), (B, cfg.pooled_projection_dim), jnp.float32
+        )
+        sched = model.scheduler
+        plan = sched.plan(3)
+        kw = dict(config=cfg, scheduler=sched, do_cfg=False)
+        args = (model.transformer_params, lat, embeds, pooled, plan,
+                jnp.asarray(1.0, jnp.float32))
+        base = _denoise_sd3(*args, None, None, None, **kw)
+        keep_all = _denoise_sd3(*args, jnp.zeros((B, h, w, 1)), il, nz, **kw)
+        np.testing.assert_array_equal(np.asarray(keep_all), np.asarray(il))
+        repaint_all = _denoise_sd3(*args, jnp.ones((B, h, w, 1)), il, nz, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(repaint_all), np.asarray(base)
+        )
+
     def test_negative_prompt_and_batch(self, model):
         pipe = StableDiffusion3Pipeline()
         out = pipe(
