@@ -216,7 +216,7 @@ class Handler:
 
             from stablediffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
 
-            # SD3 has a narrower arg surface (no inpaint/controlnet/ip/
+            # SD3 has a narrower arg surface (no controlnet/ip-adapter/
             # refiner); drop keys its __call__ doesn't take, with a warning,
             # instead of 500ing on a reused SDXL payload
             known = set(
@@ -231,6 +231,35 @@ class Handler:
             )
         pipe = StableDiffusionUnifiedPipeline(do_cfg=True, mesh=self.mesh)
         return pipe(self.model, **args)
+
+    def warmup(
+        self,
+        steps: int = 25,
+        size: Optional[int] = None,
+        batches=(1,),
+    ) -> float:
+        """Pre-compile the serving hot path so the FIRST real request does
+        not pay the XLA compile (1-15 min through a remote-compile tunnel;
+        the persistent compile cache makes this a once-per-pod cost).  One
+        generation per requested batch size — num_images_per_prompt=k
+        compiles the same [k, h, w, C] denoise/decode programs a merged
+        k-request micro-batch uses.  Returns seconds spent."""
+        t0 = time.time()
+        for k in batches:
+            args: Dict[str, Any] = {
+                "prompt": "warmup",
+                "num_inference_steps": int(steps),
+                "num_images_per_prompt": int(k),
+                "seed": 0,
+            }
+            if size:
+                args["height"] = args["width"] = int(size)
+            self._generate(args)
+        dt = time.time() - t0
+        logger.info(
+            "warmup: batches %s, %d steps in %.1f s", tuple(batches), steps, dt
+        )
+        return dt
 
     def inference_mode(
         self, args: Dict[str, Any], t0: float, request_id: str = ""

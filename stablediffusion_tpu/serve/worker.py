@@ -142,6 +142,13 @@ def main(argv=None):
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="shard merged batches over N chips (data-parallel "
                         "mesh); -1 = all local devices, 0 = off")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile the hot path (batch 1 and max_batch) "
+                        "before accepting requests — the first real request "
+                        "then skips the multi-minute XLA compile")
+    p.add_argument("--warmup_steps", type=int, default=25)
+    p.add_argument("--warmup_size", type=int, default=None,
+                   help="square warmup resolution (default: model native)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -155,6 +162,14 @@ def main(argv=None):
         handler.maybe_reload_model(
             {"type": args.model_type, "name": args.model_name}
         )
+    if args.warmup:
+        if handler.model is None:
+            logger.warning("--warmup ignored: no model preloaded")
+        else:
+            batches = (1,) if args.max_batch <= 1 else (1, args.max_batch)
+            handler.warmup(
+                steps=args.warmup_steps, size=args.warmup_size, batches=batches
+            )
 
     try:
         import runpod  # serverless platform, if present

@@ -598,3 +598,13 @@ def test_build_serving_mesh():
     assert mesh.shape["data"] == 4
     with pytest.raises(ValueError):
         build_serving_mesh(999)
+
+
+def test_warmup_precompiles_hot_path(handler):
+    """Handler.warmup runs one generation per batch size through the same
+    _generate path requests use (so the compiled programs match), and a
+    following real request succeeds."""
+    dt = handler.warmup(steps=2, size=32, batches=(1, 2))
+    assert dt > 0
+    resp = handler({**ARGS, "seed": 3}, "req-warm")
+    assert "error" not in resp, resp.get("traceback")
