@@ -608,3 +608,29 @@ def test_warmup_precompiles_hot_path(handler):
     assert dt > 0
     resp = handler({**ARGS, "seed": 3}, "req-warm")
     assert "error" not in resp, resp.get("traceback")
+
+
+def test_sd3_inpaint_through_handler(sd3_handler):
+    """SD3 inpaint over the serving surface: b64 image + mask decode, the
+    signature filter passes mask_image through to the SD3 pipeline."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img01 = rng.random((1, 16, 16, 3)).astype(np.float32)  # [0,1]
+    img_b64 = encode_images_b64(img01)[0]
+    mask01 = np.zeros((1, 16, 16, 3), np.float32)
+    mask01[:, :, 8:] = 1.0
+    mask_b64 = encode_images_b64(mask01, fmt="PNG")[0]
+    resp = sd3_handler(
+        {
+            **SD3_ARGS,
+            "seed": 7,
+            "image": img_b64,
+            "mask_image": mask_b64,
+            "strength": 1.0,
+        },
+        "sd3-inpaint",
+    )
+    assert "error" not in resp, resp.get("traceback")
+    img = decode_image_b64(resp["images"][0])
+    assert img.shape == (16, 16, 3)
