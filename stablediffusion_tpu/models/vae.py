@@ -218,3 +218,120 @@ def init_params(key: jax.Array, config: VAEConfig, dtype=jnp.float32) -> dict:
     if config.use_post_quant_conv:
         params["post_quant_conv"] = conv(lc, lc, k=1)
     return params
+
+
+# ---------------------------------------------------------------------------
+# tiled decode/encode (diffusers enable_vae_tiling analog — AutoencoderKL
+# .tiled_decode/.tiled_encode semantics, reshaped for the XLA compile model)
+# ---------------------------------------------------------------------------
+
+
+def _linear_blend(prev: jax.Array, cur: jax.Array, extent: int, axis: int):
+    """Blend cur's leading `extent` rows/cols (axis 1=v, 2=h) against prev's
+    trailing ones with a linear ramp (AutoencoderKL.blend_v/blend_h)."""
+    ramp_shape = [1, 1, 1, 1]
+    ramp_shape[axis] = extent
+    ramp = (jnp.arange(extent, dtype=cur.dtype) / extent).reshape(ramp_shape)
+    take = lambda arr, a, b: jax.lax.slice_in_dim(arr, a, b, axis=axis)
+    prev_edge = take(prev, prev.shape[axis] - extent, prev.shape[axis])
+    blended = prev_edge * (1.0 - ramp) + take(cur, 0, extent) * ramp
+    return jnp.concatenate(
+        [blended, take(cur, extent, cur.shape[axis])], axis=axis
+    )
+
+
+def _tiled_apply(fn, x, tile: int, out_tile: int, overlap: float):
+    """Shared tiling driver: run `fn` over uniform [B, tile, tile, C] input
+    windows with `overlap` fraction; fn outputs have spatial size
+    `out_tile` (decode: tile*8; encode moments: tile/8).  Seams of the
+    OUTPUTS are linear-blended, stitched, and cropped to the true output
+    size.  Every window has the SAME shape — edge windows are edge-padded —
+    so exactly ONE program is compiled (ragged diffusers-style edge tiles
+    would each pay a multi-minute remote compile here)."""
+    B, H, W, C = x.shape
+    stride = max(int(tile * (1.0 - overlap)), 1)
+    blend = int(out_tile * overlap)
+    row_limit = out_tile - blend  # == stride scaled to output units
+    n_i = -(-H // stride)
+    n_j = -(-W // stride)
+    Hp = (n_i - 1) * stride + tile
+    Wp = (n_j - 1) * stride + tile
+    if Hp != H or Wp != W:
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+
+    rows = []
+    for i in range(n_i):
+        row = []
+        for j in range(n_j):
+            t = jax.lax.dynamic_slice(
+                x, (0, i * stride, j * stride, 0), (B, tile, tile, C)
+            )
+            row.append(fn(t))
+        rows.append(row)
+
+    out_rows = []
+    for i, row in enumerate(rows):
+        pieces = []
+        for j, t in enumerate(row):
+            if i > 0:
+                t = _linear_blend(rows[i - 1][j], t, blend, axis=1)
+            if j > 0:
+                t = _linear_blend(pieces[j - 1], t, blend, axis=2)
+            pieces.append(t)
+        out_rows.append(
+            jnp.concatenate(
+                [p[:, :row_limit, :row_limit] for p in pieces], axis=2
+            )
+        )
+    out = jnp.concatenate(out_rows, axis=1)
+    return out[:, : H * out_tile // tile, : W * out_tile // tile]
+
+
+def tiled_decode(
+    params: dict,
+    config: VAEConfig,
+    latents: jax.Array,
+    tile_latent: int = 64,
+    overlap: float = 0.25,
+) -> jax.Array:
+    """`decode` in overlapping tiles with seam blending.  At 2048² the full
+    decoder holds [B, 2048, 2048, C]-scale activations and a 65536-token
+    mid-block attention — tiling bounds both to the 512px-tile cost (~25
+    sequential tile programs at 2048²), at the price of receptive-field
+    truncation at seams (hidden by the blend, same trade diffusers makes)."""
+    B, H, W, C = latents.shape
+    if H <= tile_latent and W <= tile_latent:
+        return decode(params, config, latents)
+    import functools as _ft
+
+    dec = jax.jit(_ft.partial(decode, params, config))
+    vf = config.vae_scale_factor
+    return _tiled_apply(dec, latents, tile_latent, tile_latent * vf, overlap)
+
+
+def tiled_encode(
+    params: dict,
+    config: VAEConfig,
+    pixels: jax.Array,
+    tile_sample: int = 512,
+    overlap: float = 0.25,
+) -> Tuple[jax.Array, jax.Array]:
+    """`encode` in overlapping pixel tiles; moment maps are seam-blended in
+    latent space (AutoencoderKL.tiled_encode semantics).  Returns
+    (mean, logvar) like `encode`."""
+    B, H, W, C = pixels.shape
+    if H <= tile_sample and W <= tile_sample:
+        return encode(params, config, pixels)
+    import functools as _ft
+
+    enc = jax.jit(_ft.partial(encode, params, config))
+
+    def moments_fn(t):
+        mean, logvar = enc(t)
+        return jnp.concatenate([mean, logvar], axis=-1)
+
+    vf = config.vae_scale_factor
+    out = _tiled_apply(
+        moments_fn, pixels, tile_sample, tile_sample // vf, overlap
+    )
+    return jnp.split(out, 2, axis=-1)

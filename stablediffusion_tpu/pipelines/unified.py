@@ -583,6 +583,9 @@ class StableDiffusionUnifiedPipeline:
         padding_mask_crop: Optional[int] = None,
         use_refiner: bool = False,
         cache_interval: Optional[int] = None,
+        # bounded-memory VAE decode in overlapping 512px tiles for 2048²+
+        # outputs (diffusers enable_vae_tiling analog, models/vae.py)
+        vae_tiling: bool = False,
         control_image=None,
         controlnet_conditioning_scale: float = 1.0,
         # IP-Adapter (beyond-parity; diffusers ip_adapter_image analog)
@@ -972,13 +975,37 @@ class StableDiffusionUnifiedPipeline:
             output_type = "np"
         if output_type == "latents":
             return SDPipelineOutput(images=None, latents=latents, seed=seed)
-        images = _vae_decode(
-            model.vae_params,
-            latents,
-            config=model.vae_config,
-            force_upcast=model.vae_config.force_upcast,
-            dtype=self.vae_dtype,
-        )
+        if vae_tiling:
+            # diffusers enable_vae_tiling analog: bounded-memory decode via
+            # overlapping 512px tiles (models/vae.tiled_decode) — the 2048²+
+            # regime where even a bf16 full decode exhausts HBM
+            z = latents
+            vc = model.vae_config
+            if vc.latents_mean is not None and vc.latents_std is not None:
+                lm = jnp.asarray(vc.latents_mean).reshape(1, 1, 1, -1)
+                ls = jnp.asarray(vc.latents_std).reshape(1, 1, 1, -1)
+                z = z * ls / vc.scaling_factor + lm
+            else:
+                z = z / vc.scaling_factor
+            vae_p = model.vae_params
+            if self.vae_dtype is not None:
+                vae_p = jax.tree.map(
+                    lambda a: a.astype(self.vae_dtype), vae_p
+                )
+                z = z.astype(self.vae_dtype)
+            elif vc.force_upcast:
+                z = z.astype(jnp.float32)
+            from stablediffusion_tpu.models.vae import tiled_decode
+
+            images = tiled_decode(vae_p, vc, z)
+        else:
+            images = _vae_decode(
+                model.vae_params,
+                latents,
+                config=model.vae_config,
+                force_upcast=model.vae_config.force_upcast,
+                dtype=self.vae_dtype,
+            )
         images_np = img_utils.postprocess_image(np.asarray(images, np.float32))
         if crop is not None:
             images_np = np.stack(

@@ -139,3 +139,66 @@ def test_unet_full_sdxl_structure_tree():
     assert params["down_blocks"]["1"]["attentions"]["0"]["proj_in"][
         "weight"
     ].shape == (640, 640)
+
+
+# ---------------------------------------------------------------------------
+# tiled VAE (diffusers enable_vae_tiling analog)
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_apply_geometry_exact():
+    """The tiling driver's pad/stitch/blend geometry, proven exactly: for a
+    LOCAL per-pixel fn, overlapping tiles carry identical values, the linear
+    blend of identical values is the identity, so tiled == global, bitwise.
+    (Full decode can't be the oracle: the VAE mid-block attention is global,
+    so tiling legitimately changes values — the same trade diffusers makes.)"""
+    from stablediffusion_tpu.models.vae import _tiled_apply
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 20, 28, 3)), jnp.float32
+    )
+    # same-scale fn
+    out = _tiled_apply(lambda t: t * 3.0, x, tile=8, out_tile=8, overlap=0.25)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x) * 3.0)
+    # upscale fn (decode direction)
+    from stablediffusion_tpu.ops import upsample_nearest_2x
+
+    out = _tiled_apply(
+        upsample_nearest_2x, x, tile=8, out_tile=16, overlap=0.25
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(upsample_nearest_2x(x))
+    )
+    # downscale fn (encode direction): 2x2 mean pool
+    def pool(t):
+        B, H, W, C = t.shape
+        return t.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+
+    out = _tiled_apply(pool, x, tile=8, out_tile=4, overlap=0.25)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(pool(x)), atol=1e-6
+    )
+
+
+def test_tiled_decode_encode_shapes(vae_setup):
+    """Tiled decode/encode produce the right shapes, finite values, and the
+    small-input early return is exactly the untiled op."""
+    cfg, params = vae_setup
+    z = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 16, 16, cfg.latent_channels)),
+        jnp.float32,
+    )
+    out = vae.tiled_decode(params, cfg, z, tile_latent=8)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # small input -> exact passthrough to decode
+    np.testing.assert_array_equal(
+        np.asarray(vae.tiled_decode(params, cfg, z, tile_latent=16)),
+        np.asarray(vae.decode(params, cfg, z)),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 32, 32, 3)), jnp.float32
+    )
+    m, lv = vae.tiled_encode(params, cfg, x, tile_sample=16)
+    assert m.shape == (1, 16, 16, cfg.latent_channels)
+    assert np.isfinite(np.asarray(m)).all() and np.isfinite(np.asarray(lv)).all()

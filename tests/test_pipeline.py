@@ -649,3 +649,15 @@ def test_per_sample_seed_ancestral_steps(pipe, sd15):
         assert np.abs(a.images[0] - b.images[0]).max() > 1e-6
     finally:
         sd15.set_scheduler("DDIM")
+
+
+def test_vae_tiling_wiring(sd15):
+    """vae_tiling=True routes decode through models/vae.tiled_decode with
+    the same latent normalization; at tiny sizes that's the early-return
+    path, so the output matches the untiled pipeline to jit-vs-eager ULPs
+    (the tiled branch runs the decoder eagerly)."""
+    pipe = StableDiffusionUnifiedPipeline()
+    kw = dict(num_inference_steps=2, height=32, width=32, seed=3)
+    a = pipe(sd15, "a cat", **kw)
+    b = pipe(sd15, "a cat", vae_tiling=True, **kw)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-6)
