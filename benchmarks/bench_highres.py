@@ -8,7 +8,9 @@ hits S at H=1, D=512 where only the hand streaming kernel can tile.  The
 dispatch (ops/attention.py) routes both by default now; this bench records
 that the full pipeline actually runs, and at what p50.
 
-Usage: bench_highres.py [sdxl|sd15] [res]
+Usage: bench_highres.py [sdxl|sd15] [res] [tiled]
+  tiled=1 decodes via models/vae.tiled_decode (the 2048²+ regime where the
+  full decoder program exhausts HBM).
 """
 
 import json
@@ -18,7 +20,7 @@ import time
 STEPS = 30
 
 
-def main(model_name: str = "sdxl", res: int = 1536):
+def main(model_name: str = "sdxl", res: int = 1536, tiled: bool = False):
     from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -79,12 +81,20 @@ def main(model_name: str = "sdxl", res: int = 1536):
         inpaint_mode="none", use_rescale=False,
     )
     den_c = aot_compile(_denoise, *den_args, **den_kw)
-    dec_c = aot_compile(
-        _vae_decode, vae_params, latents, config=vcfg, force_upcast=False
-    )
-    flops = (compiled_cost(den_c).get("flops") or 0) * STEPS + (
-        compiled_cost(dec_c).get("flops") or 0
-    )
+    if tiled:
+        from stablediffusion_tpu.models.vae import tiled_decode
+
+        def dec_c(p, lat):
+            z = lat.astype(jnp.bfloat16) / vcfg.scaling_factor
+            return tiled_decode(p, vcfg, z)
+
+        dec_flops = 0  # host-looped tile programs; not cost-analyzed
+    else:
+        dec_c = aot_compile(
+            _vae_decode, vae_params, latents, config=vcfg, force_upcast=False
+        )
+        dec_flops = compiled_cost(dec_c).get("flops") or 0
+    flops = (compiled_cost(den_c).get("flops") or 0) * STEPS + dec_flops
 
     def run():
         return dec_c(vae_params, den_c(*den_args))
@@ -98,7 +108,8 @@ def main(model_name: str = "sdxl", res: int = 1536):
     times.sort()
     p50 = times[len(times) // 2]
     payload = {
-        "metric": f"{model_name}_{res}px_{STEPS}step_p50_latency",
+        "metric": f"{model_name}_{res}px_{STEPS}step_p50_latency"
+        + ("_tiledvae" if tiled else ""),
         "value": round(p50, 3),
         "unit": "sec/image",
         "detail": {
@@ -106,11 +117,15 @@ def main(model_name: str = "sdxl", res: int = 1536):
             **flops_fields(flops, p50, per=B),
         },
     }
-    record_result(f"{model_name}_{res}_txt2img_p50", payload)
+    record_result(
+        f"{model_name}_{res}_txt2img_p50" + ("_tiled" if tiled else ""),
+        payload,
+    )
     print(json.dumps(payload))
 
 
 if __name__ == "__main__":
     name = sys.argv[1] if len(sys.argv) > 1 else "sdxl"
     res = int(sys.argv[2]) if len(sys.argv) > 2 else (1536 if name == "sdxl" else 1024)
-    main(name, res)
+    tiled = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    main(name, res, tiled)
