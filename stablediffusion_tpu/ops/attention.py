@@ -150,10 +150,22 @@ def _lib_flash(q, k, v, scale: float) -> jax.Array:
 
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
-    # Ragged sequences (SD3 joint stream: 4429): zero-pad to the tile grid
-    # and exclude the padding with segment ids (pad tokens live in segment 0,
-    # real tokens in segment 1 — the kernel masks q/kv segment mismatches).
-    pad_q, pad_k = -Sq % 512, -Skv % 512
+    # Ragged sequences (SD3 joint stream: 4429 at 1024², 1101 at 512²):
+    # zero-pad to the tile grid and exclude the padding with segment ids
+    # (pad tokens live in segment 0, real tokens in segment 1 — the kernel
+    # masks q/kv segment mismatches).  Pad GRANULARITY adapts: the largest
+    # of 512/256/128 wasting <=12.5% of the true length — a fixed 512 pads
+    # 1101 -> 1536 (40% waste), and in training the backward residuals
+    # scale with the PADDED length (the SD3 512² batch-16 step missed the
+    # 15.75G chip by 230M on exactly that waste).
+    def _gran(s):
+        for g in (512, 256, 128):
+            if (-s % g) * 8 <= s:
+                return g
+        return 128
+
+    gran = min(_gran(Sq), _gran(Skv))
+    pad_q, pad_k = -Sq % gran, -Skv % gran
     segment_ids = None
     if pad_q or pad_k:
         seg = lambda s, pad: jnp.pad(
@@ -164,12 +176,15 @@ def _lib_flash(q, k, v, scale: float) -> jax.Array:
         k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
         Sq, Skv = Sq + pad_q, Skv + pad_k
-    block_q = 512 if Sq >= 2048 else min(1024, Sq)
-    if Sq % block_q:
-        block_q = 512
-    block_k = min(1024, Skv)
-    if Skv % block_k:
-        block_k = 512
+
+    def _pick_block(s, cap):
+        for b in (cap, 512, 256, 128):
+            if b <= s and s % b == 0:
+                return b
+        return 128
+
+    block_q = _pick_block(Sq, 512 if Sq >= 2048 else min(1024, Sq))
+    block_k = _pick_block(Skv, min(1024, Skv))
     bs = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,
