@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, x, w, iters=10):
+def timeit(fn, x, w, iters=50, reps=3):
+    """iters high enough that the ~24 ms fixed dispatch overhead of the
+    tunneled backend (CLAUDE.md) is <2% of the measurement, not ~50% as at
+    iters=10; min over reps."""
     def run(x0, w0):
         def body(carry, _):
             y = fn(x0 + 1e-6 * jnp.mean(carry), w0)
@@ -35,9 +38,12 @@ def timeit(fn, x, w, iters=10):
 
     scanned = jax.jit(run)
     float(jnp.mean(scanned(x, w).astype(jnp.float32)))  # compile + warm
-    t0 = time.perf_counter()
-    float(jnp.mean(scanned(x, w).astype(jnp.float32)))
-    return (time.perf_counter() - t0) / iters
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.mean(scanned(x, w).astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters
 
 
 def conv_nhwc(x, w):
