@@ -90,13 +90,7 @@ def _clip_encode(params, ids, *, config: CLIPTextConfig, mode: str, clip_skip):
     return h, pooled
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "force_upcast", "sample")
-)
-def _vae_encode(params, image, key, *, config: VAEConfig, force_upcast, sample):
-    if force_upcast:
-        image = image.astype(jnp.float32)
-    mean, logvar = vae_model.encode(params, config, image)
+def _sample_scaled(mean, logvar, key, config: VAEConfig, sample: bool):
     if not sample:
         z = mean
     elif key.ndim == 1:
@@ -109,6 +103,34 @@ def _vae_encode(params, image, key, *, config: VAEConfig, force_upcast, sample):
     else:
         z = vae_model.sample_latent(mean, logvar, key)
     return z * config.scaling_factor
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "force_upcast", "sample")
+)
+def _vae_encode(params, image, key, *, config: VAEConfig, force_upcast, sample):
+    if force_upcast:
+        image = image.astype(jnp.float32)
+    mean, logvar = vae_model.encode(params, config, image)
+    return _sample_scaled(mean, logvar, key, config, sample)
+
+
+def _vae_encode_any(
+    params, image, key, *, config: VAEConfig, force_upcast, sample,
+    tiling=False,
+):
+    """`_vae_encode`, optionally through models/vae.tiled_encode (bounded
+    memory for 2048²+ img2img/inpaint inputs; host tile loop, so not
+    jitted at this level — the per-tile encode program is)."""
+    if not tiling:
+        return _vae_encode(
+            params, image, key,
+            config=config, force_upcast=force_upcast, sample=sample,
+        )
+    if force_upcast:
+        image = jnp.asarray(image, jnp.float32)
+    mean, logvar = vae_model.tiled_encode(params, config, image)
+    return _sample_scaled(mean, logvar, key, config, sample)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -738,13 +760,14 @@ class StableDiffusionUnifiedPipeline:
                     img_utils.preprocess_image(image_arr, height, width)
                 )
                 k_enc = _psk(1, batch=img.shape[0])
-                init_latents = _vae_encode(
+                init_latents = _vae_encode_any(
                     model.vae_params,
                     img,
                     k_enc if k_enc is not None else k_encode,
                     config=model.vae_config,
                     force_upcast=model.vae_config.force_upcast,
                     sample=True,
+                    tiling=vae_tiling,
                 )
             init_latents = jnp.tile(
                 init_latents, (B * n // init_latents.shape[0], 1, 1, 1)
@@ -795,12 +818,13 @@ class StableDiffusionUnifiedPipeline:
 
             img = jnp.asarray(init_image)
             k_enc = _psk(1, batch=img.shape[0])
-            image_lat = _vae_encode(
+            image_lat = _vae_encode_any(
                 model.vae_params,
                 img,
                 k_enc if k_enc is not None else k_encode,
                 config=model.vae_config,
                 force_upcast=model.vae_config.force_upcast,
+                tiling=vae_tiling,
                 sample=True,
             )
             image_lat = jnp.tile(image_lat, (B * n // image_lat.shape[0], 1, 1, 1))
@@ -831,13 +855,14 @@ class StableDiffusionUnifiedPipeline:
             elif inpaint_mode == "concat9":
                 masked_np = init_image * (mask_np < 0.5)
                 k_enc = _psk(2, batch=masked_np.shape[0])
-                masked_lat = _vae_encode(
+                masked_lat = _vae_encode_any(
                     model.vae_params,
                     jnp.asarray(masked_np),
                     k_enc if k_enc is not None else k_mask,
                     config=model.vae_config,
                     force_upcast=model.vae_config.force_upcast,
                     sample=True,
+                    tiling=vae_tiling,
                 )
                 masked_lat = jnp.tile(
                     masked_lat, (B * n // masked_lat.shape[0], 1, 1, 1)

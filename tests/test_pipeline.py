@@ -661,3 +661,15 @@ def test_vae_tiling_wiring(sd15):
     a = pipe(sd15, "a cat", **kw)
     b = pipe(sd15, "a cat", vae_tiling=True, **kw)
     np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+
+
+def test_vae_tiling_img2img_wiring(sd15):
+    """vae_tiling also routes the img2img encode through tiled_encode
+    (early-return at tiny sizes — exact same latents, ULP-level output)."""
+    pipe = StableDiffusionUnifiedPipeline()
+    init = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    kw = dict(image=init, strength=0.5, num_inference_steps=2,
+              height=32, width=32, seed=4)
+    a = pipe(sd15, "a cat", **kw)
+    b = pipe(sd15, "a cat", vae_tiling=True, **kw)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-6)
