@@ -54,6 +54,7 @@ INFERENCE_ARG_KEYS = (
     "masked_image_latents",
     "padding_mask_crop",
     "cache_interval",
+    "vae_tiling",
     "timesteps",
     "sigmas",
     "control_image",
