@@ -396,6 +396,9 @@ class StableDiffusion3Pipeline:
         mask_image=None,
         timesteps=None,
         sigmas=None,
+        # bounded-memory tiled VAE decode for 1536²+ outputs
+        # (models/vae.tiled_decode; same knob as the unified pipeline)
+        vae_tiling: bool = False,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
         vf = model.vae_scale_factor
@@ -515,8 +518,15 @@ class StableDiffusion3Pipeline:
         output_type = output_type or self.output_type
         if output_type == "latents":
             return SDPipelineOutput(images=None, latents=latents, seed=seed)
-        images = _sd3_vae_decode(
-            model.vae_params, latents, config=model.vae_config
-        )
+        if vae_tiling:
+            z = latents.astype(jnp.float32) / model.vae_config.scaling_factor
+            if model.vae_config.shift_factor:
+                z = z + model.vae_config.shift_factor
+            images = vae_model.tiled_decode(model.vae_params,
+                                            model.vae_config, z)
+        else:
+            images = _sd3_vae_decode(
+                model.vae_params, latents, config=model.vae_config
+            )
         images_np = img_utils.postprocess_image(np.asarray(images, np.float32))
         return SDPipelineOutput(images=images_np, latents=None, seed=seed)

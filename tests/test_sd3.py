@@ -379,3 +379,16 @@ def test_sd3_tensor_parallel_params():
     a = mmdit.apply(model.transformer_params, cfg, x, t, ctx, pooled)
     b = mmdit.apply(sharded, cfg, x, t, ctx, pooled)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sd3_vae_tiling_wiring():
+    """vae_tiling routes SD3 decode through models/vae.tiled_decode with the
+    shift/scale normalization; tiny sizes take the early-return path so the
+    output matches the untiled pipeline to jit-vs-eager ULPs."""
+    model = make_tiny_sd3_model()
+    pipe = StableDiffusion3Pipeline()
+    kw = dict(num_inference_steps=2, height=16, width=16, seed=5,
+              max_sequence_length=16)
+    a = pipe(model, "a cat", **kw)
+    b = pipe(model, "a cat", vae_tiling=True, **kw)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-6)
