@@ -153,16 +153,15 @@ def _lib_flash(q, k, v, scale: float) -> jax.Array:
     # Ragged sequences (SD3 joint stream: 4429 at 1024², 1101 at 512²):
     # zero-pad to the tile grid and exclude the padding with segment ids
     # (pad tokens live in segment 0, real tokens in segment 1 — the kernel
-    # masks q/kv segment mismatches).  Pad GRANULARITY adapts: the largest
-    # of 512/256/128 wasting <=12.5% of the true length — a fixed 512 pads
+    # masks q/kv segment mismatches).  Pad GRANULARITY adapts: 512 when it
+    # wastes <=12.5% of the true length, else 256 — a fixed 512 pads
     # 1101 -> 1536 (40% waste), and in training the backward residuals
     # scale with the PADDED length (the SD3 512² batch-16 step missed the
-    # 15.75G chip by 230M on exactly that waste).
+    # 15.75G chip by 230M on exactly that waste).  Floor is 256, NOT 128:
+    # 128-token blocks measurably ballooned the flash backward's live set
+    # (17.12G vs 15.97G on that same step — more, smaller residual buffers).
     def _gran(s):
-        for g in (512, 256, 128):
-            if (-s % g) * 8 <= s:
-                return g
-        return 128
+        return 512 if (-s % 512) * 8 <= s else 256
 
     gran = min(_gran(Sq), _gran(Skv))
     pad_q, pad_k = -Sq % gran, -Skv % gran

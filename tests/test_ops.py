@@ -229,18 +229,16 @@ def test_attention_dispatch_routing(monkeypatch):
 
 
 def test_ragged_pad_granularity():
-    """Adaptive tile granularity for ragged flash sequences: largest of
-    512/256/128 wasting <=12.5% — SD3 1024² joint (4429) keeps its measured
-    512 config, SD3 512² joint (1101) drops to 128 (1152 padded, not 1536:
-    the 40% pad waste that cost 230M of backward residuals in training)."""
+    """Adaptive tile granularity for ragged flash sequences: 512 when it
+    wastes <=12.5%, else 256 — SD3 1024² joint (4429) keeps its measured
+    512 config, SD3 512² joint (1101) pads to 1280 not 1536.  The floor is
+    256: 128-token blocks measurably ballooned the flash backward's live
+    set (17.12G vs 15.97G on the SD3 batch-16 step)."""
     # mirror of the source rule in ops/attention._lib_flash
     def gran(s):
-        for g in (512, 256, 128):
-            if (-s % g) * 8 <= s:
-                return g
-        return 128
+        return 512 if (-s % 512) * 8 <= s else 256
 
     assert gran(4429) == 512   # pads to 4608 (4%)
-    assert gran(1101) == 128   # pads to 1152 (4.6%) — was 1536 (40%)
+    assert gran(1101) == 256   # pads to 1280 (16%) — was 1536 (40%)
     assert gran(4096) == 512   # exact multiple, no pad
     assert gran(1024) == 512
