@@ -7,18 +7,9 @@ import json
 import sys
 import time
 
+from stablediffusion_tpu.utils.bench_utils import hbm_stats
 
-def hbm_stats():
-    import jax
 
-    try:
-        st = jax.devices()[0].memory_stats() or {}
-        return {
-            "peak_gb": round(st.get("peak_bytes_in_use", 0) / 2**30, 2),
-            "in_use_gb": round(st.get("bytes_in_use", 0) / 2**30, 2),
-        }
-    except Exception:
-        return {}
 
 
 def run(B, res, policy="none", split=0, mb=None):
@@ -114,17 +105,14 @@ def run(B, res, policy="none", split=0, mb=None):
         float(m["loss"])
         times.append(time.perf_counter() - t0)
     best = min(times)
-    payload = (
-            {
+    payload = {
                 "metric": f"sd3m_{res}px_lora_train_images_per_sec_per_chip",
                 "value": round(B / best, 3),
                 "unit": "images/sec",
                 "detail": {"batch": B, "sec_per_step": round(best, 3),
                            "remat_policy": policy, "split_encode": bool(split),
                            "hbm": hbm_stats()},
-            }
-    )
-    payload["unit"] = "images/sec"
+    }
     print(json.dumps(payload), flush=True)
     from stablediffusion_tpu.utils.bench_utils import record_result
 

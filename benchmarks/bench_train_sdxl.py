@@ -18,19 +18,9 @@ import json
 import sys
 import time
 
+from stablediffusion_tpu.utils.bench_utils import hbm_stats
 
-def hbm_stats():
-    import jax
 
-    try:
-        st = jax.devices()[0].memory_stats() or {}
-        return {
-            "peak_gb": round(st.get("peak_bytes_in_use", 0) / 2**30, 2),
-            "in_use_gb": round(st.get("bytes_in_use", 0) / 2**30, 2),
-            "limit_gb": round(st.get("bytes_limit", 0) / 2**30, 2),
-        }
-    except Exception:
-        return {}
 
 
 def run(B, res, policy, split, vae_bf16=False, accum=1):

@@ -249,8 +249,18 @@ def _tiled_apply(fn, x, tile: int, out_tile: int, overlap: float):
     so exactly ONE program is compiled (ragged diffusers-style edge tiles
     would each pay a multi-minute remote compile here)."""
     B, H, W, C = x.shape
-    stride = max(int(tile * (1.0 - overlap)), 1)
-    blend = int(out_tile * overlap)
+    b_in = int(tile * overlap)
+    # the input stride and the output row_limit must describe the SAME
+    # geometry or stitching duplicates/shifts bands at every seam; that
+    # requires the blend extent to scale exactly between the two domains
+    if b_in <= 0 or b_in >= tile or (b_in * out_tile) % tile != 0:
+        raise ValueError(
+            f"tile={tile}, out_tile={out_tile}, overlap={overlap}: "
+            "tile*overlap must be a positive integer < tile whose scaled "
+            "extent (tile*overlap*out_tile/tile) is integral"
+        )
+    stride = tile - b_in
+    blend = b_in * out_tile // tile
     row_limit = out_tile - blend  # == stride scaled to output units
     n_i = -(-H // stride)
     n_j = -(-W // stride)
@@ -276,7 +286,9 @@ def _tiled_apply(fn, x, tile: int, out_tile: int, overlap: float):
             if i > 0:
                 t = _linear_blend(rows[i - 1][j], t, blend, axis=1)
             if j > 0:
-                t = _linear_blend(pieces[j - 1], t, blend, axis=2)
+                # blend against the RAW left tile (diffusers blend_h uses
+                # row[j-1], not the already vertically-blended piece)
+                t = _linear_blend(row[j - 1], t, blend, axis=2)
             pieces.append(t)
         out_rows.append(
             jnp.concatenate(
@@ -285,6 +297,24 @@ def _tiled_apply(fn, x, tile: int, out_tile: int, overlap: float):
         )
     out = jnp.concatenate(out_rows, axis=1)
     return out[:, : H * out_tile // tile, : W * out_tile // tile]
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("config",))
+def _decode_jit(params, latents, *, config: VAEConfig):
+    """Per-tile decode program: module-level jit so the cache persists
+    across tiled_decode calls, with params passed as arguments (a
+    params-closing partial would bake them in as HLO constants — the
+    never-finishing-remote-compile pattern CLAUDE.md forbids)."""
+    return decode(params, config, latents)
+
+
+@_functools.partial(jax.jit, static_argnames=("config",))
+def _encode_moments_jit(params, pixels, *, config: VAEConfig):
+    mean, logvar = encode(params, config, pixels)
+    return jnp.concatenate([mean, logvar], axis=-1)
 
 
 def tiled_decode(
@@ -302,11 +332,11 @@ def tiled_decode(
     B, H, W, C = latents.shape
     if H <= tile_latent and W <= tile_latent:
         return decode(params, config, latents)
-    import functools as _ft
-
-    dec = jax.jit(_ft.partial(decode, params, config))
     vf = config.vae_scale_factor
-    return _tiled_apply(dec, latents, tile_latent, tile_latent * vf, overlap)
+    return _tiled_apply(
+        lambda t: _decode_jit(params, t, config=config),
+        latents, tile_latent, tile_latent * vf, overlap,
+    )
 
 
 def tiled_encode(
@@ -322,16 +352,9 @@ def tiled_encode(
     B, H, W, C = pixels.shape
     if H <= tile_sample and W <= tile_sample:
         return encode(params, config, pixels)
-    import functools as _ft
-
-    enc = jax.jit(_ft.partial(encode, params, config))
-
-    def moments_fn(t):
-        mean, logvar = enc(t)
-        return jnp.concatenate([mean, logvar], axis=-1)
-
     vf = config.vae_scale_factor
     out = _tiled_apply(
-        moments_fn, pixels, tile_sample, tile_sample // vf, overlap
+        lambda t: _encode_moments_jit(params, t, config=config),
+        pixels, tile_sample, tile_sample // vf, overlap,
     )
     return jnp.split(out, 2, axis=-1)

@@ -141,6 +141,15 @@ def _lib_flash_supported(q_shape, k_shape) -> bool:
     return skv >= 1024 and d_min <= d <= 128
 
 
+def _pad_granularity(s: int) -> int:
+    """Ragged-sequence pad granularity: 512 when it wastes <=12.5% of the
+    true length, else 256.  Floor is 256, NOT 128: 128-token blocks
+    measurably ballooned the flash backward's live set (17.12G vs 15.97G
+    on the SD3 512² batch-16 step — more, smaller residual buffers beat
+    the padding saving).  Unit-pinned in tests/test_ops.py."""
+    return 512 if (-s % 512) * 8 <= s else 256
+
+
 def _lib_flash(q, k, v, scale: float) -> jax.Array:
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -157,13 +166,8 @@ def _lib_flash(q, k, v, scale: float) -> jax.Array:
     # wastes <=12.5% of the true length, else 256 — a fixed 512 pads
     # 1101 -> 1536 (40% waste), and in training the backward residuals
     # scale with the PADDED length (the SD3 512² batch-16 step missed the
-    # 15.75G chip by 230M on exactly that waste).  Floor is 256, NOT 128:
-    # 128-token blocks measurably ballooned the flash backward's live set
-    # (17.12G vs 15.97G on that same step — more, smaller residual buffers).
-    def _gran(s):
-        return 512 if (-s % 512) * 8 <= s else 256
-
-    gran = min(_gran(Sq), _gran(Skv))
+    # 15.75G chip by 230M on exactly that waste); see _pad_granularity.
+    gran = min(_pad_granularity(Sq), _pad_granularity(Skv))
     pad_q, pad_k = -Sq % gran, -Skv % gran
     segment_ids = None
     if pad_q or pad_k:

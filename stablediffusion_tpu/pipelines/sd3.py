@@ -255,10 +255,28 @@ def _sd3_vae_decode(params, latents, *, config: VAEConfig):
 @functools.partial(jax.jit, static_argnames=("config", "sample"))
 def _sd3_vae_encode(params, image, key, *, config: VAEConfig, sample=True):
     mean, logvar = vae_model.encode(params, config, image.astype(jnp.float32))
+    return _sd3_normalize_latent(mean, logvar, key, config, sample)
+
+
+def _sd3_normalize_latent(mean, logvar, key, config: VAEConfig, sample):
     z = vae_model.sample_latent(mean, logvar, key) if sample else mean
     if config.shift_factor:
         z = z - config.shift_factor
     return z * config.scaling_factor
+
+
+def _sd3_vae_encode_any(params, image, key, *, config: VAEConfig,
+                        sample=True, tiling=False):
+    """`_sd3_vae_encode`, optionally through models/vae.tiled_encode so a
+    2048²+ init image never compiles the full fp32 encoder (65536-token
+    mid-block attention) as one program."""
+    if not tiling:
+        return _sd3_vae_encode(params, image, key, config=config,
+                               sample=sample)
+    mean, logvar = vae_model.tiled_encode(
+        params, config, image.astype(jnp.float32)
+    )
+    return _sd3_normalize_latent(mean, logvar, key, config, sample)
 
 
 class StableDiffusion3Pipeline:
@@ -480,8 +498,9 @@ class StableDiffusion3Pipeline:
 
             plan = _U._slice_plan(plan, t_start)
             img = jnp.asarray(img_utils.preprocess_image(image, height, width))
-            init_lat = _sd3_vae_encode(
-                model.vae_params, img, k_encode, config=model.vae_config
+            init_lat = _sd3_vae_encode_any(
+                model.vae_params, img, k_encode, config=model.vae_config,
+                tiling=vae_tiling,
             )
             init_lat = jnp.tile(init_lat, (B * n // init_lat.shape[0], 1, 1, 1))
             noise = randn(

@@ -210,12 +210,30 @@ class SentencePieceUnigramTokenizer:
         vocab = [(p, float(s)) for p, s in model["vocab"]]
         unk_id = int(model.get("unk_id", 2))
         # T5 tokenizer.json lists the 100 sentinels as added_tokens at the
-        # tail; they are NOT part of model.vocab
+        # tail.  Depending on the writer they may ALSO appear inside
+        # model.vocab (transformers' T5Converter appends them) — only
+        # sentinels NOT already in the vocab extend the id space, otherwise
+        # base = len(vocab) would double-count them and map <extra_id_0>
+        # past the embedding table.
         added = [
             t
             for t in spec.get("added_tokens", [])
             if t.get("content", "").startswith("<extra_id_")
         ]
+        in_vocab = {p for p, _ in vocab}
+        n_sentinels_in_vocab = sum(
+            1 for t in added if t["content"] in in_vocab
+        )
+        if n_sentinels_in_vocab:
+            # strip them from the unigram vocab; they re-enter through the
+            # sentinel map at the SAME tail ids (reverse order), keeping
+            # token ids identical to transformers
+            vocab = [
+                (p, s)
+                for p, s in vocab
+                if not p.startswith("<extra_id_")
+            ]
+        extra_ids = len(added) or 100
         eos_id = next(
             (i for i, (p, _) in enumerate(vocab) if p == "</s>"), 1
         )
@@ -224,7 +242,7 @@ class SentencePieceUnigramTokenizer:
         )
         return cls(
             vocab, unk_id=unk_id, eos_id=eos_id, pad_id=pad_id,
-            extra_ids=len(added) or 100,
+            extra_ids=extra_ids,
             control_ids=(pad_id, eos_id),
         )
 

@@ -107,29 +107,55 @@ def flops_fields(
     return out
 
 
+def hbm_stats() -> Dict[str, float]:
+    """Device HBM usage snapshot (peak/in-use/limit GiB) — shared by the
+    memory-fit training benches."""
+    import jax
+
+    try:
+        st = jax.devices()[0].memory_stats() or {}
+        return {
+            "peak_gb": round(st.get("peak_bytes_in_use", 0) / 2**30, 2),
+            "in_use_gb": round(st.get("bytes_in_use", 0) / 2**30, 2),
+            "limit_gb": round(st.get("bytes_limit", 0) / 2**30, 2),
+        }
+    except Exception:
+        return {}
+
+
 def record_result(name: str, payload: Dict[str, Any], path: str = None) -> None:
     """Merge one bench's payload under `name` in benchmarks/RESULTS.json.
 
     The file is a flat {bench_name: payload} dict; each run overwrites its
-    own key only, so partial re-runs keep other benches' numbers."""
-    if path is None:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-            "benchmarks",
-            "RESULTS.json",
-        )
-    data: Dict[str, Any] = {}
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except Exception:
-            data = {}
-    import jax
+    own key only, so partial re-runs keep other benches' numbers.
 
-    payload = dict(payload)
-    payload["device"] = getattr(jax.devices()[0], "device_kind", "unknown")
-    data[name] = payload
-    with open(path, "w") as f:
-        json.dump(data, f, indent=2, sort_keys=True)
-        f.write("\n")
+    NEVER raises: recording is bookkeeping — a read-only checkout or a
+    corrupted RESULTS.json must not kill a bench after 30 minutes of TPU
+    measurement but before the metric JSON line (the driver contract) is
+    printed."""
+    try:
+        if path is None:
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+                "benchmarks",
+                "RESULTS.json",
+            )
+        data: Dict[str, Any] = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}
+        import jax
+
+        payload = dict(payload)
+        payload["device"] = getattr(jax.devices()[0], "device_kind", "unknown")
+        data[name] = payload
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+            f.write("\n")
+    except Exception as e:  # pragma: no cover - environment-dependent
+        import sys
+
+        print(f"record_result({name!r}) failed: {e}", file=sys.stderr)

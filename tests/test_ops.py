@@ -234,9 +234,7 @@ def test_ragged_pad_granularity():
     512 config, SD3 512² joint (1101) pads to 1280 not 1536.  The floor is
     256: 128-token blocks measurably ballooned the flash backward's live
     set (17.12G vs 15.97G on the SD3 batch-16 step)."""
-    # mirror of the source rule in ops/attention._lib_flash
-    def gran(s):
-        return 512 if (-s % 512) * 8 <= s else 256
+    from stablediffusion_tpu.ops.attention import _pad_granularity as gran
 
     assert gran(4429) == 512   # pads to 4608 (4%)
     assert gran(1101) == 256   # pads to 1280 (16%) — was 1536 (40%)

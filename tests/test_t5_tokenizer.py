@@ -207,6 +207,36 @@ def test_from_pretrained_tokenizer_json(tmp_path, ours):
         assert loaded.tokenize_ids(text) == ours.tokenize_ids(text)
 
 
+def test_from_tokenizer_json_sentinels_in_vocab(tmp_path, ours):
+    """transformers' T5Converter APPENDS the sentinels to model.vocab when
+    writing tokenizer.json (ids ... <extra_id_99>..<extra_id_0> at the
+    tail); base=len(vocab) must not double-count them or <extra_id_0> maps
+    past the embedding table."""
+    d = tmp_path / "tokenizer_3"
+    d.mkdir()
+    base = make_vocab()
+    n = len(base)
+    vocab_with_sentinels = base + [
+        [f"<extra_id_{3 - k}>", 0.0] for k in range(4)
+    ]  # ids n..n+3 = <extra_id_3>..<extra_id_0> (reverse tail convention)
+    spec = {
+        "model": {
+            "type": "Unigram", "unk_id": 2, "vocab": vocab_with_sentinels,
+        },
+        "added_tokens": [
+            {"id": n + 3 - k, "content": f"<extra_id_{k}>"} for k in range(4)
+        ],
+    }
+    (d / "tokenizer.json").write_text(json.dumps(spec))
+    loaded = SentencePieceUnigramTokenizer.from_pretrained(str(d))
+    assert loaded.extra_ids == 4
+    assert loaded.vocab_size == n + 4  # NOT n + 8
+    assert loaded.special_to_id["<extra_id_0>"] == n + 3
+    assert loaded.special_to_id["<extra_id_3>"] == n
+    for text in CORPUS:
+        assert loaded.tokenize_ids(text) == ours.tokenize_ids(text)
+
+
 def test_from_pretrained_prefers_spiece(tmp_path):
     d = tmp_path / "tok"
     d.mkdir()
