@@ -392,3 +392,16 @@ def test_sd3_vae_tiling_wiring():
     a = pipe(model, "a cat", **kw)
     b = pipe(model, "a cat", vae_tiling=True, **kw)
     np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+
+
+def test_sd3_vae_tiling_img2img_wiring():
+    """vae_tiling also routes the SD3 img2img encode through tiled_encode
+    (early-return at tiny sizes — output matches untiled to jit/eager ULPs)."""
+    model = make_tiny_sd3_model()
+    pipe = StableDiffusion3Pipeline()
+    init = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+    kw = dict(image=init, strength=0.6, num_inference_steps=2, height=16,
+              width=16, seed=5, max_sequence_length=16)
+    a = pipe(model, "a cat", **kw)
+    b = pipe(model, "a cat", vae_tiling=True, **kw)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-6)
