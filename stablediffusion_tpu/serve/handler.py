@@ -113,6 +113,7 @@ class Handler:
         # and falls back to serial handling for requests that were queued
         # under a different model state (see serve/batcher.py)
         self.model_generation = 0
+        self._tp_generation = -1  # last generation whose params were TP-placed
         # BUCKET_ENDPOINT_URL-gated image sink (ref handler_logic.py:32-51):
         # when configured, responses carry URLs instead of base64
         self.uploader = uploader if uploader is not None else make_uploader()
@@ -200,8 +201,31 @@ class Handler:
                 "traceback": traceback.format_exc(),
             }
 
+    def _ensure_tp_placement(self) -> None:
+        """With a tensor>1 serving mesh, (re-)place the model's attention/MLP
+        kernels sharded over the `tensor` axis (parallel/tp.py).  Re-applied
+        whenever model_generation moved: checkpoint reloads and LoRA fuses
+        (set_adapters) replace the param trees with host/replicated arrays."""
+        if self.mesh is None or self.mesh.shape.get("tensor", 1) <= 1:
+            return
+        if self._tp_generation == self.model_generation:
+            return
+        from stablediffusion_tpu.parallel.tp import shard_params_tp
+
+        for attr in (
+            "unet_params",
+            "text_encoder_params",
+            "text_encoder_2_params",
+            "transformer_params",
+        ):
+            p = getattr(self.model, attr, None)
+            if p is not None:
+                setattr(self.model, attr, shard_params_tp(p, self.mesh))
+        self._tp_generation = self.model_generation
+
     # -- modes ----------------------------------------------------------------
     def _generate(self, args: Dict[str, Any]):
+        self._ensure_tp_placement()
         if "image" in args and isinstance(args["image"], str):
             args = dict(args, image=decode_image_b64(args["image"]))
         if "mask_image" in args and isinstance(args["mask_image"], str):

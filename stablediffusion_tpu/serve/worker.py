@@ -39,10 +39,12 @@ def get_handler(**kw) -> Handler:
     return HANDLER
 
 
-def build_serving_mesh(dp: int):
-    """`--mesh dp=N` support: a data-parallel Mesh over the first N local
-    devices (N=-1: all).  Merged request batches shard over the `data` axis
-    (SURVEY §2.10 "shard batch across chips for throughput serving"); the
+def build_serving_mesh(dp: int, tp: int = 1):
+    """`--mesh_dp N [--mesh_tp K]` support: a Mesh over the first N*K local
+    devices.  Merged request batches shard over the `data` axis
+    (SURVEY §2.10 "shard batch across chips for throughput serving"); with
+    tp > 1 the model's attention/MLP kernels additionally shard over the
+    `tensor` axis (parallel/tp.py — latency scaling for big models).  The
     per-sample seed streams keep every request's image bit-identical to its
     single-chip render, so meshing is invisible to clients."""
     import jax
@@ -50,12 +52,15 @@ def build_serving_mesh(dp: int):
     from stablediffusion_tpu.parallel.mesh import make_mesh
 
     devices = jax.devices()
-    if dp in (0, 1) and len(devices) == 1:
+    tp = max(int(tp or 1), 1)
+    if dp in (0, 1) and tp == 1 and len(devices) == 1:
         return None  # single chip: no mesh overhead
-    n = len(devices) if dp in (-1, 0) else dp
-    if n > len(devices):
-        raise ValueError(f"--mesh dp={dp}: only {len(devices)} devices")
-    return make_mesh(data=n, tensor=1, devices=devices[:n])
+    n = len(devices) // tp if dp in (-1, 0) else dp
+    if n * tp > len(devices):
+        raise ValueError(
+            f"--mesh_dp {dp} --mesh_tp {tp}: only {len(devices)} devices"
+        )
+    return make_mesh(data=max(n, 1), tensor=tp, devices=devices[: max(n, 1) * tp])
 
 
 def trigger_fn(request: Dict[str, Any]) -> Dict[str, Any]:
@@ -142,6 +147,9 @@ def main(argv=None):
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="shard merged batches over N chips (data-parallel "
                         "mesh); -1 = all local devices, 0 = off")
+    p.add_argument("--mesh_tp", type=int, default=1,
+                   help="additionally shard attention/MLP kernels over K "
+                        "chips (tensor parallel; devices used = dp*tp)")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile the hot path (batch 1 and max_batch) "
                         "before accepting requests — the first real request "
@@ -152,7 +160,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
-    mesh = build_serving_mesh(args.mesh_dp) if args.mesh_dp else None
+    mesh = (
+        build_serving_mesh(args.mesh_dp, args.mesh_tp)
+        if (args.mesh_dp or args.mesh_tp > 1)
+        else None
+    )
     if mesh is not None:
         logger.info("serving mesh: %s", dict(mesh.shape))
     handler = get_handler(

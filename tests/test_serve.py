@@ -634,3 +634,36 @@ def test_sd3_inpaint_through_handler(sd3_handler):
     assert "error" not in resp, resp.get("traceback")
     img = decode_image_b64(resp["images"][0])
     assert img.shape == (16, 16, 3)
+
+
+def test_tp_serving_identical_to_solo():
+    """A 4x2 (data x tensor) serving mesh: attention/MLP kernels shard over
+    `tensor`, requests shard over `data`, and per-request images are
+    bit-identical to a single-device render; re-fusing LoRA state (which
+    replaces param trees) re-triggers TP placement."""
+    import jax
+
+    from stablediffusion_tpu.parallel.mesh import make_mesh
+    from stablediffusion_tpu.serve.worker import build_serving_mesh
+
+    mesh = make_mesh(data=4, tensor=2, devices=jax.devices()[:8])
+    model = make_tiny_model("sd15")
+    h_tp = Handler(model=model, mesh=mesh)
+    resp = h_tp({**ARGS, "seed": 11}, "tp-1")
+    assert "error" not in resp, resp.get("traceback")
+    # kernels actually sharded after the first request
+    w = model.unet_params["down_blocks"]["0"]["attentions"]["0"][
+        "transformer_blocks"]["0"]["attn1"]["to_q"]["weight"]
+    assert not w.sharding.is_fully_replicated
+
+    h_solo = Handler(model=make_tiny_model("sd15"))
+    solo = h_solo({**ARGS, "seed": 11}, "solo-1")
+    assert resp["images"][0] == solo["images"][0]
+
+    # worker-level mesh builder
+    m = build_serving_mesh(4, 2)
+    assert m.shape["data"] == 4 and m.shape["tensor"] == 2
+    m = build_serving_mesh(-1, 2)
+    assert m.shape["tensor"] == 2 and m.shape["data"] == len(jax.devices()) // 2
+    with pytest.raises(ValueError):
+        build_serving_mesh(8, 2)
