@@ -304,6 +304,63 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> N
         )
 
 
+def save_sd3_model(model, path: str, variant: Optional[str] = None) -> None:
+    """Write a diffusers-layout SD3-family folder (save_pretrained analog):
+    transformer/vae/text encoders as torch-layout safetensors + configs.
+    Inverse of load_sd3_model for params/configs; tokenizer files (BPE
+    vocab/merges, spiece.model) are external artifacts the caller copies."""
+    import dataclasses
+
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(sub, params, cfg_dict, fname="diffusion_pytorch_model"):
+        d = os.path.join(path, sub)
+        os.makedirs(d, exist_ok=True)
+        flat = {
+            k: deconvert_tensor(k, np.asarray(v))
+            for k, v in flatten(params).items()
+        }
+        suffix = f".{variant}" if variant else ""
+        save_safetensors(flat, os.path.join(d, f"{fname}{suffix}.safetensors"))
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(cfg_dict, f, indent=2)
+
+    tf_cfg = dataclasses.asdict(model.transformer_config)
+    tf_cfg["dual_attention_layers"] = list(tf_cfg["dual_attention_layers"])
+    tf_cfg["_class_name"] = "SD3Transformer2DModel"
+    dump("transformer", model.transformer_params, tf_cfg)
+    dump("vae", model.vae_params, _vae_cfg_dict(model.vae_config))
+    dump(
+        "text_encoder",
+        model.text_encoder_params,
+        _clip_cfg_dict(model.text_encoder_config),
+        fname="model",
+    )
+    dump(
+        "text_encoder_2",
+        model.text_encoder_2_params,
+        _clip_cfg_dict(model.text_encoder_2_config),
+        fname="model",
+    )
+    if model.text_encoder_3_params is not None:
+        t5_cfg = dataclasses.asdict(model.text_encoder_3_config)
+        t5_cfg["architectures"] = ["T5EncoderModel"]
+        dump(
+            "text_encoder_3",
+            model.text_encoder_3_params,
+            t5_cfg,
+            fname="model",
+        )
+    os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
+    with open(os.path.join(path, "scheduler", "scheduler_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(model.scheduler_config), f, indent=2)
+    with open(os.path.join(path, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "StableDiffusion3Pipeline"}, f)
+
+
 def save_controlnet(params: dict, config: UNetConfig, path: str) -> None:
     """Write a diffusers-layout ControlNet folder (ControlNetModel
     save_pretrained analog): torch layouts + config.json.  Round-trips

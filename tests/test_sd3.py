@@ -405,3 +405,57 @@ def test_sd3_vae_tiling_img2img_wiring():
     a = pipe(model, "a cat", **kw)
     b = pipe(model, "a cat", vae_tiling=True, **kw)
     np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+
+
+def test_sd3_save_load_roundtrip(tmp_path):
+    """save_sd3_model ⇄ load_sd3_model: T5-free pipeline outputs identical;
+    with-T5 param trees byte-identical and tokenizer_3 loads first-party."""
+    import dataclasses as _dc
+    import json as _json
+    import os as _os
+
+    from stablediffusion_tpu.io.loader import load_sd3_model, save_sd3_model
+    from tests.test_loader import _write_tokenizer_files
+    from tests.test_t5_tokenizer import _write_spiece_model, make_vocab
+
+    src = make_tiny_sd3_model()
+
+    # --- T5-free round trip: identical generations -----------------------
+    free = _dc.replace(
+        src, text_encoder_3_config=None, text_encoder_3_params=None,
+        tokenizer_3=None,
+    )
+    d = str(tmp_path / "sd3-free")
+    save_sd3_model(free, d)
+    _write_tokenizer_files(_os.path.join(d, "tokenizer"))
+    _write_tokenizer_files(_os.path.join(d, "tokenizer_2"))
+    loaded = load_sd3_model(d, variant=None)
+    assert loaded.text_encoder_3_params is None
+    assert loaded.transformer_config == src.transformer_config
+    pipe = StableDiffusion3Pipeline()
+    kw = dict(num_inference_steps=2, height=16, width=16, seed=3,
+              max_sequence_length=16)
+    a = pipe(free, "a cat", **kw)
+    b = pipe(loaded, "a cat", **kw)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-5)
+
+    # --- with T5: params round-trip + first-party tokenizer_3 ------------
+    d2 = str(tmp_path / "sd3-full")
+    save_sd3_model(src, d2)
+    _write_tokenizer_files(_os.path.join(d2, "tokenizer"))
+    _write_tokenizer_files(_os.path.join(d2, "tokenizer_2"))
+    _os.makedirs(_os.path.join(d2, "tokenizer_3"))
+    _write_spiece_model(
+        _os.path.join(d2, "tokenizer_3", "spiece.model"), make_vocab()
+    )
+    loaded2 = load_sd3_model(d2, variant=None)
+    from stablediffusion_tpu.tokenizer.sentencepiece_unigram import (
+        SentencePieceUnigramTokenizer,
+    )
+
+    assert isinstance(loaded2.tokenizer_3, SentencePieceUnigramTokenizer)
+    flat_src = jax.tree_util.tree_leaves(src.text_encoder_3_params)
+    flat_new = jax.tree_util.tree_leaves(loaded2.text_encoder_3_params)
+    assert len(flat_src) == len(flat_new)
+    for a_, b_ in zip(flat_src, flat_new):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
