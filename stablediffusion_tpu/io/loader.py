@@ -254,26 +254,34 @@ def load_sd3_model(
     )
 
 
+def _dump_component(
+    path: str, sub: str, params, cfg_dict: dict,
+    fname: str = "diffusion_pytorch_model", variant: Optional[str] = None,
+) -> None:
+    """Write one diffusers component folder: torch-layout safetensors +
+    config.json (shared by save_sd_model / save_sd3_model / save_controlnet)."""
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+
+    d = os.path.join(path, sub)
+    os.makedirs(d, exist_ok=True)
+    flat = {
+        k: deconvert_tensor(k, np.asarray(v)) for k, v in flatten(params).items()
+    }
+    suffix = f".{variant}" if variant else ""
+    save_safetensors(flat, os.path.join(d, f"{fname}{suffix}.safetensors"))
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg_dict, f, indent=2)
+
+
 def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> None:
     """Write a diffusers-layout folder (save_pretrained analog) readable by
     the torch ecosystem: torch layouts, per-component subfolders + configs."""
     import dataclasses
-
-    from stablediffusion_tpu.io.safetensors_io import save_safetensors
-    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+    import functools
 
     os.makedirs(path, exist_ok=True)
-
-    def dump(sub, params, cfg_dict, fname="diffusion_pytorch_model"):
-        d = os.path.join(path, sub)
-        os.makedirs(d, exist_ok=True)
-        flat = {
-            k: deconvert_tensor(k, np.asarray(v)) for k, v in flatten(params).items()
-        }
-        suffix = f".{variant}" if variant else ""
-        save_safetensors(flat, os.path.join(d, f"{fname}{suffix}.safetensors"))
-        with open(os.path.join(d, "config.json"), "w") as f:
-            json.dump(cfg_dict, f, indent=2)
+    dump = functools.partial(_dump_component, path, variant=variant)
 
     dump("unet", model.unet_params, _unet_cfg_dict(model.unet_config))
     dump("vae", model.vae_params, _vae_cfg_dict(model.vae_config))
@@ -310,23 +318,10 @@ def save_sd3_model(model, path: str, variant: Optional[str] = None) -> None:
     Inverse of load_sd3_model for params/configs; tokenizer files (BPE
     vocab/merges, spiece.model) are external artifacts the caller copies."""
     import dataclasses
-
-    from stablediffusion_tpu.io.safetensors_io import save_safetensors
-    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+    import functools
 
     os.makedirs(path, exist_ok=True)
-
-    def dump(sub, params, cfg_dict, fname="diffusion_pytorch_model"):
-        d = os.path.join(path, sub)
-        os.makedirs(d, exist_ok=True)
-        flat = {
-            k: deconvert_tensor(k, np.asarray(v))
-            for k, v in flatten(params).items()
-        }
-        suffix = f".{variant}" if variant else ""
-        save_safetensors(flat, os.path.join(d, f"{fname}{suffix}.safetensors"))
-        with open(os.path.join(d, "config.json"), "w") as f:
-            json.dump(cfg_dict, f, indent=2)
+    dump = functools.partial(_dump_component, path, variant=variant)
 
     tf_cfg = dataclasses.asdict(model.transformer_config)
     tf_cfg["dual_attention_layers"] = list(tf_cfg["dual_attention_layers"])

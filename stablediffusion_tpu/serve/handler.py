@@ -113,7 +113,11 @@ class Handler:
         # and falls back to serial handling for requests that were queued
         # under a different model state (see serve/batcher.py)
         self.model_generation = 0
-        self._tp_generation = -1  # last generation whose params were TP-placed
+        # identities of the param trees at last TP placement: LoRA fuses /
+        # reloads REPLACE the attribute objects, so identity change (not a
+        # generation counter, which is bumped at request entry BEFORE any
+        # in-request set_adapters) is what signals a needed re-placement
+        self._tp_placed_ids = None
         # BUCKET_ENDPOINT_URL-gated image sink (ref handler_logic.py:32-51):
         # when configured, responses carry URLs instead of base64
         self.uploader = uploader if uploader is not None else make_uploader()
@@ -201,27 +205,36 @@ class Handler:
                 "traceback": traceback.format_exc(),
             }
 
+    _TP_PARAM_ATTRS = (
+        "unet_params",
+        "text_encoder_params",
+        "text_encoder_2_params",
+        "transformer_params",
+    )
+
     def _ensure_tp_placement(self) -> None:
         """With a tensor>1 serving mesh, (re-)place the model's attention/MLP
         kernels sharded over the `tensor` axis (parallel/tp.py).  Re-applied
-        whenever model_generation moved: checkpoint reloads and LoRA fuses
-        (set_adapters) replace the param trees with host/replicated arrays."""
+        whenever any param-tree OBJECT changed: checkpoint reloads and LoRA
+        fuses (set_adapters — including the ones constructor mode issues
+        mid-request, after the generation counter was already bumped)
+        replace the attribute with a new replicated tree."""
         if self.mesh is None or self.mesh.shape.get("tensor", 1) <= 1:
             return
-        if self._tp_generation == self.model_generation:
+        ids = tuple(
+            id(getattr(self.model, a, None)) for a in self._TP_PARAM_ATTRS
+        )
+        if ids == self._tp_placed_ids:
             return
         from stablediffusion_tpu.parallel.tp import shard_params_tp
 
-        for attr in (
-            "unet_params",
-            "text_encoder_params",
-            "text_encoder_2_params",
-            "transformer_params",
-        ):
+        for attr in self._TP_PARAM_ATTRS:
             p = getattr(self.model, attr, None)
             if p is not None:
                 setattr(self.model, attr, shard_params_tp(p, self.mesh))
-        self._tp_generation = self.model_generation
+        self._tp_placed_ids = tuple(
+            id(getattr(self.model, a, None)) for a in self._TP_PARAM_ATTRS
+        )
 
     # -- modes ----------------------------------------------------------------
     def _generate(self, args: Dict[str, Any]):

@@ -56,11 +56,11 @@ def build_serving_mesh(dp: int, tp: int = 1):
     if dp in (0, 1) and tp == 1 and len(devices) == 1:
         return None  # single chip: no mesh overhead
     n = len(devices) // tp if dp in (-1, 0) else dp
-    if n * tp > len(devices):
+    if n < 1 or n * tp > len(devices):
         raise ValueError(
             f"--mesh_dp {dp} --mesh_tp {tp}: only {len(devices)} devices"
         )
-    return make_mesh(data=max(n, 1), tensor=tp, devices=devices[: max(n, 1) * tp])
+    return make_mesh(data=n, tensor=tp, devices=devices[: n * tp])
 
 
 def trigger_fn(request: Dict[str, Any]) -> Dict[str, Any]:

@@ -227,12 +227,25 @@ class SentencePieceUnigramTokenizer:
         if n_sentinels_in_vocab:
             # strip them from the unigram vocab; they re-enter through the
             # sentinel map at the SAME tail ids (reverse order), keeping
-            # token ids identical to transformers
-            vocab = [
-                (p, s)
-                for p, s in vocab
-                if not p.startswith("<extra_id_")
+            # token ids identical to transformers.  That only holds when
+            # the sentinels sit at the EXACT vocab tail — stripping
+            # mid-vocab entries would silently shift every later piece's id
+            # against the embedding table, so reject such layouts loudly.
+            sentinel_pos = [
+                i for i, (p, _) in enumerate(vocab)
+                if p.startswith("<extra_id_")
             ]
+            tail = set(range(len(vocab) - len(sentinel_pos), len(vocab)))
+            if set(sentinel_pos) != tail or len(sentinel_pos) != (
+                n_sentinels_in_vocab
+            ):
+                raise ValueError(
+                    "tokenizer.json layout not supported: <extra_id_*> "
+                    "pieces must be absent from model.vocab or form its "
+                    f"exact tail (found at positions {sentinel_pos[:5]}... "
+                    f"of {len(vocab)})"
+                )
+            vocab = vocab[: len(vocab) - len(sentinel_pos)]
         extra_ids = len(added) or 100
         eos_id = next(
             (i for i, (p, _) in enumerate(vocab) if p == "</s>"), 1
