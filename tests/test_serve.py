@@ -667,3 +667,30 @@ def test_tp_serving_identical_to_solo():
     assert m.shape["tensor"] == 2 and m.shape["data"] == len(jax.devices()) // 2
     with pytest.raises(ValueError):
         build_serving_mesh(8, 2)
+
+
+def test_tp_placement_survives_lora_fuse():
+    """In-request set_adapters (constructor sweeps, LoRA model blocks)
+    replaces param trees AFTER the generation counter was bumped at entry —
+    placement must key on tree identity, or every later request silently
+    runs unsharded."""
+    import jax
+
+    from stablediffusion_tpu.lora.core import UNET_TARGET_SUFFIXES, init_lora
+    from stablediffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, tensor=2, devices=jax.devices()[:8])
+    model = make_tiny_model("sd15")
+    h = Handler(model=model, mesh=mesh)
+    assert "error" not in h({**ARGS, "seed": 1}, "tp-a")
+
+    lora = init_lora(jax.random.key(0), model.unet_params, 2,
+                     UNET_TARGET_SUFFIXES, store_alpha=False)
+    model.load_lora_weights("t", {"unet": lora})
+    model.set_adapters({"t": 0.5})  # replicated trees replace sharded ones
+
+    resp = h({**ARGS, "seed": 1}, "tp-b")
+    assert "error" not in resp, resp.get("traceback")
+    w = model.unet_params["down_blocks"]["0"]["attentions"]["0"][
+        "transformer_blocks"]["0"]["attn1"]["to_q"]["weight"]
+    assert not w.sharding.is_fully_replicated
