@@ -93,7 +93,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--logging_dir", type=str, default="logs")
     # CUDA-era flags accepted as no-ops for launch-script compatibility
     p.add_argument("--use_8bit_adam", action="store_true",
-                   help="no TPU analog; maps to AdamW")
+                   help="blockwise-quantized int8/uint8 Adam moments")
     p.add_argument("--enable_xformers_memory_efficient_attention",
                    action="store_true", help="no-op: Pallas attention is default")
     p.add_argument("--allow_tf32", action="store_true", help="no-op on TPU")

@@ -54,6 +54,7 @@ class ControlNetTrainingArgs:
     lr_warmup_steps: int = 500
     resolution: int = 512
     max_grad_norm: float = 1.0
+    use_8bit_adam: bool = False
     seed: int = 0
     snr_gamma: Optional[float] = None
     noise_offset: float = 0.0
@@ -147,6 +148,7 @@ class ControlNetTrainer:
             args.adam_weight_decay,
             args.max_grad_norm,
             args.gradient_accumulation_steps,
+            use_8bit=getattr(args, "use_8bit_adam", False),
         )
         opt_state = optimizer.init(controlnet)
 

@@ -2,14 +2,23 @@
 
 The reference uses AdamW (+8-bit flag) and diffusers get_scheduler names
 {constant, constant_with_warmup, linear, cosine, cosine_with_restarts,
-polynomial} (train_lora_pipeline.py:283-315,353-358).  8-bit Adam has no TPU
-analog worth building for LoRA-sized states; the flag maps to plain AdamW.
+polynomial} (train_lora_pipeline.py:283-315,353-358).  `--use_8bit_adam`
+(reference: bitsandbytes AdamW8bit, train_text_to_image_lora.py:283-315)
+is implemented natively as blockwise-quantized moments: int8 first moment
+and uint8 second moment, both sqrt-companded against a per-256-block absmax
+scale (moments span decades within a block; the sqrt map keeps relative
+resolution at small values, standing in for bitsandbytes' dynamic-tree
+quantile map, which XLA has no efficient lookup for).  Leaves smaller
+than 4096 elements keep fp32 moments, matching bitsandbytes' min_8bit_size.
+Moments drop from 8 bytes/param to ~2.03 (scales amortized over blocks).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, NamedTuple, Optional
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -58,10 +67,17 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     max_grad_norm: Optional[float] = 1.0,
     grad_accum_steps: int = 1,
+    use_8bit: bool = False,
 ) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
-        optax.adamw(
+    if use_8bit:
+        adam = optax.chain(
+            scale_by_adam_8bit(b1=adam_beta1, b2=adam_beta2, eps=adam_eps),
+            optax.add_decayed_weights(weight_decay,
+                                      mask=lambda tree: _weight_mask(tree)),
+            optax.scale_by_learning_rate(lr_schedule),
+        )
+    else:
+        adam = optax.adamw(
             learning_rate=lr_schedule,
             b1=adam_beta1,
             b2=adam_beta2,
@@ -69,7 +85,10 @@ def make_optimizer(
             weight_decay=weight_decay,
             # no decay on the scalar alphas
             mask=lambda tree: _weight_mask(tree),
-        ),
+        )
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
+        adam,
     )
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
@@ -77,6 +96,122 @@ def make_optimizer(
 
 
 def _weight_mask(tree):
-    import jax
-
     return jax.tree_util.tree_map(lambda x: getattr(x, "ndim", 0) >= 2, tree)
+
+
+# ---------------------------------------------------------------------------
+# Blockwise 8-bit Adam (reference `--use_8bit_adam` = bitsandbytes AdamW8bit)
+# ---------------------------------------------------------------------------
+
+BLOCK_SIZE = 256
+MIN_QUANT_SIZE = 4096  # bitsandbytes min_8bit_size: smaller leaves stay fp32
+
+
+class QuantizedMoment(NamedTuple):
+    """One moment tensor stored as 8-bit codes + per-block fp32 scales.
+
+    ``q`` is int8 (signed linear map, first moment) or uint8 (sqrt-companded
+    map, second moment), shaped [nblocks, BLOCK_SIZE] over the flattened and
+    zero-padded parameter.  ``scale`` is the per-block absmax, fp32 [nblocks].
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def _blocked(x: jnp.ndarray) -> jnp.ndarray:
+    flat = x.reshape(-1)
+    pad = (-flat.size) % BLOCK_SIZE
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(-1, BLOCK_SIZE)
+
+
+def _quantize_m(x: jnp.ndarray) -> QuantizedMoment:
+    xb = _blocked(x.astype(jnp.float32))
+    scale = jnp.max(jnp.abs(xb), axis=1)
+    frac = jnp.abs(xb) / jnp.maximum(scale, 1e-30)[:, None]
+    q = jnp.sign(xb) * jnp.round(jnp.sqrt(frac) * 127.0)
+    return QuantizedMoment(q.astype(jnp.int8), scale)
+
+
+def _quantize_v(x: jnp.ndarray) -> QuantizedMoment:
+    xb = _blocked(x.astype(jnp.float32))
+    scale = jnp.max(xb, axis=1)
+    q = jnp.round(jnp.sqrt(xb / jnp.maximum(scale, 1e-30)[:, None]) * 255.0)
+    return QuantizedMoment(q.astype(jnp.uint8), scale)
+
+
+def _dequantize(mom: QuantizedMoment, like: jnp.ndarray) -> jnp.ndarray:
+    if mom.q.dtype == jnp.int8:
+        frac = mom.q.astype(jnp.float32) / 127.0
+        vals = jnp.sign(frac) * frac * frac * mom.scale[:, None]
+    else:
+        frac = mom.q.astype(jnp.float32) / 255.0
+        vals = frac * frac * mom.scale[:, None]
+    return vals.reshape(-1)[: like.size].reshape(like.shape)
+
+
+def _is_qm(x) -> bool:
+    return isinstance(x, QuantizedMoment)
+
+
+class ScaleByAdam8bitState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any  # per-leaf: fp32 array (small leaves) or QuantizedMoment
+    nu: Any
+
+
+def scale_by_adam_8bit(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with blockwise 8-bit moment storage.
+
+    Moments are dequantized to fp32 inside the (jitted) update, advanced with
+    the exact Adam recurrences + bias correction, and requantized — the only
+    deviation from fp32 Adam is the per-step storage rounding: the sqrt
+    companding makes it ~2/127 RELATIVE (value-proportional) down to an
+    absolute floor of blockwise absmax/127².
+    """
+
+    def _init_moment(quantize):
+        def init_one(p):
+            z = jnp.zeros(p.shape, jnp.float32)
+            return quantize(z) if p.size >= MIN_QUANT_SIZE else z
+
+        return init_one
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(_init_moment(_quantize_m), params)
+        nu = jax.tree_util.tree_map(_init_moment(_quantize_v), params)
+        return ScaleByAdam8bitState(jnp.zeros([], jnp.int32), mu, nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**c
+        bc2 = 1.0 - b2**c
+
+        g_leaves, treedef = jax.tree_util.tree_flatten(updates)
+        mu_leaves = treedef.flatten_up_to(state.mu)
+        nu_leaves = treedef.flatten_up_to(state.nu)
+
+        out_u, out_m, out_v = [], [], []
+        for g, m_s, v_s in zip(g_leaves, mu_leaves, nu_leaves):
+            g = g.astype(jnp.float32)
+            m = _dequantize(m_s, g) if _is_qm(m_s) else m_s
+            v = _dequantize(v_s, g) if _is_qm(v_s) else v_s
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            u = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            out_u.append(u)
+            out_m.append(_quantize_m(m) if _is_qm(m_s) else m)
+            out_v.append(_quantize_v(v) if _is_qm(v_s) else v)
+
+        new_updates = jax.tree_util.tree_unflatten(treedef, out_u)
+        new_mu = jax.tree_util.tree_unflatten(treedef, out_m)
+        new_nu = jax.tree_util.tree_unflatten(treedef, out_v)
+        return new_updates, ScaleByAdam8bitState(count, new_mu, new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -227,6 +227,7 @@ class SD3TrainingArgs:
     lr_warmup_steps: int = 500
     resolution: int = 1024
     max_grad_norm: float = 1.0
+    use_8bit_adam: bool = False
     seed: int = 0
     weighting_scheme: str = "logit_normal"
     logit_mean: float = 0.0
@@ -299,6 +300,7 @@ class SD3LoRATrainer:
             schedule, args.adam_beta1, args.adam_beta2, args.adam_epsilon,
             args.adam_weight_decay, args.max_grad_norm,
             args.gradient_accumulation_steps,
+            use_8bit=getattr(args, "use_8bit_adam", False),
         )
         opt_state = optimizer.init(lora)
 

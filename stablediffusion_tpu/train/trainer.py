@@ -60,7 +60,7 @@ class SDTrainingArgs:
     lr_warmup_steps: int = 500
     resolution: int = 1024
     max_grad_norm: float = 1.0
-    use_8bit_adam: bool = False  # accepted for parity; maps to plain AdamW
+    use_8bit_adam: bool = False  # blockwise int8/uint8 moments (optim.scale_by_adam_8bit)
     seed: int = 0
     snr_gamma: Optional[float] = None
     noise_offset: float = 0.0
@@ -167,6 +167,7 @@ class SDLoRATrainer:
             args.adam_weight_decay,
             args.max_grad_norm,
             args.gradient_accumulation_steps,
+            use_8bit=args.use_8bit_adam,
         )
         opt_state = optimizer.init(lora)
 

@@ -18,7 +18,7 @@ from stablediffusion_tpu.core.config import tiny_unet_config, tiny_vae_config
 from stablediffusion_tpu.io.torch_convert import convert_state_dict
 from stablediffusion_tpu.models import unet, vae
 
-from torch_mirror import MirrorUNet, MirrorVAE
+from torch_mirror import MirrorControlNet, MirrorUNet, MirrorVAE
 
 
 def _params_from_torch(module):
@@ -201,3 +201,65 @@ def test_mmdit_init_params_tree_matches_converter(rng):
         jax.tree_util.tree_leaves(converted), jax.tree_util.tree_leaves(inited)
     ):
         assert a.shape == b.shape
+
+
+@pytest.mark.parametrize("variant", ["sd15", "sdxl"])
+def test_controlnet_residuals_match_torch_mirror(variant, rng):
+    """ControlNet forward anchor: per-skip and mid residuals allclose vs the
+    independent MirrorControlNet (random — not zero — projection convs, so
+    the conditioning embedder, trunk, and every 1x1 projection all carry
+    signal), weights through the real converter."""
+    from stablediffusion_tpu.models import controlnet
+
+    torch.manual_seed(2)
+    sdxl = variant == "sdxl"
+    cfg = tiny_unet_config(sdxl=sdxl)
+    if sdxl:
+        cfg = dataclasses.replace(
+            cfg, num_attention_heads=(2, 4), transformer_layers_per_block=(1, 2)
+        )
+    mirror = MirrorControlNet(cfg).eval()
+    params = _params_from_torch(mirror)
+
+    B = 2
+    sample = rng.standard_normal((B, 16, 16, 4)).astype(np.float32)
+    embeds = rng.standard_normal((B, 7, cfg.cross_attention_dim)).astype(np.float32)
+    cond = rng.uniform(size=(B, 128, 128, 3)).astype(np.float32)
+    t = np.asarray([500.0, 21.0], np.float32)
+    added = None
+    kwargs = {}
+    if sdxl:
+        pooled_dim = (
+            cfg.projection_class_embeddings_input_dim
+            - 6 * cfg.addition_time_embed_dim
+        )
+        text_embeds = rng.standard_normal((B, pooled_dim)).astype(np.float32)
+        time_ids = np.asarray([[16, 16, 0, 0, 16, 16]] * B, np.float32)
+        added = {
+            "text_embeds": jnp.asarray(text_embeds),
+            "time_ids": jnp.asarray(time_ids),
+        }
+        kwargs = {
+            "text_embeds": torch.from_numpy(text_embeds),
+            "time_ids": torch.from_numpy(time_ids),
+        }
+
+    ours_down, ours_mid = controlnet.apply(
+        params, cfg, jnp.asarray(sample), jnp.asarray(t), jnp.asarray(embeds),
+        jnp.asarray(cond), conditioning_scale=0.7, added_cond=added,
+    )
+    with torch.no_grad():
+        theirs_down, theirs_mid = mirror(
+            _nchw(sample), torch.from_numpy(t), torch.from_numpy(embeds),
+            _nchw(cond), conditioning_scale=0.7, **kwargs
+        )
+    assert len(ours_down) == len(theirs_down)
+    for i, (a, b) in enumerate(zip(ours_down, theirs_down)):
+        np.testing.assert_allclose(
+            np.asarray(a), _nhwc(b), atol=2e-4, rtol=2e-4,
+            err_msg=f"ControlNet down residual {i} diverges ({variant})",
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours_mid), _nhwc(theirs_mid), atol=2e-4, rtol=2e-4,
+        err_msg=f"ControlNet mid residual diverges ({variant})",
+    )

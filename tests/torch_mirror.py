@@ -645,3 +645,110 @@ class MirrorMMDiT(nn.Module):
         x = x.view(B, h, w, p, p, cfg.out_channels)
         x = x.permute(0, 5, 1, 3, 2, 4).reshape(B, cfg.out_channels, H, W)
         return x
+
+
+# ---------------------------------------------------------------------------
+# ControlNet (diffusers ControlNetModel — Zhang et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+class ControlNetConditioningEmbedding(nn.Module):
+    """Pixel-space control image -> latent-res features: conv_in, then per
+    channel step one stride-1 and one stride-2 conv (all SiLU), then conv_out
+    (diffusers ControlNetConditioningEmbedding; conv_out is zero-init there,
+    random here so the anchor compares real numerics)."""
+
+    def __init__(self, out_channels, cond_channels=(16, 32, 96, 256)):
+        super().__init__()
+        ch = cond_channels
+        self.conv_in = nn.Conv2d(3, ch[0], 3, padding=1)
+        blocks = []
+        for i in range(len(ch) - 1):
+            blocks.append(nn.Conv2d(ch[i], ch[i], 3, padding=1))
+            blocks.append(nn.Conv2d(ch[i], ch[i + 1], 3, padding=1, stride=2))
+        self.blocks = nn.ModuleList(blocks)
+        self.conv_out = nn.Conv2d(ch[-1], out_channels, 3, padding=1)
+
+    def forward(self, cond):
+        x = F.silu(self.conv_in(cond))
+        for block in self.blocks:
+            x = F.silu(block(x))
+        return self.conv_out(x)
+
+
+class MirrorControlNet(nn.Module):
+    """ControlNetModel wiring: the UNet's encoder trunk (conv_in,
+    time/add embedding, down_blocks, mid_block — borrowed module-for-module
+    from MirrorUNet so the state-dict keys match the diffusers checkpoint
+    layout), a conditioning embedder added to conv_in's output, and one 1x1
+    projection per skip plus one for the mid state.  diffusers zero-inits the
+    projections; the mirror leaves them random so the comparison is
+    non-trivial."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        trunk = MirrorUNet(cfg)
+        self.conv_in = trunk.conv_in
+        self.time_embedding = trunk.time_embedding
+        if cfg.addition_embed_type == "text_time":
+            self.add_embedding = trunk.add_embedding
+        self.down_blocks = trunk.down_blocks
+        self.mid_block = trunk.mid_block
+
+        ch = cfg.block_out_channels
+        L = cfg.layers_per_block
+        n = len(ch)
+        self.controlnet_cond_embedding = ControlNetConditioningEmbedding(ch[0])
+        skip_channels = [ch[0]]
+        for i in range(n):
+            skip_channels += [ch[i]] * L
+            if i < n - 1:
+                skip_channels.append(ch[i])
+        self.controlnet_down_blocks = nn.ModuleList(
+            [nn.Conv2d(c, c, 1) for c in skip_channels]
+        )
+        self.controlnet_mid_block = nn.Conv2d(ch[-1], ch[-1], 1)
+
+    def forward(self, sample, timesteps, encoder_hidden_states, cond,
+                conditioning_scale=1.0, text_embeds=None, time_ids=None):
+        cfg = self.cfg
+        B = sample.shape[0]
+        if timesteps.ndim == 0:
+            timesteps = timesteps.expand(B)
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
+            cfg.freq_shift,
+        )
+        emb = self.time_embedding(t_emb)
+        if cfg.addition_embed_type == "text_time":
+            t_flat = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift,
+            ).reshape(B, -1)
+            emb = emb + self.add_embedding(
+                torch.cat([text_embeds, t_flat], dim=-1)
+            )
+
+        x = self.conv_in(sample) + self.controlnet_cond_embedding(cond)
+        skips = [x]
+        for btype, blk in zip(cfg.down_block_types, self.down_blocks):
+            for j, resnet in enumerate(blk.resnets):
+                x = resnet(x, emb)
+                if btype == "CrossAttnDownBlock2D":
+                    x = blk.attentions[j](x, encoder_hidden_states)
+                skips.append(x)
+            if hasattr(blk, "downsamplers"):
+                x = blk.downsamplers[0](x)
+                skips.append(x)
+
+        x = self.mid_block.resnets[0](x, emb)
+        x = self.mid_block.attentions[0](x, encoder_hidden_states)
+        x = self.mid_block.resnets[1](x, emb)
+
+        down_res = [
+            proj(s) * conditioning_scale
+            for proj, s in zip(self.controlnet_down_blocks, skips)
+        ]
+        mid_res = self.controlnet_mid_block(x) * conditioning_scale
+        return down_res, mid_res
