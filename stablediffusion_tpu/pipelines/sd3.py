@@ -322,6 +322,7 @@ class StableDiffusion3Pipeline:
         do_cfg: bool = True,
         max_sequence_length: int = 256,
         clip_skip: Optional[int] = None,
+        prompt_weighting: bool = False,
     ):
         prompt = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompt)
@@ -334,11 +335,24 @@ class StableDiffusion3Pipeline:
             return p
 
         def clip_embed(texts, tok, cfg, par):
-            ids = jnp.asarray(tok(texts))
+            token_weights = None
+            if prompt_weighting:
+                from stablediffusion_tpu.utils import prompt_weights as pw
+
+                ids_np, w_np = pw.encode_with_weights(tok, texts)
+                ids = jnp.asarray(ids_np)
+                if (w_np != 1.0).any():
+                    token_weights = w_np
+            else:
+                ids = jnp.asarray(tok(texts))
             h, pooled = _clip_encode(
                 par, ids, config=cfg, mode="penultimate",
                 clip_skip=clip_skip or 0,
             )
+            if token_weights is not None:
+                from stablediffusion_tpu.utils import prompt_weights as pw
+
+                h = pw.apply_token_weights(h, token_weights)
             return h, pooled
 
         def encode_all(p1, p2, p3):
@@ -355,6 +369,13 @@ class StableDiffusion3Pipeline:
                 clip_h, ((0, 0), (0, 0), (0, model.joint_dim - clip_h.shape[-1]))
             )
             if model.text_encoder_3_params is not None:
+                if prompt_weighting:
+                    from stablediffusion_tpu.utils.prompt_weights import (
+                        strip_weight_markup,
+                    )
+
+                    # T5 gets no token weighting; feed it clean text
+                    p3 = [strip_weight_markup(t) for t in p3]
                 ids3 = jnp.asarray(
                     model.tokenizer_3(p3, max_length=max_sequence_length)
                 )
@@ -417,6 +438,8 @@ class StableDiffusion3Pipeline:
         # bounded-memory tiled VAE decode for 1536²+ outputs
         # (models/vae.tiled_decode; same knob as the unified pipeline)
         vae_tiling: bool = False,
+        # A1111 emphasis syntax on the CLIP towers; T5 sees stripped text
+        prompt_weighting: bool = False,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
         vf = model.vae_scale_factor
@@ -460,6 +483,7 @@ class StableDiffusion3Pipeline:
             negative_prompt, negative_prompt_2, negative_prompt_3,
             num_images_per_prompt=n, do_cfg=do_cfg,
             max_sequence_length=max_sequence_length, clip_skip=clip_skip,
+            prompt_weighting=prompt_weighting,
         )
         if do_cfg:
             embeds = jnp.concatenate([neg_embeds, embeds], axis=0)

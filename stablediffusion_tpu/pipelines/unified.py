@@ -357,6 +357,7 @@ class StableDiffusionUnifiedPipeline:
         do_cfg: bool = True,
         refiner_mode: bool = False,
         lora_scale: Optional[float] = None,
+        prompt_weighting: bool = False,
     ):
         prompt = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompt)
@@ -403,7 +404,16 @@ class StableDiffusionUnifiedPipeline:
         def encode(texts, towerset, use_clip_skip):
             embeds_list, pooled = [], None
             for txts, (tok, cfg, par) in zip(texts, towerset):
-                ids = jnp.asarray(tok(txts))
+                token_weights = None
+                if prompt_weighting:
+                    from stablediffusion_tpu.utils import prompt_weights as pw
+
+                    ids_np, w_np = pw.encode_with_weights(tok, txts)
+                    ids = jnp.asarray(ids_np)
+                    if (w_np != 1.0).any():
+                        token_weights = w_np
+                else:
+                    ids = jnp.asarray(tok(txts))
                 if model.is_sdxl:
                     mode, skip = "penultimate", (clip_skip if use_clip_skip else 0)
                 elif use_clip_skip and clip_skip:
@@ -411,6 +421,10 @@ class StableDiffusionUnifiedPipeline:
                 else:
                     mode, skip = "last", None
                 h, p = _clip_encode(par, ids, config=cfg, mode=mode, clip_skip=skip)
+                if token_weights is not None:
+                    from stablediffusion_tpu.utils import prompt_weights as pw
+
+                    h = pw.apply_token_weights(h, token_weights)
                 pooled = p  # last tower's pooled (SDXL: projected bigG)
                 embeds_list.append(h)
             return jnp.concatenate(embeds_list, axis=-1), pooled
@@ -610,6 +624,9 @@ class StableDiffusionUnifiedPipeline:
         vae_tiling: bool = False,
         control_image=None,
         controlnet_conditioning_scale: float = 1.0,
+        # A1111 emphasis syntax "(word:1.2)" (beyond-parity, default off:
+        # the reference/diffusers treat brackets literally)
+        prompt_weighting: bool = False,
         # IP-Adapter (beyond-parity; diffusers ip_adapter_image analog)
         ip_adapter_image=None,
         ip_adapter_image_embeds=None,  # precomputed [B or 2B, n_tokens, xdim]
@@ -714,6 +731,7 @@ class StableDiffusionUnifiedPipeline:
                 do_cfg=do_cfg,
                 refiner_mode=use_refiner,
                 lora_scale=(cross_attention_kwargs or {}).get("scale"),
+                prompt_weighting=prompt_weighting,
             )
         embeds = embeds.astype(self.dtype)
 

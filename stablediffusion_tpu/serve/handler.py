@@ -47,6 +47,7 @@ INFERENCE_ARG_KEYS = (
     "guidance_scale",
     "guidance_rescale",
     "clip_skip",
+    "prompt_weighting",
     "seed",
     "image",
     "strength",

@@ -61,6 +61,7 @@ INDEX_HTML = """<!DOCTYPE html>
  <label>Height</label><input type="number" id="height" value="1024" step="64" min="256" max="2048"><br>
  <label>Images per prompt</label><input type="number" id="nimg" value="1" min="1" max="16">
  <label><input type="checkbox" id="vae_tiling"> Tiled VAE (2048²+)</label>
+ <label><input type="checkbox" id="prompt_weighting"> (word:1.2) weighting</label>
 </fieldset>
 <button onclick="generate()">Generate</button><span id="status"></span>
 <div id="gallery"></div>
@@ -94,6 +95,7 @@ async function generate() {{
   }};
   if (+g('seed').value >= 0) input.seed = +g('seed').value;
   if (g('vae_tiling').checked) input.vae_tiling = true;
+  if (g('prompt_weighting').checked) input.prompt_weighting = true;
   const model = {{}};
   if (g('model_name').value) {{
     model.type = g('model_type').value; model.name = g('model_name').value;
