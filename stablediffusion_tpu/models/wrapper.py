@@ -176,6 +176,160 @@ class SDModel:
             self.unet_params = strip_ip_weights(self.unet_params)
         self.ip_adapter = None
 
+    # -- textual inversion (beyond-parity; diffusers load_textual_inversion
+    # analog — the reference has no TI support at all) ----------------------
+    _ti_state: Optional[Dict[str, Any]] = None  # orig table rows + triggers
+
+    def load_textual_inversion(self, source, token: Optional[str] = None) -> str:
+        """Load a learned-embedding file and register its trigger word.
+
+        Accepted formats (all ecosystem-standard):
+          - diffusers learned_embeds:       {"<token>": [n, hidden]}
+          - A1111 .pt:                      {"string_to_param": {"*": ...},
+                                             "name": str}
+          - community safetensors:          {"emb_params": [n, hidden]}
+          - SDXL dual-tower:                {"clip_l": [n, h1],
+                                             "clip_g": [n, h2]}
+
+        New rows are appended to the token-embedding table(s) of BOTH the
+        live params and the pristine LoRA base (so adapter re-fusion keeps
+        the concept), and the trigger maps to the new ids in the
+        tokenizer(s).  Returns the trigger string.
+        """
+        import os
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        if isinstance(source, str):
+            name_hint = os.path.splitext(os.path.basename(source))[0]
+            if source.endswith(".safetensors"):
+                from stablediffusion_tpu.io.safetensors_io import load_file
+
+                state = {k: np.asarray(v) for k, v in load_file(source).items()}
+            else:
+                import torch
+
+                raw = torch.load(source, map_location="cpu", weights_only=False)
+                state = raw
+        else:
+            state, name_hint = dict(source), None
+
+        def to_np(v):
+            if hasattr(v, "detach"):  # torch tensor (possibly requires_grad)
+                v = v.detach().cpu().numpy()
+            arr = np.asarray(v)
+            return arr.reshape(1, -1) if arr.ndim == 1 else arr
+
+        per_tower: Dict[str, np.ndarray] = {}
+        if "string_to_param" in state:  # A1111 .pt
+            vec = to_np(next(iter(state["string_to_param"].values())))
+            token = token or state.get("name") or name_hint
+            per_tower["text_encoder"] = vec
+        elif "emb_params" in state:
+            per_tower["text_encoder"] = to_np(state["emb_params"])
+        elif "clip_l" in state or "clip_g" in state:  # SDXL
+            if not self.is_sdxl:
+                raise ValueError("clip_l/clip_g embedding needs an SDXL model")
+            if "clip_l" not in state or "clip_g" not in state:
+                raise ValueError("SDXL textual inversion needs BOTH clip_l "
+                                 "and clip_g")
+            per_tower["text_encoder"] = to_np(state["clip_l"])
+            per_tower["text_encoder_2"] = to_np(state["clip_g"])
+        else:  # diffusers: single {token: tensor}
+            tensors = {k: v for k, v in state.items()
+                       if not isinstance(v, (str, int, float))}
+            if len(tensors) != 1:
+                raise ValueError(f"unrecognized embedding format: "
+                                 f"{sorted(state)}")
+            tok_key, vec = next(iter(tensors.items()))
+            token = token or tok_key
+            per_tower["text_encoder"] = to_np(vec)
+        if self.is_sdxl and "text_encoder_2" not in per_tower:
+            raise ValueError("this embedding has no clip_g vectors; an SDXL "
+                             "model needs the dual-tower format")
+        if not token:
+            token = name_hint
+        if not token:
+            raise ValueError("no trigger token given and none in the file")
+
+        self._ensure_base()
+        if self._ti_state is None:
+            self._ti_state = {"orig_rows": {}, "tokens": {}}
+
+        towers = {
+            "text_encoder": (self.tokenizer, "text_encoder_params"),
+            "text_encoder_2": (self.tokenizer_2, "text_encoder_2_params"),
+        }
+        for comp, vec in per_tower.items():
+            tok, attr = towers[comp]
+            params = getattr(self, attr)
+            emb = params["text_model"]["embeddings"]["token_embedding"]
+            rows = emb["weight"].shape[0]
+            self._ti_state["orig_rows"].setdefault(comp, rows)
+            hidden = emb["weight"].shape[1]
+            if vec.shape[1] != hidden:
+                raise ValueError(
+                    f"embedding dim {vec.shape[1]} != {comp} hidden {hidden}")
+            new_rows = jnp.asarray(vec, emb["weight"].dtype)
+
+            def extend(tree):
+                w = tree["text_model"]["embeddings"]["token_embedding"]["weight"]
+                tree = dict(tree)
+                tm = dict(tree["text_model"])
+                e = dict(tm["embeddings"])
+                e["token_embedding"] = {
+                    "weight": jnp.concatenate([w, new_rows], axis=0)
+                }
+                tm["embeddings"] = e
+                tree["text_model"] = tm
+                return tree
+
+            setattr(self, attr, extend(params))
+            base = self._base_params.get(comp)
+            if base is not None and base is not params:
+                self._base_params[comp] = extend(base)
+            else:
+                self._base_params[comp] = getattr(self, attr)
+            ids = list(range(rows, rows + vec.shape[0]))
+            tok.add_tokens({token: ids})
+        self._ti_state["tokens"][token] = sorted(per_tower)
+        return token
+
+    def unload_textual_inversion(self) -> None:
+        """Remove ALL loaded textual inversions: slice the embedding tables
+        back to their original row counts and drop the triggers."""
+        import jax.numpy as jnp
+
+        if not self._ti_state:
+            return
+        towers = {
+            "text_encoder": (self.tokenizer, "text_encoder_params"),
+            "text_encoder_2": (self.tokenizer_2, "text_encoder_2_params"),
+        }
+        for comp, rows in self._ti_state["orig_rows"].items():
+            tok, attr = towers[comp]
+
+            def shrink(tree):
+                w = tree["text_model"]["embeddings"]["token_embedding"]["weight"]
+                tree = dict(tree)
+                tm = dict(tree["text_model"])
+                e = dict(tm["embeddings"])
+                e["token_embedding"] = {"weight": w[:rows]}
+                tm["embeddings"] = e
+                tree["text_model"] = tm
+                return tree
+
+            params = getattr(self, attr)
+            setattr(self, attr, shrink(params))
+            base = (self._base_params or {}).get(comp)
+            if base is not None:
+                self._base_params[comp] = (
+                    shrink(base) if base is not params else getattr(self, attr)
+                )
+            tok.clear_added_tokens()
+        self._ti_state = None
+
     def load_image_encoder(self, path: str):
         """Load a CLIP vision tower (transformers layout `image_encoder`
         folder) for IP-Adapter image conditioning."""

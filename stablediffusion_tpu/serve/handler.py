@@ -147,6 +147,26 @@ class Handler:
                 self.model.delete_adapters()
         if "scheduler" in model_cfg:
             self.model.set_scheduler(model_cfg["scheduler"])
+        if "textual_inversion" in model_cfg:
+            tis = model_cfg["textual_inversion"]
+            if not hasattr(self.model, "load_textual_inversion"):
+                if tis:
+                    raise ValueError(
+                        "textual_inversion is not supported for model type "
+                        f"{getattr(self.model, 'model_type', '?')!r}"
+                    )
+            else:
+                import os
+
+                # declarative: the list IS the desired state
+                self.model.unload_textual_inversion()
+                for ti in tis or []:
+                    src = ti["path"] if isinstance(ti, dict) else str(ti)
+                    if not os.path.exists(src) and self.model_dir:
+                        src = os.path.join(self.model_dir, src)
+                    self.model.load_textual_inversion(
+                        src, token=ti.get("token") if isinstance(ti, dict) else None
+                    )
         if "ip_adapter" in model_cfg:
             ip = model_cfg["ip_adapter"]
             if not hasattr(self.model, "load_ip_adapter"):

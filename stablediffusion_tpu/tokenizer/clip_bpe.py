@@ -152,6 +152,10 @@ class CLIPTokenizer:
         self.byte_encoder = _bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self._cache: Dict[str, List[str]] = {}
+        # whole-string trigger tokens that bypass BPE (textual inversion):
+        # lowercased trigger -> list of embedding-table ids (multi-vector
+        # concepts map one trigger to several rows)
+        self.added_tokens: Dict[str, List[int]] = {}
         # native C++ merge loop (ctypes) when compilable; silently falls back
         self._native = None
         try:
@@ -228,19 +232,45 @@ class CLIPTokenizer:
         self._cache[token] = out
         return out
 
+    def add_tokens(self, mapping: Dict[str, List[int]]) -> None:
+        """Register textual-inversion triggers: whole-string matches that emit
+        pre-assigned embedding ids instead of going through BPE."""
+        self.added_tokens.update(
+            {k.lower(): [int(i) for i in v] for k, v in mapping.items()}
+        )
+
+    def clear_added_tokens(self) -> None:
+        self.added_tokens.clear()
+
     def tokenize(self, text: str) -> List[int]:
         text = _clean(text).lower()
+        if self.added_tokens:
+            import re as _re
+
+            # word-ish boundaries so a trigger never fires inside a longer
+            # word ("thing" must not match in "something")
+            alts = "|".join(
+                f"(?<![a-z0-9]){_re.escape(t)}(?![a-z0-9])"
+                for t in sorted(self.added_tokens, key=len, reverse=True)
+            )
+            parts = _re.split(f"({alts})", text)
+        else:
+            parts = [text]
         ids: List[int] = []
         unk = self.vocab.get("<|endoftext|>")
-        for tok in _PATTERN.findall(text):
-            # byte-level encode: BPE over UTF-8 bytes via the reversible table
-            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            native_ids = self._tokenize_native(tok)
-            if native_ids is not None:
-                ids.extend(native_ids)
-            else:
-                for piece in self._bpe(tok):
-                    ids.append(self.vocab.get(piece, unk))
+        for part in parts:
+            if part in self.added_tokens:
+                ids.extend(self.added_tokens[part])
+                continue
+            for tok in _PATTERN.findall(part):
+                # byte-level encode: BPE over UTF-8 bytes (reversible table)
+                tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+                native_ids = self._tokenize_native(tok)
+                if native_ids is not None:
+                    ids.extend(native_ids)
+                else:
+                    for piece in self._bpe(tok):
+                        ids.append(self.vocab.get(piece, unk))
         return ids
 
     def _tokenize_native(self, tok: str) -> Optional[List[int]]:
