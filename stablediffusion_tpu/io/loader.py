@@ -298,6 +298,10 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> N
             _clip_cfg_dict(model.text_encoder_2_config),
             fname="model",
         )
+    if hasattr(model.tokenizer, "save_pretrained"):
+        model.tokenizer.save_pretrained(os.path.join(path, "tokenizer"))
+    if model.is_sdxl and hasattr(model.tokenizer_2, "save_pretrained"):
+        model.tokenizer_2.save_pretrained(os.path.join(path, "tokenizer_2"))
     os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
     with open(os.path.join(path, "scheduler", "scheduler_config.json"), "w") as f:
         json.dump(dataclasses.asdict(model.scheduler_config), f, indent=2)

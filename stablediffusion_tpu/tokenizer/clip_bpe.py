@@ -242,6 +242,30 @@ class CLIPTokenizer:
     def clear_added_tokens(self) -> None:
         self.added_tokens.clear()
 
+    def save_pretrained(self, path: str) -> None:
+        """Write a diffusers-layout tokenizer folder (inverse of
+        from_pretrained): vocab.json + merges.txt + special_tokens_map.json.
+        Added textual-inversion triggers are runtime state and are NOT saved
+        (diffusers convention: TI embeddings live in their own files)."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "vocab.json"), "w", encoding="utf-8") as f:
+            json.dump(self.vocab, f, ensure_ascii=False)
+        merges = sorted(self.bpe_ranks.items(), key=lambda kv: kv[1])
+        with open(os.path.join(path, "merges.txt"), "w", encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            for (a, b), _ in merges:
+                f.write(f"{a} {b}\n")
+        special = {
+            "bos_token": self.decoder[self.bos_token_id],
+            "eos_token": self.decoder[self.eos_token_id],
+        }
+        if self.pad_token_id != self.eos_token_id:
+            special["pad_token"] = self.decoder.get(self.pad_token_id, "!")
+        with open(
+            os.path.join(path, "special_tokens_map.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(special, f, ensure_ascii=False)
+
     def tokenize(self, text: str) -> List[int]:
         text = _clean(text).lower()
         if self.added_tokens:

@@ -74,6 +74,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--rank", type=int, default=4)
     p.add_argument("--train_text_encoder", action="store_true")
+    # full-model fine-tuning (train_text_to_image analog; UNet only)
+    p.add_argument("--full_finetune", action="store_true",
+                   help="train the whole UNet instead of LoRA factors; "
+                        "saves a full diffusers-layout model")
+    p.add_argument("--use_ema", action="store_true",
+                   help="EMA of the UNet weights (full_finetune only); the "
+                        "EMA is what gets saved")
+    p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "fp16", "bf16"])
     # checkpointing
@@ -188,6 +196,10 @@ def main(argv=None):
         report_to=args.report_to,
         logging_dir=os.path.join(args.output_dir, args.logging_dir),
         debug_loss=args.debug_loss,
+        use_8bit_adam=args.use_8bit_adam,
+        full_finetune=args.full_finetune,
+        use_ema=args.use_ema,
+        ema_decay=args.ema_decay,
     )
     # data-axis size must divide the batch; use the largest divisor
     import math

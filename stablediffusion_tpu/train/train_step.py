@@ -351,6 +351,41 @@ def loss_fn(
     return _prediction_loss(pred, latents, noise, timesteps, statics, scheduler)
 
 
+def full_finetune_loss_fn(
+    unet_params,  # trainable: the WHOLE UNet tree (fp32 masters)
+    frozen: Dict[str, Any],  # vae / text_encoder(_2); no "unet" needed
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    statics: TrainStatics,
+    scheduler: BaseScheduler,
+):
+    """Full-model fine-tuning loss (diffusers train_text_to_image analog;
+    beyond-parity — the reference only ships LoRA training).  Same forward
+    diffusion as loss_fn but the trainable pytree IS the UNet; text towers
+    stay frozen (the upstream script never trains them in full mode).
+    Pair with use_8bit_adam: fp32 moments for SD1.5's 0.9G params would be
+    another 7G of HBM, the 8-bit blocks cut that to ~1.8G."""
+    dt = statics.compute_dtype
+    latents, noise, timesteps, noisy, embeds, added_cond = _prepare_diffusion(
+        frozen, batch, key, statics, scheduler
+    )
+
+    def unet_fwd(p, x, t, ctx, added):
+        return unet_model.apply(
+            p, statics.unet_config, x, t, ctx, added_cond=added
+        )
+
+    unet_fwd = _resolve_remat(statics)(unet_fwd)
+    pred = unet_fwd(
+        unet_params,
+        noisy.astype(dt),
+        timesteps,
+        embeds.astype(dt),
+        added_cond,
+    ).astype(jnp.float32)
+    return _prediction_loss(pred, latents, noise, timesteps, statics, scheduler)
+
+
 def controlnet_loss_fn(
     controlnet,  # trainable ControlNet param tree (fp32 masters)
     frozen: Dict[str, Any],  # unet/vae/text_encoder(_2) base params

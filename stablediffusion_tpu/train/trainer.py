@@ -90,6 +90,14 @@ class SDTrainingArgs:
     report_to: Optional[str] = "tensorboard"
     logging_dir: Optional[str] = None  # default {output_dir}/logs
     debug_loss: bool = False  # per-filename loss rows (_sdxl.py:1196-1198)
+    # full-model fine-tuning (diffusers train_text_to_image analog;
+    # beyond-parity — the reference ships LoRA training only).  Trains the
+    # WHOLE UNet (fp32 masters), text towers frozen; final save is a full
+    # diffusers-layout model via save_sd_model.  Pair with use_8bit_adam:
+    # SD1.5's fp32 moments alone are ~7G, the 8-bit blocks cut that to ~1.8G.
+    full_finetune: bool = False
+    use_ema: bool = False  # EMA of the UNet weights, used for the final save
+    ema_decay: float = 0.9999
 
 
 class SDLoRATrainer:
@@ -125,24 +133,38 @@ class SDLoRATrainer:
 
         dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
 
-        # LoRA factors (fp32 trainables over frozen bases —
-        # ref: train_lora_pipeline.py:219-278)
-        lora: Dict[str, dict] = {
-            "unet": init_lora(
-                k_unet, model.unet_params, args.rank, UNET_TARGET_SUFFIXES,
-                store_alpha=False,
+        full = args.full_finetune
+        if full:
+            if args.train_text_encoder:
+                raise ValueError(
+                    "full_finetune trains the UNet only (the upstream "
+                    "train_text_to_image never trains text towers); set "
+                    "train_text_encoder=False"
+                )
+            # fp32 masters over the whole UNet
+            trainable = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), model.unet_params
             )
-        }
-        if args.train_text_encoder:
-            lora["text_encoder"] = init_lora(
-                k_te, model.text_encoder_params, args.rank, TEXT_TARGET_SUFFIXES,
-                store_alpha=False,
-            )
-            if model.is_sdxl:
-                lora["text_encoder_2"] = init_lora(
-                    k_te2, model.text_encoder_2_params, args.rank,
+        else:
+            # LoRA factors (fp32 trainables over frozen bases —
+            # ref: train_lora_pipeline.py:219-278)
+            trainable: Dict[str, dict] = {
+                "unet": init_lora(
+                    k_unet, model.unet_params, args.rank, UNET_TARGET_SUFFIXES,
+                    store_alpha=False,
+                )
+            }
+            if args.train_text_encoder:
+                trainable["text_encoder"] = init_lora(
+                    k_te, model.text_encoder_params, args.rank,
                     TEXT_TARGET_SUFFIXES, store_alpha=False,
                 )
+                if model.is_sdxl:
+                    trainable["text_encoder_2"] = init_lora(
+                        k_te2, model.text_encoder_2_params, args.rank,
+                        TEXT_TARGET_SUFFIXES, store_alpha=False,
+                    )
+        lora = trainable  # loop-local name (historical)
 
         # data
         dataset = self.dataset or SDLoRADataset(
@@ -187,7 +209,27 @@ class SDLoRATrainer:
             remat_policy=args.remat_policy,
             vae_microbatch=args.vae_microbatch,
         )
-        step_fn = make_train_step(statics, scheduler, optimizer, mesh=self.mesh)
+        if full:
+            from stablediffusion_tpu.train.train_step import full_finetune_loss_fn
+
+            step_fn = make_train_step(
+                statics, scheduler, optimizer, mesh=self.mesh,
+                loss=full_finetune_loss_fn,
+            )
+        else:
+            step_fn = make_train_step(statics, scheduler, optimizer,
+                                      mesh=self.mesh)
+        ema = None
+        if args.use_ema:
+            if not full:
+                raise ValueError("use_ema is a full_finetune option")
+            d = float(args.ema_decay)
+            ema = trainable  # starts at the initial weights
+            self._ema_update = jax.jit(
+                lambda e, p: jax.tree_util.tree_map(
+                    lambda a, b: a * d + b * (1.0 - d), e, p
+                )
+            )
         self._encode_fn = None
         if args.cache_latents:
             if args.train_text_encoder:
@@ -199,14 +241,18 @@ class SDLoRATrainer:
             self._encode_fn = make_encode_fn(statics, mesh=self.mesh)
 
         frozen = {
-            "unet": model.unet_params,
             "vae": model.vae_params,
             "text_encoder": model.text_encoder_params,
         }
+        if not full:
+            # full mode: the trainable IS the unet — keeping the pristine
+            # copy in the program would double its HBM footprint
+            frozen["unet"] = model.unet_params
         if model.is_sdxl:
             frozen["text_encoder_2"] = model.text_encoder_2_params
 
         # resume
+        ckpt_key = "unet" if full else "lora"
         start_step = 0
         if args.resume_from_checkpoint:
             found = ckpt.resolve_resume(
@@ -214,10 +260,12 @@ class SDLoRATrainer:
             )
             if found:
                 start_step, path = found
-                state = ckpt.load_checkpoint(
-                    path, {"lora": lora, "opt_state": opt_state}
-                )
-                lora, opt_state = state["lora"], state["opt_state"]
+                template = {ckpt_key: lora, "opt_state": opt_state}
+                if ema is not None:
+                    template["ema"] = ema
+                state = ckpt.load_checkpoint(path, template)
+                lora, opt_state = state[ckpt_key], state["opt_state"]
+                ema = state.get("ema", ema)
                 logger.info("resumed from %s at step %d", path, start_step)
 
         # loop
@@ -242,6 +290,8 @@ class SDLoRATrainer:
                 k_step, k_enc = jax.random.split(k_step)
                 jb = self._encode_fn(frozen, jb, k_enc)
             lora, opt_state, metrics = step_fn(lora, opt_state, frozen, jb, k_step)
+            if ema is not None:
+                ema = self._ema_update(ema, lora)
             step += 1
             if step % args.log_every == 0 or step == total_steps:
                 loss = float(metrics["loss"])
@@ -273,16 +323,22 @@ class SDLoRATrainer:
                 and jax.process_index() == 0
             ):
                 epoch = step // steps_per_epoch
-                self._log_validation(lora, epoch, step)
+                if full:
+                    self._log_validation_full(lora, epoch, step)
+                else:
+                    self._log_validation(lora, epoch, step)
             if (
                 args.checkpointing_steps
                 and step % args.checkpointing_steps == 0
                 and jax.process_index() == 0
             ):
+                state = {ckpt_key: lora, "opt_state": opt_state}
+                if ema is not None:
+                    state["ema"] = ema
                 ckpt.save_checkpoint(
                     args.output_dir,
                     step,
-                    {"lora": lora, "opt_state": opt_state},
+                    state,
                     args.checkpoints_total_limit,
                 )
 
@@ -294,6 +350,19 @@ class SDLoRATrainer:
         self.lora = lora
         if self.metrics is not None:
             self.metrics.flush()
+        if full:
+            # write the trained (or EMA) weights back into the model and save
+            # the FULL diffusers-layout pipeline (train_text_to_image
+            # convention: the EMA weights are what ships)
+            final = ema if ema is not None else lora
+            model.unet_params = final
+            if model._base_params is not None:
+                model._base_params["unet"] = final
+            if jax.process_index() == 0:
+                from stablediffusion_tpu.io.loader import save_sd_model
+
+                save_sd_model(model, args.output_dir)
+            return final
         # final save in diffusers interchange format
         # (ref: train_lora_pipeline.py:497-528)
         if jax.process_index() == 0:
@@ -306,6 +375,34 @@ class SDLoRATrainer:
                 metadata={"format": "pt", "rank": str(args.rank)},
             )
         return lora
+
+    def _log_validation_full(self, unet_params, epoch: int, step: int) -> None:
+        """Validation rendering for full_finetune: swap the live UNet weights
+        in, render, restore (the LoRA fuse path does not apply)."""
+        args = self.args
+        model = self.model
+        from stablediffusion_tpu.pipelines.unified import (
+            StableDiffusionUnifiedPipeline,
+        )
+
+        prev = model.unet_params
+        try:
+            model.unet_params = unet_params
+            out = StableDiffusionUnifiedPipeline()(
+                model,
+                prompt=args.validation_prompt,
+                num_images_per_prompt=args.num_validation_images,
+                num_inference_steps=args.validation_inference_steps,
+                seed=args.seed,
+            )
+            if self.metrics is not None:
+                self.metrics.images("validation", out.images, step=step)
+            logger.info(
+                "epoch %d: rendered %d validation images (%r)",
+                epoch, args.num_validation_images, args.validation_prompt,
+            )
+        finally:
+            model.unet_params = prev
 
     def _log_validation(self, lora, epoch: int, step: int) -> None:
         """Render N fixed-seed validation images with the current LoRA state
