@@ -401,37 +401,10 @@ class StableDiffusionUnifiedPipeline:
                 towers = towers[1:]
                 prompts = [prompt_2]
 
-        def encode(texts, towerset, use_clip_skip):
-            embeds_list, pooled = [], None
-            for txts, (tok, cfg, par) in zip(texts, towerset):
-                token_weights = None
-                if prompt_weighting:
-                    from stablediffusion_tpu.utils import prompt_weights as pw
-
-                    ids_np, w_np = pw.encode_with_weights(tok, txts)
-                    ids = jnp.asarray(ids_np)
-                    if (w_np != 1.0).any():
-                        token_weights = w_np
-                else:
-                    ids = jnp.asarray(tok(txts))
-                if model.is_sdxl:
-                    mode, skip = "penultimate", (clip_skip if use_clip_skip else 0)
-                elif use_clip_skip and clip_skip:
-                    mode, skip = "skip_renorm", clip_skip
-                else:
-                    mode, skip = "last", None
-                h, p = _clip_encode(par, ids, config=cfg, mode=mode, clip_skip=skip)
-                if token_weights is not None:
-                    from stablediffusion_tpu.utils import prompt_weights as pw
-
-                    h = pw.apply_token_weights(h, token_weights)
-                pooled = p  # last tower's pooled (SDXL: projected bigG)
-                embeds_list.append(h)
-            return jnp.concatenate(embeds_list, axis=-1), pooled
-
-        embeds, pooled = encode(prompts, towers, use_clip_skip=True)
-
-        neg_embeds = neg_pooled = None
+        # negative lists up-front: in A1111 prompt mode the chunk count is
+        # shared across positive/negative and the whole batch (CFG concats
+        # [neg, pos] on the batch axis, so sequence lengths must match)
+        negs = None
         if do_cfg:
             negative_prompt = negative_prompt or ""
             negative_prompt_2 = negative_prompt_2 or negative_prompt
@@ -452,6 +425,58 @@ class StableDiffusionUnifiedPipeline:
             negs = [neg, neg2] if model.is_sdxl else [neg]
             if refiner_mode:
                 negs = [neg2]
+
+        n_chunks = 1
+        if prompt_weighting:
+            from stablediffusion_tpu.utils import prompt_weights as pw
+
+            # A1111 long-prompt mode: >75-token prompts window into k chunks
+            # (each its own BOS/EOS pass, hidden states concatenated — cross
+            # attention takes any KV length)
+            for i, (tok, _, _) in enumerate(towers):
+                lists = [prompts[i]] + ([negs[i]] if negs else [])
+                for txts in lists:
+                    for t in txts:
+                        n_chunks = max(n_chunks, pw.num_chunks(tok, t))
+
+        def encode(texts, towerset, use_clip_skip):
+            embeds_list, pooled = [], None
+            for txts, (tok, cfg, par) in zip(texts, towerset):
+                token_weights = None
+                if prompt_weighting:
+                    from stablediffusion_tpu.utils import prompt_weights as pw
+
+                    ids_np, w_np = pw.encode_chunked(tok, txts, k=n_chunks)
+                    Bq, kq, Lq = ids_np.shape
+                    ids = jnp.asarray(ids_np.reshape(Bq * kq, Lq))
+                    if (w_np != 1.0).any():
+                        token_weights = w_np.reshape(Bq, kq * Lq)
+                else:
+                    ids = jnp.asarray(tok(txts))
+                if model.is_sdxl:
+                    mode, skip = "penultimate", (clip_skip if use_clip_skip else 0)
+                elif use_clip_skip and clip_skip:
+                    mode, skip = "skip_renorm", clip_skip
+                else:
+                    mode, skip = "last", None
+                h, p = _clip_encode(par, ids, config=cfg, mode=mode, clip_skip=skip)
+                if prompt_weighting:
+                    # [B*k, L, D] -> [B, k*L, D]; pooled from chunk 0
+                    h = h.reshape(Bq, kq * Lq, h.shape[-1])
+                    if p is not None:
+                        p = p.reshape(Bq, kq, *p.shape[1:])[:, 0]
+                if token_weights is not None:
+                    from stablediffusion_tpu.utils import prompt_weights as pw
+
+                    h = pw.apply_token_weights(h, token_weights)
+                pooled = p  # last tower's pooled (SDXL: projected bigG)
+                embeds_list.append(h)
+            return jnp.concatenate(embeds_list, axis=-1), pooled
+
+        embeds, pooled = encode(prompts, towers, use_clip_skip=True)
+
+        neg_embeds = neg_pooled = None
+        if do_cfg:
             # reference: clip_skip NOT applied to negatives (:617-674)
             neg_embeds, neg_pooled = encode(negs, towers, use_clip_skip=False)
 
@@ -624,8 +649,9 @@ class StableDiffusionUnifiedPipeline:
         vae_tiling: bool = False,
         control_image=None,
         controlnet_conditioning_scale: float = 1.0,
-        # A1111 emphasis syntax "(word:1.2)" (beyond-parity, default off:
-        # the reference/diffusers treat brackets literally)
+        # A1111 prompt mode: "(word:1.2)" emphasis + >75-token chunking
+        # (beyond-parity, default off: the reference/diffusers treat
+        # brackets literally and truncate at 77)
         prompt_weighting: bool = False,
         # IP-Adapter (beyond-parity; diffusers ip_adapter_image analog)
         ip_adapter_image=None,

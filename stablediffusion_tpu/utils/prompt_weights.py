@@ -129,6 +129,51 @@ def encode_with_weights(
     return np.asarray(rows, np.int32), np.asarray(wrows, np.float32)
 
 
+def token_stream(
+    tokenizer, text: str
+) -> Tuple[List[int], List[float]]:
+    """Untruncated (ids, weights) for one emphasis-marked prompt — the raw
+    stream that chunked encoding windows over."""
+    ids: List[int] = []
+    ws: List[float] = []
+    for frag, w in parse_weighted_prompt(text):
+        fids = tokenizer.tokenize(frag)
+        ids.extend(fids)
+        ws.extend([w] * len(fids))
+    return ids, ws
+
+
+def num_chunks(tokenizer, text: str, window: int = 75) -> int:
+    ids, _ = token_stream(tokenizer, text)
+    return max(1, -(-len(ids) // window))
+
+
+def encode_chunked(
+    tokenizer, texts: Sequence[str], k: int, max_length: int | None = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """A1111 long-prompt mode: window the untruncated token stream into
+    ``k`` chunks of ``max_length-2`` content tokens, each wrapped in its own
+    BOS/EOS -> (ids [B, k, L] int32, weights [B, k, L] fp32).  Prompts
+    shorter than k windows pad with empty (BOS EOS PAD...) chunks, so every
+    batch member and the negative side share one sequence length."""
+    max_length = max_length or tokenizer.model_max_length
+    window = max_length - 2
+    rows = np.full((len(texts), k, max_length), tokenizer.pad_token_id,
+                   np.int32)
+    wrows = np.ones((len(texts), k, max_length), np.float32)
+    for b, t in enumerate(texts):
+        ids, ws = token_stream(tokenizer, t)
+        ids, ws = ids[: k * window], ws[: k * window]
+        for c in range(k):
+            part = ids[c * window : (c + 1) * window]
+            wpart = ws[c * window : (c + 1) * window]
+            rows[b, c, 0] = tokenizer.bos_token_id
+            rows[b, c, 1 : 1 + len(part)] = part
+            rows[b, c, 1 + len(part)] = tokenizer.eos_token_id
+            wrows[b, c, 1 : 1 + len(wpart)] = wpart
+    return rows, wrows
+
+
 def apply_token_weights(hidden, weights):
     """Scale token hidden states by per-token weights, then restore the
     per-sample mean (A1111 convention, keeps magnitude calibrated)."""

@@ -161,3 +161,63 @@ def test_serving_arg_key_registered():
     from stablediffusion_tpu.serve.handler import INFERENCE_ARG_KEYS
 
     assert "prompt_weighting" in INFERENCE_ARG_KEYS
+
+
+# ---------------------------------------------------------------------------
+# long-prompt chunking (A1111 >75-token mode)
+# ---------------------------------------------------------------------------
+
+
+def test_num_chunks_and_chunk_layout():
+    from stablediffusion_tpu.utils.prompt_weights import (
+        encode_chunked,
+        num_chunks,
+    )
+
+    tok = tiny_tokenizer()
+    assert num_chunks(tok, "a cat") == 1
+    long = "(cat:1.5) " * 100  # 100 content tokens -> 2 windows of 75
+    assert num_chunks(tok, long) == 2
+    ids, w = encode_chunked(tok, [long, "a cat"], k=2)
+    assert ids.shape == w.shape == (2, 2, tok.model_max_length)
+    # every chunk starts with BOS; EOS follows its content
+    assert (ids[:, :, 0] == tok.bos_token_id).all()
+    assert (w[:, :, 0] == 1.0).all()
+    # long prompt: both chunks carry weighted content
+    assert (w[0, 0] == 1.5).sum() > 0 and (w[0, 1] == 1.5).sum() > 0
+    # short prompt: chunk 1 is an empty (BOS EOS PAD...) window
+    assert ids[1, 1, 1] == tok.eos_token_id
+    # chunk 0 of the short prompt matches the plain single-window encode
+    from stablediffusion_tpu.utils.prompt_weights import encode_with_weights
+
+    plain, _ = encode_with_weights(tok, ["a cat"])
+    np.testing.assert_array_equal(ids[1, 0], plain[0])
+
+
+def test_pipeline_long_prompt_chunks_through():
+    from stablediffusion_tpu.pipelines.unified import (
+        StableDiffusionUnifiedPipeline,
+    )
+
+    model = make_tiny_model("sd15")
+    pipe = StableDiffusionUnifiedPipeline()
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=5)
+    long = "a cat " * 40 + "(dog:1.4)"  # >75 tokens; tail only in chunk 2
+    trunc = pipe(model, prompt=long, **kw)  # default: truncated at 77
+    chunked = pipe(model, prompt=long, prompt_weighting=True, **kw)
+    # the chunked encoding sees the tail tokens the truncated one lost
+    assert np.abs(chunked.images - trunc.images).max() > 1e-7
+    assert np.isfinite(chunked.images).all()
+
+
+def test_pipeline_long_prompt_sdxl_smoke():
+    from stablediffusion_tpu.pipelines.unified import (
+        StableDiffusionUnifiedPipeline,
+    )
+
+    model = make_tiny_model("sdxl")
+    pipe = StableDiffusionUnifiedPipeline()
+    long = "a cat " * 40 + "(dog:1.4)"
+    out = pipe(model, prompt=long, prompt_weighting=True, height=32,
+               width=32, num_inference_steps=2, seed=5)
+    assert np.isfinite(out.images).all()
