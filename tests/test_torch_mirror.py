@@ -263,3 +263,34 @@ def test_controlnet_residuals_match_torch_mirror(variant, rng):
         np.asarray(ours_mid), _nhwc(theirs_mid), atol=2e-4, rtol=2e-4,
         err_msg=f"ControlNet mid residual diverges ({variant})",
     )
+
+
+def test_ip_adapter_resampler_matches_torch_mirror(rng):
+    """IP-Adapter-Plus perceiver resampler anchor: output allclose vs the
+    independent MirrorResampler through the real image_proj converter +
+    shape-inferred config (dim_head is the h94-fixed 64)."""
+    from stablediffusion_tpu.models.ip_adapter import (
+        convert_image_proj,
+        infer_image_proj_config,
+        resampler_apply,
+    )
+    from torch_mirror import MirrorResampler
+
+    torch.manual_seed(3)
+    mirror = MirrorResampler(
+        dim=32, depth=2, dim_head=64, heads=1, num_queries=4,
+        embedding_dim=24, output_dim=16,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in mirror.state_dict().items()}
+    cfg = infer_image_proj_config(sd)
+    assert cfg.kind == "resampler" and cfg.depth == 2 and cfg.heads == 1
+    params = convert_image_proj(sd)
+
+    x = rng.standard_normal((2, 9, 24)).astype(np.float32)
+    ours = resampler_apply(params, cfg, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = mirror(torch.from_numpy(x))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), atol=2e-4, rtol=2e-4,
+        err_msg="IP-Adapter-Plus resampler diverges from torch mirror",
+    )

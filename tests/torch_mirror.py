@@ -752,3 +752,74 @@ class MirrorControlNet(nn.Module):
         ]
         mid_res = self.controlnet_mid_block(x) * conditioning_scale
         return down_res, mid_res
+
+
+# ---------------------------------------------------------------------------
+# IP-Adapter-Plus Resampler (tencent-ailab ip_adapter/resampler.py semantics,
+# h94 checkpoint key layout)
+# ---------------------------------------------------------------------------
+
+
+class MirrorPerceiverAttention(nn.Module):
+    def __init__(self, dim, dim_head, heads):
+        super().__init__()
+        self.dim_head, self.heads = dim_head, heads
+        inner = dim_head * heads
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.to_q = nn.Linear(dim, inner, bias=False)
+        self.to_kv = nn.Linear(dim, inner * 2, bias=False)
+        self.to_out = nn.Linear(inner, dim, bias=False)
+
+    def forward(self, x, latents):
+        x = self.norm1(x)
+        latents = self.norm2(latents)
+        B, Nl, _ = latents.shape
+        q = self.to_q(latents)
+        kv_in = torch.cat([x, latents], dim=1)
+        k, v = self.to_kv(kv_in).chunk(2, dim=-1)
+
+        def heads_first(t):
+            return t.view(B, t.shape[1], self.heads, self.dim_head).transpose(1, 2)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        # the published double-sqrt scaling: both q and k by dim_head**-0.25
+        scale = 1.0 / math.sqrt(math.sqrt(self.dim_head))
+        weight = (q * scale) @ (k * scale).transpose(-2, -1)
+        attn = weight.softmax(dim=-1)
+        out = attn @ v
+        out = out.transpose(1, 2).reshape(B, Nl, self.heads * self.dim_head)
+        return self.to_out(out)
+
+
+class MirrorResampler(nn.Module):
+    """Perceiver resampler: learned latents cross-attend to CLIP penultimate
+    hidden states; keys match the h94 IP-Adapter-Plus image_proj layout
+    (latents, proj_in, proj_out, norm_out, layers.{d}.{0,1})."""
+
+    def __init__(self, dim, depth, dim_head, heads, num_queries,
+                 embedding_dim, output_dim, ff_mult=4):
+        super().__init__()
+        self.latents = nn.Parameter(torch.randn(1, num_queries, dim) / dim**0.5)
+        self.proj_in = nn.Linear(embedding_dim, dim)
+        self.proj_out = nn.Linear(dim, output_dim)
+        self.norm_out = nn.LayerNorm(output_dim)
+        self.layers = nn.ModuleList()
+        for _ in range(depth):
+            ff = nn.Sequential(
+                nn.LayerNorm(dim),
+                nn.Linear(dim, dim * ff_mult, bias=False),
+                nn.GELU(),
+                nn.Linear(dim * ff_mult, dim, bias=False),
+            )
+            self.layers.append(
+                nn.ModuleList([MirrorPerceiverAttention(dim, dim_head, heads), ff])
+            )
+
+    def forward(self, x):
+        latents = self.latents.repeat(x.shape[0], 1, 1)
+        x = self.proj_in(x)
+        for attn, ff in self.layers:
+            latents = attn(x, latents) + latents
+            latents = ff(latents) + latents
+        return self.norm_out(self.proj_out(latents))
