@@ -45,6 +45,14 @@ def resolve_checkpoint(
     """model_name -> local path.  Registry convention: {type}_{name} under
     the local model dir (hub id OnMoon/{type}_{name} when hub access exists)."""
     cache_dir = cache_dir or os.environ.get("SDTPU_MODEL_DIR", "models")
+    if model_name and model_name.endswith((".safetensors", ".ckpt")):
+        # A1111 single-file checkpoint: a direct path or a file in the
+        # model dir (load_sd_single_file handles it)
+        for cand in (model_name, os.path.join(cache_dir, model_name)):
+            if os.path.isfile(cand):
+                return cand
+        raise FileNotFoundError(f"single-file checkpoint {model_name!r} not "
+                                f"found (also tried under {cache_dir})")
     if model_name is None:
         repo = DEFAULT_CHECKPOINTS[model_type]
         local = os.path.join(cache_dir, repo.split("/")[-1])
@@ -62,6 +70,79 @@ def resolve_checkpoint(
             f"checkpoint {repo!r} not found locally at {local} and hub "
             f"download failed ({type(e).__name__})"
         ) from e
+
+
+def load_sd_single_file(
+    path: str,
+    scheduler_name: str = "DDIM",
+    tokenizer_dir: Optional[str] = None,
+    dtype=None,
+    extract_ema: bool = False,
+    scaling_factor: Optional[float] = None,
+) -> SDModel:
+    """diffusers ``from_single_file`` analog: load an A1111/LDM single-file
+    checkpoint (.safetensors / .ckpt) straight into an SDModel — the
+    io/a1111 converter runs in memory, no diffusers-folder roundtrip.
+    ``tokenizer_dir`` points at a folder holding ``tokenizer`` (and, for
+    SDXL, ``tokenizer_2``) subfolders, or the vocab/merges files directly;
+    single-file checkpoints do not carry tokenizers (A1111 ships them with
+    the app) and without one the model can only run from prompt_embeds."""
+    import logging
+
+    from stablediffusion_tpu.io.a1111 import convert_a1111_checkpoint
+    from stablediffusion_tpu.io.convert_cli import load_single_file
+    from stablediffusion_tpu.io.torch_convert import convert_state_dict
+
+    state = load_single_file(path)
+    weights, configs = convert_a1111_checkpoint(
+        state, extract_ema_weights=extract_ema, scaling_factor=scaling_factor
+    )
+    is_sdxl = configs["model_type"] == "sdxl"
+
+    def tok(sub):
+        if tokenizer_dir is None:
+            return None
+        d = os.path.join(tokenizer_dir, sub)
+        if not os.path.isdir(d) and sub == "tokenizer":
+            d = tokenizer_dir  # files given directly
+        return CLIPTokenizer.from_pretrained(d)
+
+    if tokenizer_dir is None:
+        logging.getLogger(__name__).warning(
+            "single-file checkpoint has no tokenizer; pass tokenizer_dir= "
+            "or supply prompt_embeds at generation time"
+        )
+
+    kwargs: Dict[str, Any] = {}
+    if is_sdxl:
+        kwargs.update(
+            text_encoder_2_config=CLIPTextConfig.from_diffusers_dict(
+                configs["text_encoder_2"]
+            ),
+            text_encoder_2_params=convert_state_dict(
+                weights["text_encoder_2"], dtype=dtype
+            ),
+            tokenizer_2=tok("tokenizer_2"),
+        )
+    return SDModel(
+        model_type="sdxl" if is_sdxl else "sd15",
+        unet_config=UNetConfig.from_diffusers_dict(configs["unet"]),
+        unet_params=convert_state_dict(weights["unet"], dtype=dtype),
+        vae_config=VAEConfig.from_diffusers_dict(configs["vae"]),
+        vae_params=convert_state_dict(weights["vae"], dtype=dtype),
+        text_encoder_config=CLIPTextConfig.from_diffusers_dict(
+            configs["text_encoder"]
+        ),
+        text_encoder_params=convert_state_dict(
+            weights["text_encoder"], dtype=dtype
+        ),
+        tokenizer=tok("tokenizer"),
+        scheduler_config=SchedulerConfig(),  # A1111 convention (the convert
+        # CLI writes the same fixed scaled-linear table)
+        scheduler_name=scheduler_name,
+        path=os.path.abspath(path),
+        **kwargs,
+    )
 
 
 def _read_json(path: str) -> dict:

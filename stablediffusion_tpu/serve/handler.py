@@ -21,6 +21,7 @@ from __future__ import annotations
 import base64
 import io
 import logging
+import os
 import time
 import traceback
 from typing import Any, Dict, Optional
@@ -129,9 +130,28 @@ class Handler:
         name = model_cfg.get("name")
         if name is not None:
             path = resolve_checkpoint(mtype, name, cache_dir=self.model_dir)
-            if self.model is None or self.model.path != path:
+            if self.model is None or self.model.path not in (
+                path, os.path.abspath(path)
+            ):
                 logger.info("loading model %s (%s)", name, path)
-                if mtype == "sd3":
+                if os.path.isfile(path):
+                    # A1111 single-file checkpoint; tokenizer folders live
+                    # next to it or in the model dir
+                    from stablediffusion_tpu.io.loader import (
+                        load_sd_single_file,
+                    )
+
+                    tok_dir = None
+                    for cand in (os.path.dirname(path), self.model_dir):
+                        if cand and os.path.isdir(
+                            os.path.join(cand, "tokenizer")
+                        ):
+                            tok_dir = cand
+                            break
+                    self.model = load_sd_single_file(
+                        path, tokenizer_dir=tok_dir
+                    )
+                elif mtype == "sd3":
                     from stablediffusion_tpu.io.loader import load_sd3_model
 
                     self.model = load_sd3_model(path)
@@ -156,7 +176,6 @@ class Handler:
                         f"{getattr(self.model, 'model_type', '?')!r}"
                     )
             else:
-                import os
 
                 # declarative: the list IS the desired state
                 self.model.unload_textual_inversion()
@@ -177,8 +196,6 @@ class Handler:
                         f"{getattr(self.model, 'model_type', '?')!r}"
                     )
             elif ip:
-                import os
-
                 path = (
                     ip
                     if os.path.exists(str(ip))

@@ -6,6 +6,8 @@ and requiring exact dict equality — any drift in block indexing, resnet
 renames or attention squeezes breaks it.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -498,3 +500,93 @@ def test_sd2_text_encoder_conversion(tiny_state, rng):
     assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in te
     assert "text_projection.weight" not in te  # plain CLIPTextModel for SD2
     assert configs["text_encoder"]["num_hidden_layers"] == 1
+
+
+def _tiny_single_file(tiny_state, tmp_path):
+    """Synthetic LDM single-file checkpoint + tokenizer folder -> paths."""
+    import json as _json
+
+    from transformers import CLIPTextConfig as HFC, CLIPTextModel
+    import torch
+
+    from stablediffusion_tpu.core.config import tiny_clip_config
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+    from helpers import tiny_tokenizer
+
+    state, _, _, _ = tiny_state
+    torch.manual_seed(0)
+    tc = tiny_clip_config()
+    hf = CLIPTextModel(HFC(
+        vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+        intermediate_size=tc.intermediate_size,
+        num_hidden_layers=tc.num_hidden_layers,
+        num_attention_heads=tc.num_attention_heads,
+        eos_token_id=tc.eos_token_id, bos_token_id=0, pad_token_id=1,
+        hidden_act="quick_gelu",
+    ))
+    full = dict(state)
+    full.update({
+        f"cond_stage_model.transformer.{k}": v.numpy()
+        for k, v in hf.state_dict().items()
+    })
+    ckpt = tmp_path / "model.safetensors"
+    save_safetensors({k: np.ascontiguousarray(v) for k, v in full.items()}, ckpt)
+    tiny_tokenizer().save_pretrained(str(tmp_path / "tokenizer"))
+    return str(ckpt)
+
+
+def test_load_sd_single_file(tiny_state, tmp_path):
+    """from_single_file analog: A1111 .safetensors -> SDModel in memory ->
+    generate (no diffusers-folder roundtrip)."""
+    import dataclasses
+
+    from stablediffusion_tpu.io.loader import load_sd_single_file
+    from stablediffusion_tpu.pipelines.unified import (
+        StableDiffusionUnifiedPipeline,
+    )
+
+    ckpt = _tiny_single_file(tiny_state, tmp_path)
+    model = load_sd_single_file(ckpt, tokenizer_dir=str(tmp_path))
+    assert model.model_type == "sd15" and model.tokenizer is not None
+    assert model.path == os.path.abspath(ckpt)
+    # heads/groups are not shape-recoverable; tiny uses 2/8 + vae 4
+    model.unet_config = dataclasses.replace(
+        model.unet_config, num_attention_heads=2, norm_num_groups=8
+    )
+    model.vae_config = dataclasses.replace(model.vae_config, norm_num_groups=4)
+    out = StableDiffusionUnifiedPipeline()(
+        model, prompt="a cat", height=32, width=32,
+        num_inference_steps=2, seed=1,
+    )
+    assert np.isfinite(out.images).all()
+    # no tokenizer dir -> warns, still loads
+    m2 = load_sd_single_file(ckpt)
+    assert m2.tokenizer is None and m2.unet_params
+
+
+def test_resolve_checkpoint_single_file(tiny_state, tmp_path):
+    from stablediffusion_tpu.io.loader import resolve_checkpoint
+
+    ckpt = _tiny_single_file(tiny_state, tmp_path)
+    assert resolve_checkpoint("sd15", ckpt) == ckpt
+    # bare filename resolves under the cache dir
+    got = resolve_checkpoint("sd15", "model.safetensors",
+                             cache_dir=str(tmp_path))
+    assert got == os.path.join(str(tmp_path), "model.safetensors")
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint("sd15", "nope.safetensors", cache_dir=str(tmp_path))
+
+
+def test_serving_loads_single_file(tiny_state, tmp_path):
+    from stablediffusion_tpu.serve.handler import Handler
+
+    ckpt = _tiny_single_file(tiny_state, tmp_path)
+    h = Handler(model_dir=str(tmp_path))
+    h.maybe_reload_model({"type": "sd15", "name": "model.safetensors"})
+    assert h.model is not None
+    assert h.model.path == os.path.abspath(ckpt)
+    assert h.model.tokenizer is not None  # found tmp_path/tokenizer
+    gen = h.model
+    # idempotent: same name does not reload
+    h.maybe_reload_model({"type": "sd15", "name": "model.safetensors"})
+    assert h.model is gen
