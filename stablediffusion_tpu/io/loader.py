@@ -79,6 +79,7 @@ def load_sd_single_file(
     dtype=None,
     extract_ema: bool = False,
     scaling_factor: Optional[float] = None,
+    prediction_type: Optional[str] = None,
 ) -> SDModel:
     """diffusers ``from_single_file`` analog: load an A1111/LDM single-file
     checkpoint (.safetensors / .ckpt) straight into an SDModel — the
@@ -137,8 +138,15 @@ def load_sd_single_file(
             weights["text_encoder"], dtype=dtype
         ),
         tokenizer=tok("tokenizer"),
-        scheduler_config=SchedulerConfig(),  # A1111 convention (the convert
-        # CLI writes the same fixed scaled-linear table)
+        # A1111 convention (the convert CLI writes the same fixed
+        # scaled-linear table).  prediction_type must be supplied for
+        # v-prediction checkpoints (SD2.x-768-v and v-pred fine-tunes) —
+        # the single-file format does not record it.
+        scheduler_config=(
+            SchedulerConfig(prediction_type=prediction_type)
+            if prediction_type
+            else SchedulerConfig()
+        ),
         scheduler_name=scheduler_name,
         path=os.path.abspath(path),
         **kwargs,

@@ -253,14 +253,21 @@ class SDModel:
         if not token:
             raise ValueError("no trigger token given and none in the file")
 
-        self._ensure_base()
-        if self._ti_state is None:
-            self._ti_state = {"orig_rows": {}, "tokens": {}}
-
         towers = {
             "text_encoder": (self.tokenizer, "text_encoder_params"),
             "text_encoder_2": (self.tokenizer_2, "text_encoder_2_params"),
         }
+        for comp in per_tower:
+            if towers[comp][0] is None:
+                raise ValueError(
+                    "textual inversion needs a tokenizer to register its "
+                    f"trigger, but {comp}'s tokenizer is None (single-file "
+                    "load without tokenizer_dir?)"
+                )
+
+        self._ensure_base()
+        if self._ti_state is None:
+            self._ti_state = {"orig_rows": {}, "tokens": {}}
         for comp, vec in per_tower.items():
             tok, attr = towers[comp]
             params = getattr(self, attr)

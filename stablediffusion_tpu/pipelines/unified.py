@@ -427,26 +427,34 @@ class StableDiffusionUnifiedPipeline:
                 negs = [neg2]
 
         n_chunks = 1
+        streams: dict = {}  # (tower_idx, is_neg) -> [token_stream(t), ...]
         if prompt_weighting:
             from stablediffusion_tpu.utils import prompt_weights as pw
 
             # A1111 long-prompt mode: >75-token prompts window into k chunks
             # (each its own BOS/EOS pass, hidden states concatenated — cross
-            # attention takes any KV length)
+            # attention takes any KV length).  One tokenize pass: the chunk
+            # scan stores the streams the encoder will consume.
+            window = 75
             for i, (tok, _, _) in enumerate(towers):
-                lists = [prompts[i]] + ([negs[i]] if negs else [])
-                for txts in lists:
-                    for t in txts:
-                        n_chunks = max(n_chunks, pw.num_chunks(tok, t))
+                lists = [(False, prompts[i])] + ([(True, negs[i])] if negs
+                                                 else [])
+                for is_neg, txts in lists:
+                    ss = [pw.token_stream(tok, t) for t in txts]
+                    streams[(i, is_neg)] = ss
+                    for ids, _ in ss:
+                        n_chunks = max(n_chunks, -(-max(len(ids), 1) // window))
 
-        def encode(texts, towerset, use_clip_skip):
+        def encode(texts, towerset, use_clip_skip, is_neg=False):
             embeds_list, pooled = [], None
-            for txts, (tok, cfg, par) in zip(texts, towerset):
+            for i, (txts, (tok, cfg, par)) in enumerate(zip(texts, towerset)):
                 token_weights = None
                 if prompt_weighting:
                     from stablediffusion_tpu.utils import prompt_weights as pw
 
-                    ids_np, w_np = pw.encode_chunked(tok, txts, k=n_chunks)
+                    ids_np, w_np = pw.encode_chunked(
+                        tok, txts, k=n_chunks, streams=streams[(i, is_neg)]
+                    )
                     Bq, kq, Lq = ids_np.shape
                     ids = jnp.asarray(ids_np.reshape(Bq * kq, Lq))
                     if (w_np != 1.0).any():
@@ -478,7 +486,9 @@ class StableDiffusionUnifiedPipeline:
         neg_embeds = neg_pooled = None
         if do_cfg:
             # reference: clip_skip NOT applied to negatives (:617-674)
-            neg_embeds, neg_pooled = encode(negs, towers, use_clip_skip=False)
+            neg_embeds, neg_pooled = encode(
+                negs, towers, use_clip_skip=False, is_neg=True
+            )
 
         n = num_images_per_prompt
         tile = lambda x: jnp.repeat(x, n, axis=0) if x is not None else None

@@ -26,7 +26,11 @@ from typing import Any, Dict, Optional
 
 logger = logging.getLogger(__name__)
 
-# args that force the serial path (graph-changing inputs or non-txt2img)
+# args that force the serial path (graph-changing inputs or non-txt2img).
+# prompt_weighting is here because the A1111 chunk count is computed over
+# the WHOLE encoded batch (longest prompt wins) — merging would make a
+# request's KV length depend on its batch-mates, breaking the
+# composition-invariance contract; it is gated on truthiness, not presence.
 _NON_BATCHABLE = (
     "image",
     "mask_image",
@@ -38,6 +42,7 @@ _NON_BATCHABLE = (
     "prompt_embeds",
     "model",
     "params",
+    "prompt_weighting",
 )
 # args the merged call composes per-request instead of sharing
 _MERGED_KEYS = ("prompt", "negative_prompt", "seed")
@@ -91,8 +96,12 @@ class _Pending:
 def _batchable(request_input: Dict[str, Any]) -> bool:
     if request_input.get("mode", "inference") != "inference":
         return False
-    if any(k in request_input for k in _NON_BATCHABLE):
+    if any(
+        k in request_input for k in _NON_BATCHABLE if k != "prompt_weighting"
+    ):
         return False
+    if request_input.get("prompt_weighting"):
+        return False  # chunk count would depend on batch-mates (see above)
     if not isinstance(request_input.get("prompt"), str):
         return False
     if request_input.get("num_images_per_prompt", 1) != 1:

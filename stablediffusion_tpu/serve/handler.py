@@ -135,6 +135,11 @@ class Handler:
             ):
                 logger.info("loading model %s (%s)", name, path)
                 if os.path.isfile(path):
+                    if mtype == "sd3":
+                        raise ValueError(
+                            "SD3 single-file checkpoints are not supported; "
+                            "provide a diffusers-layout folder"
+                        )
                     # A1111 single-file checkpoint; tokenizer folders live
                     # next to it or in the model dir
                     from stablediffusion_tpu.io.loader import (
@@ -149,7 +154,9 @@ class Handler:
                             tok_dir = cand
                             break
                     self.model = load_sd_single_file(
-                        path, tokenizer_dir=tok_dir
+                        path,
+                        tokenizer_dir=tok_dir,
+                        prediction_type=model_cfg.get("prediction_type"),
                     )
                 elif mtype == "sd3":
                     from stablediffusion_tpu.io.loader import load_sd3_model
@@ -451,7 +458,12 @@ class Handler:
         args = SDTrainingArgs(**cfg)
         trainer = SDLoRATrainer(self.model, args, data_dir)
         trainer.train()
-        return {
-            "lora_path": f"{args.output_dir}/pytorch_lora_weights.safetensors",
-            "history": trainer.history,
-        }
+        out: Dict[str, Any] = {"history": trainer.history}
+        if args.full_finetune:
+            # full mode saves a diffusers-layout model folder, no LoRA file
+            out["model_path"] = args.output_dir
+        else:
+            out["lora_path"] = (
+                f"{args.output_dir}/pytorch_lora_weights.safetensors"
+            )
+        return out

@@ -290,7 +290,12 @@ class SDLoRATrainer:
                 k_step, k_enc = jax.random.split(k_step)
                 jb = self._encode_fn(frozen, jb, k_enc)
             lora, opt_state, metrics = step_fn(lora, opt_state, frozen, jb, k_step)
-            if ema is not None:
+            # EMA tracks OPTIMIZER updates, not data steps: with grad
+            # accumulation the params only move every k-th call (upstream
+            # EMAModel convention — decay would otherwise compound k-fold)
+            if ema is not None and (
+                (step + 1) % args.gradient_accumulation_steps == 0
+            ):
                 ema = self._ema_update(ema, lora)
             step += 1
             if step % args.log_every == 0 or step == total_steps:

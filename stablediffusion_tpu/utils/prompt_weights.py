@@ -15,7 +15,7 @@ prompt grammar), not a port of its parser.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -111,12 +111,7 @@ def encode_with_weights(
     max_length = max_length or tokenizer.model_max_length
     rows, wrows = [], []
     for t in texts:
-        ids: List[int] = []
-        ws: List[float] = []
-        for frag, w in parse_weighted_prompt(t):
-            fids = tokenizer.tokenize(frag)
-            ids.extend(fids)
-            ws.extend([w] * len(fids))
+        ids, ws = token_stream(tokenizer, t)
         ids, ws = ids[: max_length - 2], ws[: max_length - 2]
         row = [tokenizer.bos_token_id, *ids, tokenizer.eos_token_id]
         wrow = [1.0, *ws, 1.0]
@@ -149,20 +144,28 @@ def num_chunks(tokenizer, text: str, window: int = 75) -> int:
 
 
 def encode_chunked(
-    tokenizer, texts: Sequence[str], k: int, max_length: int | None = None
+    tokenizer,
+    texts: Sequence[str],
+    k: int,
+    max_length: int | None = None,
+    streams: Optional[Sequence[Tuple[List[int], List[float]]]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """A1111 long-prompt mode: window the untruncated token stream into
     ``k`` chunks of ``max_length-2`` content tokens, each wrapped in its own
     BOS/EOS -> (ids [B, k, L] int32, weights [B, k, L] fp32).  Prompts
     shorter than k windows pad with empty (BOS EOS PAD...) chunks, so every
-    batch member and the negative side share one sequence length."""
+    batch member and the negative side share one sequence length.
+    ``streams`` supplies precomputed token_stream results (the chunk-count
+    scan already paid for them)."""
     max_length = max_length or tokenizer.model_max_length
     window = max_length - 2
     rows = np.full((len(texts), k, max_length), tokenizer.pad_token_id,
                    np.int32)
     wrows = np.ones((len(texts), k, max_length), np.float32)
     for b, t in enumerate(texts):
-        ids, ws = token_stream(tokenizer, t)
+        ids, ws = streams[b] if streams is not None else token_stream(
+            tokenizer, t
+        )
         ids, ws = ids[: k * window], ws[: k * window]
         for c in range(k):
             part = ids[c * window : (c + 1) * window]
@@ -183,5 +186,8 @@ def apply_token_weights(hidden, weights):
     mean0 = hidden.mean(axis=(1, 2), keepdims=True)
     scaled = hidden * w
     mean1 = scaled.mean(axis=(1, 2), keepdims=True)
-    safe = jnp.where(jnp.abs(mean1) > 1e-12, mean1, jnp.ones_like(mean1))
-    return scaled * (mean0 / safe)
+    ok = jnp.abs(mean1) > 1e-12
+    safe = jnp.where(ok, mean1, jnp.ones_like(mean1))
+    # degenerate (near-zero) weighted mean: skip renormalization entirely
+    ratio = jnp.where(ok, mean0 / safe, jnp.ones_like(mean0))
+    return scaled * ratio

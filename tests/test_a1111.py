@@ -590,3 +590,21 @@ def test_serving_loads_single_file(tiny_state, tmp_path):
     # idempotent: same name does not reload
     h.maybe_reload_model({"type": "sd15", "name": "model.safetensors"})
     assert h.model is gen
+
+
+def test_single_file_prediction_type_override(tiny_state, tmp_path):
+    from stablediffusion_tpu.io.loader import load_sd_single_file
+
+    ckpt = _tiny_single_file(tiny_state, tmp_path)
+    m = load_sd_single_file(ckpt, tokenizer_dir=str(tmp_path),
+                            prediction_type="v_prediction")
+    assert m.scheduler_config.prediction_type == "v_prediction"
+
+
+def test_serving_sd3_single_file_clear_error(tiny_state, tmp_path):
+    from stablediffusion_tpu.serve.handler import Handler
+
+    ckpt = _tiny_single_file(tiny_state, tmp_path)
+    h = Handler(model_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="SD3 single-file"):
+        h.maybe_reload_model({"type": "sd3", "name": "model.safetensors"})

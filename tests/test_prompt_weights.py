@@ -221,3 +221,24 @@ def test_pipeline_long_prompt_sdxl_smoke():
     out = pipe(model, prompt=long, prompt_weighting=True, height=32,
                width=32, num_inference_steps=2, seed=5)
     assert np.isfinite(out.images).all()
+
+
+def test_weighted_requests_take_the_serial_path():
+    """A1111 chunk count depends on the longest prompt in the encoded batch,
+    so prompt_weighting requests must never merge (composition invariance)."""
+    from stablediffusion_tpu.serve.batcher import _batchable
+
+    base = {"prompt": "a cat", "seed": 1}
+    assert _batchable(dict(base))
+    assert not _batchable({**base, "prompt_weighting": True})
+    # falsy value doesn't needlessly lose batching
+    assert _batchable({**base, "prompt_weighting": False})
+
+
+def test_apply_token_weights_degenerate_mean_skips_renorm():
+    # craft hidden states whose weighted mean cancels to ~0
+    h = jnp.asarray([[[1.0], [-1.0]]], jnp.float32)  # mean 0 already
+    w = np.asarray([[1.0, 1.0]], np.float32) * 3.0
+    out = np.asarray(apply_token_weights(h, w))
+    # mean1 == 0 -> no renormalization: output is just the scaled values
+    np.testing.assert_allclose(out, np.asarray(h) * 3.0, rtol=1e-6)

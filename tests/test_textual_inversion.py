@@ -164,3 +164,14 @@ def test_trigger_respects_word_boundaries():
     assert 700 in tok.tokenize("a thing here")
     assert 700 not in tok.tokenize("something else")
     assert 700 in tok.tokenize("(thing)")
+
+
+def test_tokenizerless_model_raises_before_mutation():
+    model = make_tiny_model("sd15")
+    rows0 = _table(model).shape[0]
+    model.tokenizer = None
+    with pytest.raises(ValueError, match="tokenizer"):
+        model.load_textual_inversion(
+            {"<c>": np.zeros((1, _hidden(model)), np.float32)}
+        )
+    assert _table(model).shape[0] == rows0  # nothing half-applied
