@@ -40,6 +40,7 @@ INDEX_HTML = """<!DOCTYPE html>
  <select id="model_type"><option>sd15</option><option selected>sdxl</option><option>sd3</option></select><br>
  <label>Checkpoint</label><input id="model_name" placeholder="(loaded model)"><br>
  <label>LoRAs (name:weight,..)</label><input id="loras" placeholder="style:0.7,detail:0.5"><br>
+ <label>Textual inversions (path[:token],..)</label><input id="ti" placeholder="embeds/thing.pt:mytoken"><br>
  <label>Scheduler</label><select id="scheduler">{sched_options}</select>
 </fieldset>
 <fieldset><legend>Task</legend>
@@ -105,6 +106,13 @@ async function generate() {{
     model.loras = {{}};
     g('loras').value.split(',').forEach(p => {{
       const [n, w] = p.split(':'); model.loras[n.trim()] = +(w || 1);
+    }});
+  }}
+  if (g('ti').value) {{
+    model.textual_inversion = g('ti').value.split(',').map(p => {{
+      const i = p.lastIndexOf(':');
+      return i > 1 ? {{path: p.slice(0, i).trim(), token: p.slice(i + 1).trim()}}
+                   : {{path: p.trim()}};
     }});
   }}
   if (Object.keys(model).length) input.model = model;
