@@ -108,6 +108,33 @@ def measure(batch: int, iters: int = 3):
 
 
 def main():
+    # fail FAST with a parseable line if the TPU tunnel is unreachable
+    # (jax.devices() otherwise hangs indefinitely through a dead tunnel —
+    # observed during the 2026-08-17 axon outage); legit first compiles are
+    # unaffected: the watchdog only guards backend init.
+    import os
+    import threading
+
+    probe_done = threading.Event()
+
+    def _watchdog():
+        if not probe_done.wait(300):
+            print(json.dumps({
+                "metric": "sd15_512px_20step_images_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "images/sec",
+                "vs_baseline": 0.0,
+                "error": "TPU backend init timed out after 300s "
+                         "(tunnel unreachable)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    jax.devices()
+    probe_done.set()
+
     from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
     from stablediffusion_tpu.utils.bench_utils import (
         flops_fields,
