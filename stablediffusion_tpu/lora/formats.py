@@ -143,23 +143,64 @@ def load_lora_file(
     return parse_lora_state_dict(load_safetensors(path), model_paths)
 
 
+_KOHYA_SAVE_PREFIX = {
+    "unet": "lora_unet_",
+    "transformer": "lora_transformer_",
+    # te1/te2 when a second tower adapter exists, bare te otherwise
+    # (handled in save_lora_file)
+}
+
+
 def save_lora_file(
     adapters: Mapping[str, Mapping[str, dict]],
     path: str,
     metadata: Optional[Mapping[str, str]] = None,
+    format: str = "peft",
 ) -> None:
-    """Save {component: {module_path: factors}} as peft/diffusers-format
-    safetensors (torch layouts) for ecosystem interchange."""
+    """Save {component: {module_path: factors}} as safetensors (torch
+    layouts) for ecosystem interchange.
+
+    format="peft" (default): ``{component}.{path}.lora_A/B.weight`` —
+    diffusers' load_lora_weights convention.
+    format="kohya": ``lora_unet_{path_with_underscores}.lora_down/up.weight``
+    + per-module ``alpha`` — the A1111/kohya-ss convention (te1/te2 prefixes
+    when a second text-encoder adapter is present, plain te otherwise).
+    Both round-trip through parse_lora_state_dict.
+    """
     flat: Dict[str, np.ndarray] = {}
-    for component, tree in adapters.items():
-        for mpath, factors in tree.items():
-            down = np.asarray(factors["down"], np.float32).T  # [in,r] -> [r,in]
-            up = np.asarray(factors["up"], np.float32).T  # [r,out] -> [out,r]
-            flat[f"{component}.{mpath}.lora_A.weight"] = down
-            flat[f"{component}.{mpath}.lora_B.weight"] = up
-            alpha = factors.get("alpha")
-            if alpha is not None and float(alpha) != down.shape[0]:
-                flat[f"{component}.{mpath}.alpha"] = np.asarray(
-                    float(alpha), np.float32
+    if format == "kohya":
+        has_te2 = "text_encoder_2" in adapters
+        for component, tree in adapters.items():
+            prefix = _KOHYA_SAVE_PREFIX.get(component)
+            if prefix is None:
+                prefix = {
+                    "text_encoder": "lora_te1_" if has_te2 else "lora_te_",
+                    "text_encoder_2": "lora_te2_",
+                }[component]
+            for mpath, factors in tree.items():
+                down = np.asarray(factors["down"], np.float32).T
+                up = np.asarray(factors["up"], np.float32).T
+                key = prefix + mpath.replace(".", "_")
+                flat[f"{key}.lora_down.weight"] = down
+                flat[f"{key}.lora_up.weight"] = up
+                # kohya always writes alpha (defaults to rank)
+                alpha = factors.get("alpha")
+                flat[f"{key}.alpha"] = np.asarray(
+                    float(alpha) if alpha is not None else float(down.shape[0]),
+                    np.float32,
                 )
+    elif format == "peft":
+        for component, tree in adapters.items():
+            for mpath, factors in tree.items():
+                down = np.asarray(factors["down"], np.float32).T  # [in,r]->[r,in]
+                up = np.asarray(factors["up"], np.float32).T  # [r,out]->[out,r]
+                flat[f"{component}.{mpath}.lora_A.weight"] = down
+                flat[f"{component}.{mpath}.lora_B.weight"] = up
+                alpha = factors.get("alpha")
+                if alpha is not None and float(alpha) != down.shape[0]:
+                    flat[f"{component}.{mpath}.alpha"] = np.asarray(
+                        float(alpha), np.float32
+                    )
+    else:
+        raise ValueError(f"unknown LoRA save format {format!r}")
     save_safetensors(flat, path, metadata=metadata or {"format": "pt"})

@@ -5,8 +5,9 @@ train_text_to_image_lora.py:147-440 and _sdxl.py) where meaningful on TPU:
 dataset dir, resolution/crop/flip, batch/epochs/max_steps, grad accumulation,
 lr + schedules + warmup, snr_gamma, adam hyperparams, max_grad_norm,
 checkpointing/resume, rank, mixed precision, validation prompts, seed.
-CUDA-only flags (xformers, TF32, 8-bit Adam, DeepSpeed) are accepted and
-mapped to TPU equivalents or no-ops so existing launch scripts keep working.
+CUDA-only flags (xformers, TF32, DeepSpeed) are accepted and mapped to TPU
+equivalents or no-ops so existing launch scripts keep working; --use_8bit_adam
+is REAL here (blockwise-quantized moments, train/optim.py).
 
 Usage:
     python -m stablediffusion_tpu.train.cli --pretrained_model_name_or_path
@@ -73,6 +74,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--rank", type=int, default=4)
+    p.add_argument("--lora_format", choices=("peft", "kohya"), default="peft",
+                   help="saved adapter convention: diffusers/peft or A1111/kohya-ss")
     p.add_argument("--train_text_encoder", action="store_true")
     # full-model fine-tuning (train_text_to_image analog; UNet only)
     p.add_argument("--full_finetune", action="store_true",
@@ -197,6 +200,7 @@ def main(argv=None):
         logging_dir=os.path.join(args.output_dir, args.logging_dir),
         debug_loss=args.debug_loss,
         use_8bit_adam=args.use_8bit_adam,
+        lora_format=args.lora_format,
         full_finetune=args.full_finetune,
         use_ema=args.use_ema,
         ema_decay=args.ema_decay,

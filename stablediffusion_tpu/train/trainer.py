@@ -98,6 +98,8 @@ class SDTrainingArgs:
     full_finetune: bool = False
     use_ema: bool = False  # EMA of the UNet weights, used for the final save
     ema_decay: float = 0.9999
+    # "peft" (diffusers load_lora_weights) | "kohya" (A1111/kohya-ss webui)
+    lora_format: str = "peft"
 
 
 class SDLoRATrainer:
@@ -378,6 +380,7 @@ class SDLoRATrainer:
                 lora,
                 f"{args.output_dir}/pytorch_lora_weights.safetensors",
                 metadata={"format": "pt", "rank": str(args.rank)},
+                format=args.lora_format,
             )
         return lora
 

@@ -253,3 +253,56 @@ def test_fuse_raises_on_fully_unmatched_adapter(model):
     }}
     with pytest.raises(ValueError, match="matched no module"):
         fuse(model.unet_params, {"bad": bogus})
+
+
+def test_save_kohya_format_roundtrip():
+    """format='kohya' writes lora_unet_*/lora_te_* down/up/alpha keys that
+    parse back to the same factors (webui interchange)."""
+    import numpy as np
+
+    from stablediffusion_tpu.io.safetensors_io import load_safetensors
+    from stablediffusion_tpu.lora.formats import (
+        load_lora_file,
+        save_lora_file,
+    )
+
+    rng = np.random.default_rng(0)
+    adapters = {
+        "unet": {
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q": {
+                "down": jnp.asarray(rng.standard_normal((16, 4)), jnp.float32),
+                "up": jnp.asarray(rng.standard_normal((4, 16)), jnp.float32),
+            }
+        },
+        "text_encoder": {
+            "text_model.encoder.layers.0.self_attn.q_proj": {
+                "down": jnp.asarray(rng.standard_normal((8, 4)), jnp.float32),
+                "up": jnp.asarray(rng.standard_normal((4, 8)), jnp.float32),
+                "alpha": jnp.asarray(2.0),
+            }
+        },
+    }
+    import tempfile, os
+
+    f = os.path.join(tempfile.mkdtemp(), "kohya.safetensors")
+    save_lora_file(adapters, f, format="kohya")
+    flat = load_safetensors(f)
+    assert any(k.startswith("lora_unet_") for k in flat)
+    assert any(k.startswith("lora_te_") for k in flat)  # no te2 -> bare te
+    assert all(".lora_down.weight" in k or ".lora_up.weight" in k
+               or k.endswith(".alpha") for k in flat)
+    # round-trip through the kohya parser (exact resolver via model_paths)
+    model_paths = {c: list(tree) for c, tree in adapters.items()}
+    back = load_lora_file(f, model_paths)
+    for c, tree in adapters.items():
+        for p, fac in tree.items():
+            np.testing.assert_allclose(np.asarray(back[c][p]["down"]),
+                                       np.asarray(fac["down"]), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(back[c][p]["up"]),
+                                       np.asarray(fac["up"]), rtol=1e-6)
+    # explicit alpha survives; default alpha == rank
+    assert float(back["text_encoder"][
+        "text_model.encoder.layers.0.self_attn.q_proj"]["alpha"]) == 2.0
+    assert float(back["unet"][
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+    ]["alpha"]) == 4.0
