@@ -494,6 +494,34 @@ class StableDiffusionUnifiedPipeline:
         tile = lambda x: jnp.repeat(x, n, axis=0) if x is not None else None
         return tile(embeds), tile(neg_embeds), tile(pooled), tile(neg_pooled)
 
+    def _hires_fix(
+        self, model, scale: float, strength: float, hires_steps,
+        common: dict, *, height: int, width: int, output_type, vae_tiling,
+    ) -> SDPipelineOutput:
+        """Two-pass A1111 hires fix: base txt2img at the downscaled size,
+        bilinear latent upscale, img2img refinement at `strength`.  Both
+        passes go through the public __call__, so every conditioning path
+        (ControlNet resize, IP-Adapter, prompt mode, per-sample seeds)
+        behaves exactly as in single-pass generation."""
+        vf = model.vae_scale_factor
+        snap = 8  # A1111 snaps the first-pass size to the 8px grid
+        base_h = max(int(round(height / scale / snap)) * snap, vf * snap)
+        base_w = max(int(round(width / scale / snap)) * snap, vf * snap)
+        first = self(
+            model, height=base_h, width=base_w, output_type="latents",
+            **common,
+        )
+        lat = first.latents
+        target = (lat.shape[0], height // vf, width // vf, lat.shape[-1])
+        up = jax.image.resize(lat.astype(jnp.float32), target, "bilinear")
+        steps2 = hires_steps or common["num_inference_steps"]
+        second = self(
+            model, image=up, strength=strength, height=height, width=width,
+            output_type=output_type, vae_tiling=vae_tiling,
+            **{**common, "num_inference_steps": steps2},
+        )
+        return second
+
     # -- timestep windows (ref: sd_unified_pipeline.py:722-761) -------------
     def get_timesteps(
         self,
@@ -673,12 +701,51 @@ class StableDiffusionUnifiedPipeline:
         negative_prompt_embeds=None,
         pooled_prompt_embeds=None,
         negative_pooled_prompt_embeds=None,
+        # A1111 "hires fix" (beyond-parity): txt2img at height/width ÷ scale,
+        # bilinear-upscale the LATENTS to the requested size, then an img2img
+        # denoise pass at hires_strength.  height/width are the FINAL size.
+        hires_scale: Optional[float] = None,
+        hires_strength: float = 0.7,
+        hires_steps: Optional[int] = None,
     ) -> SDPipelineOutput:
         scheduler = model.scheduler
         num_inference_steps = resolve_custom_schedule(
             num_inference_steps, timesteps, sigmas
         )
         vf = model.vae_scale_factor
+        if hires_scale is not None and float(hires_scale) > 1.0:
+            if image is not None or mask_image is not None or use_refiner:
+                raise ValueError("hires_scale applies to txt2img only")
+            return self._hires_fix(
+                model, float(hires_scale), hires_strength, hires_steps,
+                dict(
+                    prompt=prompt, prompt_2=prompt_2,
+                    negative_prompt=negative_prompt,
+                    negative_prompt_2=negative_prompt_2,
+                    num_images_per_prompt=num_images_per_prompt,
+                    guidance_scale=guidance_scale,
+                    guidance_rescale=guidance_rescale,
+                    clip_skip=clip_skip, seed=seed,
+                    num_inference_steps=num_inference_steps,
+                    timesteps=timesteps, sigmas=sigmas,
+                    cache_interval=cache_interval,
+                    cross_attention_kwargs=cross_attention_kwargs,
+                    prompt_weighting=prompt_weighting,
+                    control_image=control_image,
+                    controlnet_conditioning_scale=controlnet_conditioning_scale,
+                    ip_adapter_image=ip_adapter_image,
+                    ip_adapter_image_embeds=ip_adapter_image_embeds,
+                    ip_adapter_scale=ip_adapter_scale,
+                    prompt_embeds=prompt_embeds,
+                    negative_prompt_embeds=negative_prompt_embeds,
+                    pooled_prompt_embeds=pooled_prompt_embeds,
+                    negative_pooled_prompt_embeds=negative_pooled_prompt_embeds,
+                ),
+                height=height or model.unet_config.sample_size * vf,
+                width=width or model.unet_config.sample_size * vf,
+                output_type=output_type,
+                vae_tiling=vae_tiling,
+            )
         if use_refiner:
             if model.refiner_params is None:
                 raise ValueError("use_refiner=True but no refiner loaded "

@@ -57,6 +57,9 @@ INFERENCE_ARG_KEYS = (
     "padding_mask_crop",
     "cache_interval",
     "vae_tiling",
+    "hires_scale",
+    "hires_strength",
+    "hires_steps",
     "timesteps",
     "sigmas",
     "control_image",

@@ -62,7 +62,9 @@ INDEX_HTML = """<!DOCTYPE html>
  <label>Height</label><input type="number" id="height" value="1024" step="64" min="256" max="2048"><br>
  <label>Images per prompt</label><input type="number" id="nimg" value="1" min="1" max="16">
  <label><input type="checkbox" id="vae_tiling"> Tiled VAE (2048²+)</label>
- <label><input type="checkbox" id="prompt_weighting"> (word:1.2) weighting</label>
+ <label><input type="checkbox" id="prompt_weighting"> (word:1.2) weighting</label><br>
+ <label>Hires fix scale (0=off)</label><input type="number" id="hires_scale" value="0" min="0" max="4" step="0.25">
+ <label>Hires strength</label><input type="range" id="hires_strength" min="0" max="1" step="0.05" value="0.7">
 </fieldset>
 <button onclick="generate()">Generate</button><span id="status"></span>
 <div id="gallery"></div>
@@ -97,6 +99,10 @@ async function generate() {{
   if (+g('seed').value >= 0) input.seed = +g('seed').value;
   if (g('vae_tiling').checked) input.vae_tiling = true;
   if (g('prompt_weighting').checked) input.prompt_weighting = true;
+  if (+g('hires_scale').value > 1) {{
+    input.hires_scale = +g('hires_scale').value;
+    input.hires_strength = +g('hires_strength').value;
+  }}
   const model = {{}};
   if (g('model_name').value) {{
     model.type = g('model_type').value; model.name = g('model_name').value;
