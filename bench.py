@@ -132,7 +132,17 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
-    jax.devices()
+    try:
+        jax.devices()
+    except Exception as e:  # raise-path: still emit the one-JSON-line record
+        print(json.dumps({
+            "metric": "sd15_512px_20step_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": f"TPU backend init failed: {type(e).__name__}: {e}",
+        }), flush=True)
+        raise SystemExit(3)
     probe_done.set()
 
     from stablediffusion_tpu.core.compile_cache import enable_compilation_cache

@@ -104,7 +104,15 @@ def load_sd_single_file(
         if tokenizer_dir is None:
             return None
         d = os.path.join(tokenizer_dir, sub)
-        if not os.path.isdir(d) and sub == "tokenizer":
+        if not os.path.isdir(d):
+            if sub == "tokenizer_2":
+                # CLIP-L and OpenCLIP-bigG share vocab+merges; only the pad
+                # token differs ("!" = id 0 for tower 2) — reuse tower 1's
+                # files rather than failing on a missing tokenizer_2 folder
+                d = os.path.join(tokenizer_dir, "tokenizer")
+                if not os.path.isdir(d):
+                    d = tokenizer_dir
+                return CLIPTokenizer.from_pretrained(d, pad_token_id=0)
             d = tokenizer_dir  # files given directly
         return CLIPTokenizer.from_pretrained(d)
 

@@ -91,12 +91,26 @@ class SDModel:
         reload is the one mutation that re-reads from disk."""
         if not self.path:
             raise ValueError("model has no checkpoint path to reload from")
-        from stablediffusion_tpu.io.loader import load_sd_model
+        import os
 
-        fresh = load_sd_model(
-            self.path, model_type=self.model_type,
-            scheduler_name=self.scheduler_name,
+        from stablediffusion_tpu.io.loader import (
+            load_sd_model,
+            load_sd_single_file,
         )
+
+        if os.path.isfile(self.path):  # A1111 single-file origin
+            fresh = load_sd_single_file(
+                self.path, scheduler_name=self.scheduler_name,
+                prediction_type=self.scheduler_config.prediction_type,
+            )
+            # single files carry no tokenizer; keep the ones we have
+            fresh.tokenizer = self.tokenizer
+            fresh.tokenizer_2 = self.tokenizer_2
+        else:
+            fresh = load_sd_model(
+                self.path, model_type=self.model_type,
+                scheduler_name=self.scheduler_name,
+            )
         self.__dict__.update(fresh.__dict__)
         return self
 

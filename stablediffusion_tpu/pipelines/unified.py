@@ -514,11 +514,19 @@ class StableDiffusionUnifiedPipeline:
         lat = first.latents
         target = (lat.shape[0], height // vf, width // vf, lat.shape[-1])
         up = jax.image.resize(lat.astype(jnp.float32), target, "bilinear")
-        steps2 = hires_steps or common["num_inference_steps"]
+        overrides = {"num_inference_steps":
+                     hires_steps or common["num_inference_steps"]}
+        if hires_steps and (common.get("timesteps") is not None
+                            or common.get("sigmas") is not None):
+            # an explicit hires_steps wins over a custom base schedule for
+            # the refinement pass (it would otherwise be silently ignored —
+            # resolve_custom_schedule derives steps from the arrays)
+            overrides["timesteps"] = None
+            overrides["sigmas"] = None
         second = self(
             model, image=up, strength=strength, height=height, width=width,
             output_type=output_type, vae_tiling=vae_tiling,
-            **{**common, "num_inference_steps": steps2},
+            **{**common, **overrides},
         )
         return second
 
@@ -716,6 +724,18 @@ class StableDiffusionUnifiedPipeline:
         if hires_scale is not None and float(hires_scale) > 1.0:
             if image is not None or mask_image is not None or use_refiner:
                 raise ValueError("hires_scale applies to txt2img only")
+            if latents is not None:
+                raise ValueError(
+                    "hires_scale cannot take pinned latents= (the base pass "
+                    "runs at height/scale — pass a seed instead)"
+                )
+            if _denoising_valid(denoising_start) or _denoising_valid(
+                denoising_end
+            ):
+                raise ValueError(
+                    "hires_scale and denoising_start/denoising_end windows "
+                    "cannot combine"
+                )
             return self._hires_fix(
                 model, float(hires_scale), hires_strength, hires_steps,
                 dict(

@@ -169,6 +169,19 @@ class Handler:
                     self.model = load_sd_model(path, model_type=mtype)
         if self.model is None:
             raise ValueError("no model loaded and no model.name provided")
+        if "prediction_type" in model_cfg and model_cfg["prediction_type"]:
+            # applies even when the idempotency check skipped a reload (a
+            # v-pred single file first loaded without the hint would
+            # otherwise silently stay epsilon)
+            import dataclasses
+
+            if (self.model.scheduler_config.prediction_type
+                    != model_cfg["prediction_type"]):
+                self.model.scheduler_config = dataclasses.replace(
+                    self.model.scheduler_config,
+                    prediction_type=model_cfg["prediction_type"],
+                )
+                self.model._scheduler = None  # rebuild from the new config
         if "loras" in model_cfg:
             loras = model_cfg["loras"]
             if loras:

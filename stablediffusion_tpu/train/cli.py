@@ -283,7 +283,12 @@ def main(argv=None):
 
         model.load_lora_weights(
             "trained",
-            load_lora_file(f"{args.output_dir}/pytorch_lora_weights.safetensors"),
+            # model_paths resolves kohya's underscore-flattened names exactly
+            # (--lora_format kohya would otherwise fail to re-load here)
+            load_lora_file(
+                f"{args.output_dir}/pytorch_lora_weights.safetensors",
+                model.lora_module_paths(),
+            ),
         )
         model.set_adapters({"trained": 1.0})
         pipe = StableDiffusionUnifiedPipeline()

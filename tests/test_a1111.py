@@ -608,3 +608,92 @@ def test_serving_sd3_single_file_clear_error(tiny_state, tmp_path):
     h = Handler(model_dir=str(tmp_path))
     with pytest.raises(ValueError, match="SD3 single-file"):
         h.maybe_reload_model({"type": "sd3", "name": "model.safetensors"})
+
+
+def test_single_file_sdxl_tokenizer2_fallback(tmp_path):
+    """An SDXL single file with only a tokenizer/ folder next to it loads —
+    tower 2 reuses tower 1's vocab/merges with the OpenCLIP pad (!, id 0)."""
+    from helpers import make_tiny_model, tiny_tokenizer
+
+    from stablediffusion_tpu.io.loader import load_sd_single_file, save_sd_model
+
+    # build an SDXL LDM-style single file via the deconversion helpers is
+    # heavy; instead exercise tok() indirectly: the loader's tokenizer
+    # resolution is what this test pins, using a monkeypatched converter
+    import stablediffusion_tpu.io.loader as loader_mod
+
+    tiny_tokenizer().save_pretrained(str(tmp_path / "tokenizer"))
+    model = make_tiny_model("sdxl")
+
+    import numpy as np
+
+    from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
+
+    def fake_convert(state, extract_ema_weights=False, scaling_factor=None):
+        weights = {
+            comp: {
+                k: deconvert_tensor(k, np.asarray(v))
+                for k, v in flatten(tree).items()
+            }
+            for comp, tree in (
+                ("unet", model.unet_params), ("vae", model.vae_params),
+                ("text_encoder", model.text_encoder_params),
+                ("text_encoder_2", model.text_encoder_2_params),
+            )
+        }
+        import dataclasses as dc
+
+        def cfgd(c):
+            return {f.name: getattr(c, f.name) for f in dc.fields(c)}
+
+        configs = {
+            "model_type": "sdxl",
+            "unet": loader_mod._unet_cfg_dict(model.unet_config),
+            "vae": loader_mod._vae_cfg_dict(model.vae_config),
+            "text_encoder": loader_mod._clip_cfg_dict(model.text_encoder_config),
+            "text_encoder_2": loader_mod._clip_cfg_dict(
+                model.text_encoder_2_config),
+        }
+        return weights, configs
+
+    import stablediffusion_tpu.io.a1111 as a1111_mod
+
+    f = tmp_path / "sdxl.safetensors"
+    from stablediffusion_tpu.io.safetensors_io import save_safetensors
+
+    save_safetensors({"dummy": np.zeros(1, np.float32)}, f)
+    orig = a1111_mod.convert_a1111_checkpoint
+    a1111_mod.convert_a1111_checkpoint = fake_convert
+    try:
+        m = load_sd_single_file(str(f), tokenizer_dir=str(tmp_path))
+    finally:
+        a1111_mod.convert_a1111_checkpoint = orig
+    assert m.tokenizer is not None and m.tokenizer_2 is not None
+    assert m.tokenizer_2.pad_token_id == 0  # OpenCLIP "!" pad
+
+
+def test_single_file_reload(tiny_state, tmp_path):
+    from stablediffusion_tpu.io.loader import load_sd_single_file
+
+    ckpt = _tiny_single_file(tiny_state, tmp_path)
+    m = load_sd_single_file(ckpt, tokenizer_dir=str(tmp_path),
+                            prediction_type="v_prediction")
+    tok = m.tokenizer
+    m.reload()
+    assert m.tokenizer is tok  # kept (single files carry no tokenizer)
+    assert m.scheduler_config.prediction_type == "v_prediction"
+
+
+def test_serving_prediction_type_applies_without_reload(tiny_state, tmp_path):
+    from stablediffusion_tpu.serve.handler import Handler
+
+    ckpt = _tiny_single_file(tiny_state, tmp_path)
+    h = Handler(model_dir=str(tmp_path))
+    h.maybe_reload_model({"type": "sd15", "name": "model.safetensors"})
+    assert h.model.scheduler_config.prediction_type == "epsilon"
+    gen = h.model
+    h.maybe_reload_model({"type": "sd15", "name": "model.safetensors",
+                          "prediction_type": "v_prediction"})
+    assert h.model is gen  # no reload
+    assert h.model.scheduler_config.prediction_type == "v_prediction"
+    assert h.model.scheduler.config.prediction_type == "v_prediction"

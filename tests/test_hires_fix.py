@@ -68,3 +68,26 @@ def test_serving_keys_registered():
 
     for k in ("hires_scale", "hires_strength", "hires_steps"):
         assert k in INFERENCE_ARG_KEYS, k
+
+
+def test_hires_rejects_pinned_latents_and_windows(model, pipe):
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="pinned latents"):
+        pipe(model, prompt="a cat", height=64, width=64, hires_scale=2.0,
+             num_inference_steps=2, seed=1,
+             latents=jnp.zeros((1, 4, 4, 4)))
+    with pytest.raises(ValueError, match="denoising_start"):
+        pipe(model, prompt="a cat", height=64, width=64, hires_scale=2.0,
+             num_inference_steps=2, seed=1, denoising_start=0.5)
+
+
+def test_hires_steps_beats_custom_schedule(model, pipe):
+    """With a custom timesteps base schedule, an explicit hires_steps must
+    control the refinement pass (not be silently ignored)."""
+    ts = [801, 601, 401, 201]
+    kw = dict(prompt="a cat", height=64, width=64, seed=4,
+              num_inference_steps=4, timesteps=ts, hires_scale=2.0)
+    full = pipe(model, **kw)
+    short = pipe(model, hires_steps=2, **kw)
+    assert np.abs(full.images - short.images).max() > 1e-7
