@@ -222,7 +222,18 @@ def _denoise(
     N = plan.num_steps
     state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
 
+    def _embeds_at(i):
+        """Prompt editing (A1111 [from:to:when]): `embeds` may be a
+        (stack [K, 2B|B, L, D], starts [K]) pair — select the interval whose
+        start the current step has reached.  Plain array: passthrough."""
+        if isinstance(embeds, tuple):
+            stack, starts = embeds
+            idx = jnp.sum(i >= starts) - 1
+            return jax.lax.dynamic_index_in_dim(stack, idx, 0, keepdims=False)
+        return embeds
+
     def one_step(lat, state, i, key, deep_cache=None, want_cache=False):
+        emb = _embeds_at(i)
         x = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
         x = scheduler.scale_model_input(plan, x, i)
         if inpaint_mode == "concat9":
@@ -244,11 +255,11 @@ def _denoise(
                 else control_image
             )
             down_res, mid_res = controlnet_model.apply(
-                controlnet_params, controlnet_config, x, t, embeds, ci,
+                controlnet_params, controlnet_config, x, t, emb, ci,
                 conditioning_scale=controlnet_scale, added_cond=added_cond,
             )
         result = unet_model.apply(
-            unet_params, unet_config, x, t, embeds, added_cond=added_cond,
+            unet_params, unet_config, x, t, emb, added_cond=added_cond,
             deep_cache=deep_cache, return_deep_cache=want_cache,
             down_block_residuals=down_res, mid_block_residual=mid_res,
             ip_hidden_states=ip_tokens, ip_scale=ip_scale,
@@ -358,6 +369,8 @@ class StableDiffusionUnifiedPipeline:
         refiner_mode: bool = False,
         lora_scale: Optional[float] = None,
         prompt_weighting: bool = False,
+        min_chunks: int = 1,  # floor for the A1111 chunk count (prompt
+        #   editing stacks variants, which must share one sequence length)
     ):
         prompt = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompt)
@@ -426,7 +439,7 @@ class StableDiffusionUnifiedPipeline:
             if refiner_mode:
                 negs = [neg2]
 
-        n_chunks = 1
+        n_chunks = max(1, int(min_chunks))
         streams: dict = {}  # (tower_idx, is_neg) -> [token_stream(t), ...]
         if prompt_weighting:
             from stablediffusion_tpu.utils import prompt_weights as pw
@@ -822,6 +835,8 @@ class StableDiffusionUnifiedPipeline:
         k_latent, k_encode, k_steps, k_mask = jax.random.split(key, 4)
 
         # 2. prompts
+        edit_starts = None
+        edit_extra: list = []
         if prompt_embeds is not None:
             embeds = jnp.asarray(prompt_embeds)
             neg_embeds = (
@@ -843,19 +858,65 @@ class StableDiffusionUnifiedPipeline:
             embeds, neg_embeds = tile(embeds), tile(neg_embeds)
             pooled, neg_pooled = tile(pooled), tile(neg_pooled)
         else:
-            embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
-                model,
-                prompt,
-                prompt_2,
-                negative_prompt,
-                negative_prompt_2,
+            # A1111 prompt editing [from:to:when]: realize one concrete
+            # prompt per step interval; the scan selects by step index
+            edit_variants = None
+            if prompt_weighting:
+                from stablediffusion_tpu.utils import prompt_edit as pe
+
+                texts = [prompt] if isinstance(prompt, str) else list(prompt)
+                merged = pe.merge_schedules(
+                    [pe.parse_edit_schedule(t, num_inference_steps)
+                     for t in texts],
+                    texts,
+                )
+                if merged is not None and len(merged[0]) > 1:
+                    edit_starts, edit_variants = merged
+                elif merged is not None:
+                    # schedule collapsed to one interval (boundary at 0 or
+                    # past the end): still encode the REALIZED text — the
+                    # raw markup would otherwise hit the attention parser
+                    prompt = merged[1][0]
+
+            enc_common = dict(
                 num_images_per_prompt=n,
                 clip_skip=clip_skip,
-                do_cfg=do_cfg,
                 refiner_mode=use_refiner,
                 lora_scale=(cross_attention_kwargs or {}).get("scale"),
                 prompt_weighting=prompt_weighting,
             )
+            if edit_variants is not None:
+                # variants must share one sequence length: floor the chunk
+                # count at the max over every variant and tower
+                from stablediffusion_tpu.utils import prompt_weights as pw
+
+                toks = [model.tokenizer] + (
+                    [model.tokenizer_2] if model.is_sdxl else []
+                )
+                k_floor = max(
+                    pw.num_chunks(tok, t)
+                    for tok in toks
+                    for variant in edit_variants
+                    for t in variant
+                )
+                embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
+                    model, edit_variants[0], prompt_2, negative_prompt,
+                    negative_prompt_2, do_cfg=do_cfg,
+                    min_chunks=k_floor, **enc_common,
+                )
+                edit_extra = [
+                    self.encode_prompt(
+                        model, v, prompt_2, None, None, do_cfg=False,
+                        min_chunks=k_floor, **enc_common,
+                    )[0]
+                    for v in edit_variants[1:]
+                ]
+            else:
+                edit_extra = []
+                embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
+                    model, prompt, prompt_2, negative_prompt,
+                    negative_prompt_2, do_cfg=do_cfg, **enc_common,
+                )
         embeds = embeds.astype(self.dtype)
 
         lat_c = model.vae_config.latent_channels
@@ -1036,6 +1097,18 @@ class StableDiffusionUnifiedPipeline:
             embeds = jnp.concatenate(
                 [neg_embeds.astype(self.dtype), embeds], axis=0
             )
+        if edit_extra:
+            # prompt editing: stack [K, 2B|B, L, D] + interval starts; the
+            # scan picks the active variant by step (negatives are static)
+            full = [embeds]
+            for e in edit_extra:
+                e = e.astype(self.dtype)
+                if do_cfg:
+                    e = jnp.concatenate(
+                        [neg_embeds.astype(self.dtype), e], axis=0
+                    )
+                full.append(e)
+            embeds = (jnp.stack(full), jnp.asarray(edit_starts, jnp.int32))
 
         # IP-Adapter image tokens
         ip_tokens = None
@@ -1092,7 +1165,8 @@ class StableDiffusionUnifiedPipeline:
         else:
             step_keys = jax.random.split(k_steps, plan.num_steps)
         latents = self._shard(latents)
-        embeds = self._shard(embeds)
+        if not isinstance(embeds, tuple):  # edit stacks stay replicated
+            embeds = self._shard(embeds)
         if added_cond is not None:
             added_cond = {k: self._shard(v) for k, v in added_cond.items()}
         mask_lat = self._shard(mask_lat)

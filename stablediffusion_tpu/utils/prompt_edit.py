@@ -1,0 +1,111 @@
+"""A1111 prompt editing: ``[from:to:when]`` switches the conditioning text
+mid-denoise (``when`` < 1 is a fraction of total steps, >= 1 an absolute
+step); ``[to:when]`` adds text from ``when`` on.  Part of the opt-in A1111
+prompt mode (``prompt_weighting=True``) — the default path treats brackets
+literally (diffusers parity).
+
+Original implementation of the published webui grammar (non-nested edits;
+``[a|b]`` alternation is not supported).  The realized per-interval prompts
+then flow through the normal emphasis/chunking encoder, and the compiled
+denoise scan selects the active embedding by step index
+(pipelines/unified._denoise) — no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+_BRACKET_RE = re.compile(r"\[([^\[\]]+)\]")  # non-nested bracket groups
+_NUM_RE = re.compile(r"^\d+(?:\.\d+)?$|^\.\d+$")
+
+
+def _boundary(when: str, steps: int) -> int:
+    w = float(when)
+    step = int(w) if w >= 1.0 else int(w * steps)
+    return max(0, min(step, steps))
+
+
+def _split_top(content: str) -> List[str]:
+    """Split on colons OUTSIDE parentheses, so emphasis weights inside an
+    edit segment — ``[(cat:1.3):dog:0.5]`` — don't confuse the fields."""
+    parts, buf, depth = [], [], 0
+    for ch in content:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        if ch == ":" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def parse_edit_schedule(
+    text: str, steps: int
+) -> Optional[List[Tuple[int, str]]]:
+    """None when the prompt has no edit syntax; else the conditioning
+    schedule ``[(start_step, concrete_prompt), ...]`` with start 0 first,
+    strictly ascending starts, every edit realized for its interval.
+    The last top-level colon field being numeric is what distinguishes an
+    edit from an [attention] bracket."""
+    edits = []  # (span, before_text, after_text, boundary_step)
+    for m in _BRACKET_RE.finditer(text):
+        parts = _split_top(m.group(1))
+        if len(parts) not in (2, 3) or not _NUM_RE.match(parts[-1].strip()):
+            continue  # [attention] bracket or alternation — not an edit
+        when = parts[-1].strip()
+        if len(parts) == 2:
+            before, after = "", parts[0]  # [to:when]: appears from `when` on
+        else:
+            before, after = parts[0], parts[1]
+        edits.append((m.span(), before, after, _boundary(when, steps)))
+    if not edits:
+        return None
+
+    starts = sorted({0, *(e[3] for e in edits)})
+    # boundaries at/after the last step never take effect
+    starts = [s for s in starts if s < steps] or [0]
+
+    def realize(at_step: int) -> str:
+        out, pos = [], 0
+        for (s0, s1), before, after, boundary in edits:
+            out.append(text[pos:s0])
+            out.append(after if at_step >= boundary else before)
+            pos = s1
+        out.append(text[pos:])
+        return "".join(out)
+
+    return [(s, realize(s)) for s in starts]
+
+
+def merge_schedules(
+    schedules: List[Optional[List[Tuple[int, str]]]],
+    plain_texts: List[str],
+) -> Optional[Tuple[List[int], List[List[str]]]]:
+    """Align a batch of per-prompt schedules on the UNION of boundaries ->
+    (starts, variants) where variants[k] is the full prompt list for
+    interval k.  None when no prompt in the batch has edits."""
+    if all(s is None for s in schedules):
+        return None
+    starts = sorted({0, *(
+        s0 for sched in schedules if sched for s0, _ in sched
+    )})
+
+    def at(sched, text, step):
+        if sched is None:
+            return text
+        active = sched[0][1]
+        for s0, t in sched:
+            if step >= s0:
+                active = t
+        return active
+
+    variants = [
+        [at(s, t, step) for s, t in zip(schedules, plain_texts)]
+        for step in starts
+    ]
+    return starts, variants

@@ -1,0 +1,93 @@
+"""A1111 prompt editing [from:to:when] (part of the opt-in A1111 prompt
+mode): parser schedules, batch merge, and the step-selected embedding stack
+inside the compiled denoise scan."""
+
+import numpy as np
+import pytest
+
+from stablediffusion_tpu.pipelines.unified import StableDiffusionUnifiedPipeline
+from stablediffusion_tpu.utils.prompt_edit import (
+    merge_schedules,
+    parse_edit_schedule,
+)
+
+from helpers import make_tiny_model
+
+
+@pytest.mark.parametrize(
+    "text,steps,expected",
+    [
+        ("a [cat:dog:0.5] x", 10, [(0, "a cat x"), (5, "a dog x")]),
+        ("a [winter:4] scene", 10, [(0, "a  scene"), (4, "a winter scene")]),
+        # absolute step; two edits on union boundaries
+        ("[a:b:2] [c:d:0.8]", 10,
+         [(0, "a c"), (2, "b c"), (8, "b d")]),
+        # emphasis weight inside a segment doesn't confuse the fields
+        ("a [(cat:1.3):dog:0.5]", 10, [(0, "a (cat:1.3)"), (5, "a dog")]),
+        # boundary at/after the end never fires (>=1 is an ABSOLUTE step,
+        # so 1.0 means step 1 — A1111 semantics; use >= steps to disable)
+        ("a [cat:dog:10] x", 10, [(0, "a cat x")]),
+        ("a [cat:dog:1.0] x", 10, [(0, "a cat x"), (1, "a dog x")]),
+    ],
+)
+def test_parse_schedules(text, steps, expected):
+    assert parse_edit_schedule(text, steps) == expected
+
+
+def test_attention_brackets_are_not_edits():
+    assert parse_edit_schedule("a [cat] x", 10) is None
+    assert parse_edit_schedule("x [a:b] y", 10) is None  # no numeric when
+    assert parse_edit_schedule("plain", 10) is None
+
+
+def test_merge_schedules_union():
+    s = parse_edit_schedule("a [cat:dog:0.5]", 10)
+    got = merge_schedules([s, None], ["a [cat:dog:0.5]", "plain"])
+    assert got == ([0, 5], [["a cat", "plain"], ["a dog", "plain"]])
+    assert merge_schedules([None, None], ["a", "b"]) is None
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_tiny_model("sd15")
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return StableDiffusionUnifiedPipeline()
+
+
+def test_pipeline_edit_interpolates_between_endpoints(model, pipe):
+    kw = dict(height=32, width=32, num_inference_steps=4, seed=11,
+              prompt_weighting=True)
+    cat = pipe(model, prompt="a cat", **kw)
+    dog = pipe(model, prompt="a dog", **kw)
+    mid = pipe(model, prompt="a [cat:dog:0.5]", **kw)
+    # the edited run differs from both constant-prompt runs
+    assert np.abs(mid.images - cat.images).max() > 1e-7
+    assert np.abs(mid.images - dog.images).max() > 1e-7
+    # boundary at 0 == pure target prompt (every step uses 'dog')
+    all_dog = pipe(model, prompt="a [cat:dog:0]", **kw)
+    np.testing.assert_allclose(all_dog.images, dog.images, atol=1e-6)
+    # boundary past the end == pure source prompt
+    all_cat = pipe(model, prompt="a [cat:dog:4]", **kw)
+    np.testing.assert_allclose(all_cat.images, cat.images, atol=1e-6)
+
+
+def test_pipeline_edit_without_weighting_is_literal(model, pipe):
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=3)
+    lit = pipe(model, prompt="a [cat:dog:0.5]", **kw)
+    # default mode: the bracket text is literal tokens, still runs fine
+    assert np.isfinite(lit.images).all()
+
+
+def test_pipeline_edit_batch_mixed(model, pipe):
+    out = pipe(model, prompt=["a [cat:dog:0.5]", "a cat"],
+               height=32, width=32, num_inference_steps=4,
+               seed=[7, 8], prompt_weighting=True)
+    assert out.images.shape == (2, 32, 32, 3)
+    # the un-edited batch member matches its solo render (composition
+    # invariance with per-sample seeds)
+    solo = pipe(model, prompt="a cat", height=32, width=32,
+                num_inference_steps=4, seed=[8], prompt_weighting=True)
+    np.testing.assert_allclose(out.images[1], solo.images[0], atol=1e-5)
