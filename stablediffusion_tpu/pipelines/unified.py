@@ -858,18 +858,15 @@ class StableDiffusionUnifiedPipeline:
             embeds, neg_embeds = tile(embeds), tile(neg_embeds)
             pooled, neg_pooled = tile(pooled), tile(neg_pooled)
         else:
-            # A1111 prompt editing [from:to:when]: realize one concrete
-            # prompt per step interval; the scan selects by step index
+            # A1111 prompt editing [from:to:when] + alternation [a|b]:
+            # realize one concrete prompt per step interval; the scan
+            # selects by step index
             edit_variants = None
-            if prompt_weighting:
+            if prompt_weighting and prompt is not None:
                 from stablediffusion_tpu.utils import prompt_edit as pe
 
                 texts = [prompt] if isinstance(prompt, str) else list(prompt)
-                merged = pe.merge_schedules(
-                    [pe.parse_edit_schedule(t, num_inference_steps)
-                     for t in texts],
-                    texts,
-                )
+                merged = pe.schedule_prompts(texts, num_inference_steps)
                 if merged is not None and len(merged[0]) > 1:
                     edit_starts, edit_variants = merged
                 elif merged is not None:

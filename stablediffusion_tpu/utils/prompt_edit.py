@@ -82,6 +82,74 @@ def parse_edit_schedule(
     return [(s, realize(s)) for s in starts]
 
 
+def _split_alt(content: str) -> Optional[List[str]]:
+    """Top-level '|' split (outside parens) -> alternation options, or None
+    when the bracket has no top-level pipe."""
+    parts, buf, depth = [], [], 0
+    has_pipe = False
+    for ch in content:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        if ch == "|" and depth == 0:
+            has_pipe = True
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts if has_pipe else None
+
+
+def realize_at(text: str, step: int, steps: int) -> str:
+    """The concrete prompt at one denoise step: ``[a|b]`` alternation cycles
+    per step, ``[from:to:when]`` edits switch at their boundary, plain
+    ``[attention]`` brackets pass through untouched."""
+    out, pos = [], 0
+    for m in _BRACKET_RE.finditer(text):
+        content = m.group(1)
+        alts = _split_alt(content)
+        if alts is not None:
+            repl = alts[step % len(alts)]
+        else:
+            parts = _split_top(content)
+            if len(parts) in (2, 3) and _NUM_RE.match(parts[-1].strip()):
+                boundary = _boundary(parts[-1].strip(), steps)
+                if len(parts) == 2:
+                    before, after = "", parts[0]
+                else:
+                    before, after = parts[0], parts[1]
+                repl = after if step >= boundary else before
+            else:
+                repl = m.group(0)  # attention bracket: keep verbatim
+        out.append(text[pos : m.start()])
+        out.append(repl)
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
+
+
+def schedule_prompts(
+    texts: List[str], steps: int
+) -> Optional[Tuple[List[int], List[List[str]]]]:
+    """Per-step realization for a whole batch, deduplicated into intervals:
+    (starts, variants) where variants[k] applies from starts[k] on.  None
+    when no prompt contains editing or alternation syntax (the realized
+    text never changes AND equals the raw text)."""
+    steps = max(int(steps), 1)
+    per_step = [[realize_at(t, i, steps) for t in texts]
+                for i in range(steps)]
+    if all(p == list(texts) for p in per_step):
+        return None
+    starts, variants = [0], [per_step[0]]
+    for i in range(1, steps):
+        if per_step[i] != variants[-1]:
+            starts.append(i)
+            variants.append(per_step[i])
+    return starts, variants
+
+
 def merge_schedules(
     schedules: List[Optional[List[Tuple[int, str]]]],
     plain_texts: List[str],

@@ -91,3 +91,33 @@ def test_pipeline_edit_batch_mixed(model, pipe):
     solo = pipe(model, prompt="a cat", height=32, width=32,
                 num_inference_steps=4, seed=[8], prompt_weighting=True)
     np.testing.assert_allclose(out.images[1], solo.images[0], atol=1e-5)
+
+
+def test_realize_at_and_alternation_schedule():
+    from stablediffusion_tpu.utils.prompt_edit import (
+        realize_at,
+        schedule_prompts,
+    )
+
+    assert realize_at("a [cat|dog] x", 0, 4) == "a cat x"
+    assert realize_at("a [cat|dog] x", 1, 4) == "a dog x"
+    assert realize_at("a [cat|dog] x", 2, 4) == "a cat x"
+    # attention brackets survive verbatim; edits still switch
+    assert realize_at("[keep] [a:b:2]", 3, 4) == "[keep] b"
+    got = schedule_prompts(["a [cat|dog]"], 4)
+    assert got == (
+        [0, 1, 2, 3],
+        [["a cat"], ["a dog"], ["a cat"], ["a dog"]],
+    )
+    # constant prompts -> None; collapsed edit -> single realized variant
+    assert schedule_prompts(["plain", "x"], 4) is None
+    assert schedule_prompts(["a [cat:dog:10]"], 4) == ([0], [["a cat"]])
+
+
+def test_pipeline_alternation_runs_and_differs(model, pipe):
+    kw = dict(height=32, width=32, num_inference_steps=4, seed=13,
+              prompt_weighting=True)
+    alt = pipe(model, prompt="a [cat|dog]", **kw)
+    cat = pipe(model, prompt="a cat", **kw)
+    assert np.isfinite(alt.images).all()
+    assert np.abs(alt.images - cat.images).max() > 1e-7
