@@ -219,11 +219,19 @@ def _denoise_sd3(
     N = plan.num_steps
     state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
 
+    def _embeds_at(i):
+        # prompt editing/alternation: (stack [K, 2B|B, S, D], starts [K])
+        if isinstance(embeds, tuple):
+            stack, starts = embeds
+            idx = jnp.sum(i >= starts) - 1
+            return jax.lax.dynamic_index_in_dim(stack, idx, 0, keepdims=False)
+        return embeds
+
     def body(carry, i):
         lat, state = carry
         x = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
         t = plan.timesteps[i]
-        pred = mmdit_model.apply(params, config, x, t, embeds, pooled)
+        pred = mmdit_model.apply(params, config, x, t, _embeds_at(i), pooled)
         if do_cfg:
             uncond, text = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance_scale * (text - uncond)
@@ -478,17 +486,55 @@ class StableDiffusion3Pipeline:
 
         k_latent, k_encode = jax.random.split(key)
 
+        # A1111 prompt editing/alternation (opt-in with prompt_weighting;
+        # SD3 embeds are fixed-length CLIP77+T5 concats, so variants stack
+        # without a chunk floor).  pooled stays at variant 0.
+        edit_starts = None
+        edit_variants = None
+        enc_prompt = prompt
+        if prompt_weighting and prompt is not None:
+            from stablediffusion_tpu.utils import prompt_edit as pe
+
+            texts = [prompt] if isinstance(prompt, str) else list(prompt)
+            merged = pe.schedule_prompts(texts, num_inference_steps)
+            if merged is not None and len(merged[0]) > 1:
+                edit_starts, edit_variants = merged
+                enc_prompt = edit_variants[0]
+            elif merged is not None:
+                enc_prompt = merged[1][0]
+
         embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
-            model, prompt, prompt_2, prompt_3,
+            model, enc_prompt, prompt_2, prompt_3,
             negative_prompt, negative_prompt_2, negative_prompt_3,
             num_images_per_prompt=n, do_cfg=do_cfg,
             max_sequence_length=max_sequence_length, clip_skip=clip_skip,
             prompt_weighting=prompt_weighting,
         )
+        edit_extra = []
+        if edit_variants is not None:
+            edit_extra = [
+                self.encode_prompt(
+                    model, v, prompt_2, prompt_3, None, None, None,
+                    num_images_per_prompt=n, do_cfg=False,
+                    max_sequence_length=max_sequence_length,
+                    clip_skip=clip_skip, prompt_weighting=True,
+                )[0]
+                for v in edit_variants[1:]
+            ]
         if do_cfg:
             embeds = jnp.concatenate([neg_embeds, embeds], axis=0)
             pooled = jnp.concatenate([neg_pooled, pooled], axis=0)
         embeds = embeds.astype(self.dtype)
+        if edit_extra:
+            full = [embeds]
+            for e in edit_extra:
+                e = e.astype(self.dtype)
+                if do_cfg:
+                    full.append(jnp.concatenate(
+                        [neg_embeds.astype(self.dtype), e], axis=0))
+                else:
+                    full.append(e)
+            embeds = (jnp.stack(full), jnp.asarray(edit_starts, jnp.int32))
         pooled = pooled.astype(self.dtype)
 
         lat_c = model.vae_config.latent_channels
@@ -544,7 +590,7 @@ class StableDiffusion3Pipeline:
         latents = _denoise_sd3(
             model.transformer_params,
             self._shard(latents.astype(self.dtype)),
-            self._shard(embeds),
+            embeds if isinstance(embeds, tuple) else self._shard(embeds),
             self._shard(pooled),
             plan,
             jnp.asarray(guidance_scale, jnp.float32),

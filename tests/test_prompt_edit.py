@@ -121,3 +121,23 @@ def test_pipeline_alternation_runs_and_differs(model, pipe):
     cat = pipe(model, prompt="a cat", **kw)
     assert np.isfinite(alt.images).all()
     assert np.abs(alt.images - cat.images).max() > 1e-7
+
+
+def test_sd3_pipeline_edit_and_alternation():
+    from test_sd3 import make_tiny_sd3_model
+
+    from stablediffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
+
+    m = make_tiny_sd3_model()
+    p3 = StableDiffusion3Pipeline()
+    kw = dict(height=32, width=32, num_inference_steps=4, seed=6,
+              prompt_weighting=True)
+    cat = p3(m, prompt="a cat", **kw)
+    dog = p3(m, prompt="a dog", **kw)
+    mid = p3(m, prompt="a [cat:dog:0.5]", **kw)
+    assert np.abs(mid.images - cat.images).max() > 1e-7
+    assert np.abs(mid.images - dog.images).max() > 1e-7
+    all_dog = p3(m, prompt="a [cat:dog:0]", **kw)
+    np.testing.assert_allclose(all_dog.images, dog.images, atol=1e-6)
+    alt = p3(m, prompt="a [cat|dog]", **kw)
+    assert np.isfinite(alt.images).all()
