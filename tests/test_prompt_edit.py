@@ -141,3 +141,11 @@ def test_sd3_pipeline_edit_and_alternation():
     np.testing.assert_allclose(all_dog.images, dog.images, atol=1e-6)
     alt = p3(m, prompt="a [cat|dog]", **kw)
     assert np.isfinite(alt.images).all()
+
+
+def test_edit_combines_with_hires_fix(model, pipe):
+    out = pipe(model, prompt="a [cat:dog:0.5]", height=64, width=64,
+               num_inference_steps=4, seed=21, prompt_weighting=True,
+               hires_scale=2.0, hires_strength=0.6)
+    assert out.images.shape == (1, 64, 64, 3)
+    assert np.isfinite(out.images).all()
