@@ -220,11 +220,15 @@ def _denoise_sd3(
     state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
 
     def _embeds_at(i):
-        # prompt editing/alternation: (stack [K, 2B|B, S, D], starts [K])
+        # prompt editing/alternation: (stack of UNIQUE variants [U, 2B|B, S,
+        # D], interval starts [K] — already shifted to local step units —
+        # and interval->unique map [K])
         if isinstance(embeds, tuple):
-            stack, starts = embeds
-            idx = jnp.sum(i >= starts) - 1
-            return jax.lax.dynamic_index_in_dim(stack, idx, 0, keepdims=False)
+            stack, starts, idx_map = embeds
+            interval = jnp.sum(i >= starts) - 1
+            v = jax.lax.dynamic_index_in_dim(idx_map, interval, 0,
+                                             keepdims=False)
+            return jax.lax.dynamic_index_in_dim(stack, v, 0, keepdims=False)
         return embeds
 
     def body(carry, i):
@@ -499,7 +503,8 @@ class StableDiffusion3Pipeline:
             merged = pe.schedule_prompts(texts, num_inference_steps)
             if merged is not None and len(merged[0]) > 1:
                 edit_starts, edit_variants = merged
-                enc_prompt = edit_variants[0]
+                edit_uniq, edit_idx_map = pe.unique_variants(edit_variants)
+                enc_prompt = edit_uniq[0]
             elif merged is not None:
                 enc_prompt = merged[1][0]
 
@@ -519,7 +524,7 @@ class StableDiffusion3Pipeline:
                     max_sequence_length=max_sequence_length,
                     clip_skip=clip_skip, prompt_weighting=True,
                 )[0]
-                for v in edit_variants[1:]
+                for v in edit_uniq[1:]
             ]
         if do_cfg:
             embeds = jnp.concatenate([neg_embeds, embeds], axis=0)
@@ -534,7 +539,10 @@ class StableDiffusion3Pipeline:
                         [neg_embeds.astype(self.dtype), e], axis=0))
                 else:
                     full.append(e)
-            embeds = (jnp.stack(full), jnp.asarray(edit_starts, jnp.int32))
+            # starts shift by the img2img head-slice below (t_start);
+            # the triple is finalized at the _denoise_sd3 call
+            embeds = (jnp.stack(full), jnp.asarray(edit_starts, jnp.int32),
+                      jnp.asarray(edit_idx_map, jnp.int32))
         pooled = pooled.astype(self.dtype)
 
         lat_c = model.vae_config.latent_channels
@@ -562,6 +570,11 @@ class StableDiffusion3Pipeline:
                 max(int(plan.num_steps * (1.0 - strength)), 0),
                 plan.num_steps - 1,
             )
+            if isinstance(embeds, tuple):
+                # edit boundaries are in FULL-schedule steps; the scan index
+                # is local to the strength-sliced plan
+                embeds = (embeds[0], embeds[1] - jnp.int32(t_start),
+                          embeds[2])
             from stablediffusion_tpu.pipelines.unified import (
                 StableDiffusionUnifiedPipeline as _U,
             )

@@ -223,13 +223,19 @@ def _denoise(
     state0 = scheduler.init_state(plan, latents.shape, latents.dtype)
 
     def _embeds_at(i):
-        """Prompt editing (A1111 [from:to:when]): `embeds` may be a
-        (stack [K, 2B|B, L, D], starts [K]) pair — select the interval whose
-        start the current step has reached.  Plain array: passthrough."""
+        """Prompt editing/alternation: `embeds` may be a (stack [U, 2B|B, L,
+        D], starts [K], idx_map [K]) triple — pick the interval whose start
+        the current step has reached, then the UNIQUE variant it maps to
+        (alternation repeats variants; they are encoded/stored once).
+        starts are already shifted by any head-slice offset (strength /
+        denoising_start), so non-positive entries mean "active from the
+        first local step".  Plain array: passthrough."""
         if isinstance(embeds, tuple):
-            stack, starts = embeds
-            idx = jnp.sum(i >= starts) - 1
-            return jax.lax.dynamic_index_in_dim(stack, idx, 0, keepdims=False)
+            stack, starts, idx_map = embeds
+            interval = jnp.sum(i >= starts) - 1
+            v = jax.lax.dynamic_index_in_dim(idx_map, interval, 0,
+                                             keepdims=False)
+            return jax.lax.dynamic_index_in_dim(stack, v, 0, keepdims=False)
         return embeds
 
     def one_step(lat, state, i, key, deep_cache=None, want_cache=False):
@@ -884,20 +890,33 @@ class StableDiffusionUnifiedPipeline:
             )
             if edit_variants is not None:
                 # variants must share one sequence length: floor the chunk
-                # count at the max over every variant and tower
+                # count at the max over every variant AND the negatives /
+                # prompt_2 (a long negative raises the main encode's chunk
+                # count; without the floor the stack concat would mismatch)
                 from stablediffusion_tpu.utils import prompt_weights as pw
 
+                uniq, edit_idx_map = pe.unique_variants(edit_variants)
                 toks = [model.tokenizer] + (
                     [model.tokenizer_2] if model.is_sdxl else []
                 )
+                all_texts = [t for variant in uniq for t in variant]
+                if prompt_2 is not None:
+                    all_texts += ([prompt_2] if isinstance(prompt_2, str)
+                                  else list(prompt_2))
+                if do_cfg:
+                    for npx in (negative_prompt or "",
+                                negative_prompt_2 or (negative_prompt or "")):
+                        all_texts += ([npx] if isinstance(npx, str)
+                                      else list(npx))
                 k_floor = max(
-                    pw.num_chunks(tok, t)
-                    for tok in toks
-                    for variant in edit_variants
-                    for t in variant
+                    pw.num_chunks(tok, t) for tok in toks for t in all_texts
                 )
+                # NOTE pooled (and SDXL added_cond text_embeds) stay at
+                # variant 0 — cross-attention context schedules, the
+                # micro-conditioning vector does not (same convention as
+                # the SD3 pipeline; A1111 schedules pooled too)
                 embeds, neg_embeds, pooled, neg_pooled = self.encode_prompt(
-                    model, edit_variants[0], prompt_2, negative_prompt,
+                    model, uniq[0], prompt_2, negative_prompt,
                     negative_prompt_2, do_cfg=do_cfg,
                     min_chunks=k_floor, **enc_common,
                 )
@@ -906,7 +925,7 @@ class StableDiffusionUnifiedPipeline:
                         model, v, prompt_2, None, None, do_cfg=False,
                         min_chunks=k_floor, **enc_common,
                     )[0]
-                    for v in edit_variants[1:]
+                    for v in uniq[1:]
                 ]
             else:
                 edit_extra = []
@@ -919,6 +938,8 @@ class StableDiffusionUnifiedPipeline:
         lat_c = model.vae_config.latent_channels
         unet_c = unet_config.in_channels
         inpaint_mode = "none"
+        step_offset = 0  # head-sliced steps (strength / denoising_start):
+        #   edit boundaries are in FULL-schedule units and shift by this
         mask_lat = masked_lat = image_lat = noise4 = None
         crop = None
         original_image_np = None
@@ -928,7 +949,7 @@ class StableDiffusionUnifiedPipeline:
             plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
                                   sigmas=sigmas)
             if denoising_start is not None and _denoising_valid(denoising_start):
-                plan, _ = self.get_timesteps(
+                plan, step_offset = self.get_timesteps(
                     scheduler, num_inference_steps, 1.0, denoising_start,
                     timesteps=timesteps, sigmas=sigmas,
                 )
@@ -944,7 +965,7 @@ class StableDiffusionUnifiedPipeline:
         elif mask_image is None:
             # img2img
             image_arr = self._image_or_latents(image, lat_c)
-            plan, _ = self.get_timesteps(
+            plan, step_offset = self.get_timesteps(
                 scheduler,
                 num_inference_steps,
                 strength,
@@ -1095,8 +1116,10 @@ class StableDiffusionUnifiedPipeline:
                 [neg_embeds.astype(self.dtype), embeds], axis=0
             )
         if edit_extra:
-            # prompt editing: stack [K, 2B|B, L, D] + interval starts; the
-            # scan picks the active variant by step (negatives are static)
+            # prompt editing: stack of UNIQUE variants [U, 2B|B, L, D] +
+            # interval starts (shifted into the sliced plan's local step
+            # units) + interval->unique map; the scan picks by step
+            # (negatives are static)
             full = [embeds]
             for e in edit_extra:
                 e = e.astype(self.dtype)
@@ -1105,7 +1128,11 @@ class StableDiffusionUnifiedPipeline:
                         [neg_embeds.astype(self.dtype), e], axis=0
                     )
                 full.append(e)
-            embeds = (jnp.stack(full), jnp.asarray(edit_starts, jnp.int32))
+            embeds = (
+                jnp.stack(full),
+                jnp.asarray(edit_starts, jnp.int32) - jnp.int32(step_offset),
+                jnp.asarray(edit_idx_map, jnp.int32),
+            )
 
         # IP-Adapter image tokens
         ip_tokens = None

@@ -4,11 +4,13 @@ step); ``[to:when]`` adds text from ``when`` on.  Part of the opt-in A1111
 prompt mode (``prompt_weighting=True``) — the default path treats brackets
 literally (diffusers parity).
 
-Original implementation of the published webui grammar (non-nested edits;
-``[a|b]`` alternation is not supported).  The realized per-interval prompts
-then flow through the normal emphasis/chunking encoder, and the compiled
-denoise scan selects the active embedding by step index
-(pipelines/unified._denoise) — no Python in the hot loop.
+``[a|b]`` alternation cycles options per step.  Original implementation of
+the published webui grammar (non-nested brackets).  The realized
+per-interval prompts then flow through the normal emphasis/chunking encoder
+— each UNIQUE variant encoded once — and the compiled denoise scan selects
+the active embedding by step index (pipelines/unified._denoise); no Python
+in the hot loop.  Boundaries are expressed in FULL-schedule steps; callers
+shift them by the head-slice offset for strength/denoising_start windows.
 """
 
 from __future__ import annotations
@@ -42,44 +44,6 @@ def _split_top(content: str) -> List[str]:
             buf.append(ch)
     parts.append("".join(buf))
     return parts
-
-
-def parse_edit_schedule(
-    text: str, steps: int
-) -> Optional[List[Tuple[int, str]]]:
-    """None when the prompt has no edit syntax; else the conditioning
-    schedule ``[(start_step, concrete_prompt), ...]`` with start 0 first,
-    strictly ascending starts, every edit realized for its interval.
-    The last top-level colon field being numeric is what distinguishes an
-    edit from an [attention] bracket."""
-    edits = []  # (span, before_text, after_text, boundary_step)
-    for m in _BRACKET_RE.finditer(text):
-        parts = _split_top(m.group(1))
-        if len(parts) not in (2, 3) or not _NUM_RE.match(parts[-1].strip()):
-            continue  # [attention] bracket or alternation — not an edit
-        when = parts[-1].strip()
-        if len(parts) == 2:
-            before, after = "", parts[0]  # [to:when]: appears from `when` on
-        else:
-            before, after = parts[0], parts[1]
-        edits.append((m.span(), before, after, _boundary(when, steps)))
-    if not edits:
-        return None
-
-    starts = sorted({0, *(e[3] for e in edits)})
-    # boundaries at/after the last step never take effect
-    starts = [s for s in starts if s < steps] or [0]
-
-    def realize(at_step: int) -> str:
-        out, pos = [], 0
-        for (s0, s1), before, after, boundary in edits:
-            out.append(text[pos:s0])
-            out.append(after if at_step >= boundary else before)
-            pos = s1
-        out.append(text[pos:])
-        return "".join(out)
-
-    return [(s, realize(s)) for s in starts]
 
 
 def _split_alt(content: str) -> Optional[List[str]]:
@@ -150,30 +114,20 @@ def schedule_prompts(
     return starts, variants
 
 
-def merge_schedules(
-    schedules: List[Optional[List[Tuple[int, str]]]],
-    plain_texts: List[str],
-) -> Optional[Tuple[List[int], List[List[str]]]]:
-    """Align a batch of per-prompt schedules on the UNION of boundaries ->
-    (starts, variants) where variants[k] is the full prompt list for
-    interval k.  None when no prompt in the batch has edits."""
-    if all(s is None for s in schedules):
-        return None
-    starts = sorted({0, *(
-        s0 for sched in schedules if sched for s0, _ in sched
-    )})
-
-    def at(sched, text, step):
-        if sched is None:
-            return text
-        active = sched[0][1]
-        for s0, t in sched:
-            if step >= s0:
-                active = t
-        return active
-
-    variants = [
-        [at(s, t, step) for s, t in zip(schedules, plain_texts)]
-        for step in starts
-    ]
-    return starts, variants
+def unique_variants(
+    variants: List[List[str]],
+) -> Tuple[List[List[str]], List[int]]:
+    """Deduplicate interval variants -> (uniques, idx_map): uniques[0] is
+    always variants[0] (the interval-0 texts), idx_map[k] indexes uniques
+    for interval k.  Alternation would otherwise encode the same 2 prompts
+    once per step."""
+    uniq: List[List[str]] = []
+    seen = {}
+    idx_map: List[int] = []
+    for v in variants:
+        key = tuple(v)
+        if key not in seen:
+            seen[key] = len(uniq)
+            uniq.append(list(v))
+        idx_map.append(seen[key])
+    return uniq, idx_map
