@@ -193,14 +193,43 @@ def load_component_state(folder: str, variant="fp16", dtype=None) -> dict:
     return convert_state_dict(flat, dtype=dtype)
 
 
+# converter --scheduler_type choice -> serving registry name (the reference
+# constructs the matching diffusers class per choice,
+# scripts/convert_from_A1111.py:940-1003)
+_CONVERTER_SCHEDULER_NAMES = {
+    "ddim": "DDIM",
+    "pndm": "PNDM",
+    "lms": "lms",
+    "heun": "heun",
+    "euler": "euler",
+    "euler-ancestral": "euler_a",
+    "dpm": "DPM++ 2M",
+}
+
+
+def _resolve_scheduler_name(path: str, scheduler_name: Optional[str]) -> str:
+    """None means auto: honor a converted checkpoint's `_scheduler_type`
+    (model_index.json, written by io/convert_cli.py) before the DDIM
+    default."""
+    if scheduler_name is not None:
+        return scheduler_name
+    idx = os.path.join(path, "model_index.json")
+    if os.path.exists(idx):
+        stype = _read_json(idx).get("_scheduler_type")
+        if stype:
+            return _CONVERTER_SCHEDULER_NAMES.get(stype, stype)
+    return "DDIM"
+
+
 def load_sd_model(
     path: str,
     model_type: Optional[str] = None,
     dtype=None,
     variant: Optional[str] = "fp16",
-    scheduler_name: str = "DDIM",
+    scheduler_name: Optional[str] = None,
 ) -> SDModel:
     """Load a diffusers-layout folder (load_hf_checkpoint analog)."""
+    scheduler_name = _resolve_scheduler_name(path, scheduler_name)
     if model_type is None:
         model_type = "sdxl" if os.path.isdir(os.path.join(path, "text_encoder_2")) else "sd15"
 
@@ -402,12 +431,16 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> N
     os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
     with open(os.path.join(path, "scheduler", "scheduler_config.json"), "w") as f:
         json.dump(dataclasses.asdict(model.scheduler_config), f, indent=2)
+    # record the active scheduler by registry name so load_sd_model's auto
+    # resolution round-trips it (converted checkpoints use the converter's
+    # lowercase choice names; both spellings resolve)
     with open(os.path.join(path, "model_index.json"), "w") as f:
         json.dump(
             {
                 "_class_name": "StableDiffusionXLPipeline"
                 if model.is_sdxl
-                else "StableDiffusionPipeline"
+                else "StableDiffusionPipeline",
+                "_scheduler_type": model.scheduler_name,
             },
             f,
         )

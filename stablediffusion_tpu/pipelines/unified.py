@@ -563,13 +563,22 @@ class StableDiffusionUnifiedPipeline:
                               sigmas=sigmas)
         ts = np.asarray(plan.timesteps)
         if denoising_start is None:
+            # order-2 plans (Heun) interleave two scan indices per sampler
+            # step: compute t_start in sampler steps, slice scan indices
+            # (the diffusers `t_start * scheduler.order` convention)
+            base_steps = -(-plan.num_steps // plan.order)
             t_start = max(
-                int(plan.num_steps - int(num_inference_steps * strength)), 0
-            )
+                base_steps - int(num_inference_steps * strength), 0
+            ) * plan.order
         else:
             T = scheduler.config.num_train_timesteps
             cutoff = int(round(T - denoising_start * T))
-            t_start = int((ts >= cutoff).sum())
+            keep = int((ts < cutoff).sum())
+            if plan.order == 2 and keep % 2 == 0:
+                # start on a predictor stage (diffusers SDXL parity: odd
+                # remaining count for 2nd-order schedulers)
+                keep = min(keep + 1, plan.num_steps)
+            t_start = plan.num_steps - keep
         if t_start > 0:
             plan = self._slice_plan(plan, t_start)
         if plan.num_steps < 1:
@@ -1128,9 +1137,12 @@ class StableDiffusionUnifiedPipeline:
                         [neg_embeds.astype(self.dtype), e], axis=0
                     )
                 full.append(e)
+            # starts are in sampler-step units; order-2 plans (Heun) spend
+            # plan.order scan indices per sampler step
             embeds = (
                 jnp.stack(full),
-                jnp.asarray(edit_starts, jnp.int32) - jnp.int32(step_offset),
+                jnp.asarray(edit_starts, jnp.int32) * jnp.int32(plan.order)
+                - jnp.int32(step_offset),
                 jnp.asarray(edit_idx_map, jnp.int32),
             )
 

@@ -20,7 +20,9 @@ from stablediffusion_tpu.schedulers.euler import (
     EulerDiscreteScheduler,
 )
 from stablediffusion_tpu.schedulers.flow_match import FlowMatchEulerScheduler
+from stablediffusion_tpu.schedulers.heun import HeunDiscreteScheduler
 from stablediffusion_tpu.schedulers.lcm import LCMScheduler
+from stablediffusion_tpu.schedulers.lms import LMSDiscreteScheduler
 from stablediffusion_tpu.schedulers.pndm import PNDMScheduler
 from stablediffusion_tpu.schedulers.unipc import UniPCScheduler
 
@@ -42,6 +44,11 @@ SCHEDULER_REGISTRY = {
     ),
     "PNDM": (PNDMScheduler, {}),
     "uni_pc": (UniPCScheduler, {}),
+    # the A1111 converter's remaining scheduler_type choices
+    # (scripts/convert_from_A1111.py:946-1003): Heun (2nd-order
+    # predictor-corrector, interleaved plan) and LMS (Adams-Bashforth 4)
+    "heun": (HeunDiscreteScheduler, {}),
+    "lms": (LMSDiscreteScheduler, {}),
     "DDPM": (DDPMScheduler, {}),
     # 4-8 step generation with a distilled LCM-LoRA adapter (PAPERS.md)
     "LCM": (LCMScheduler, {}),
@@ -78,6 +85,8 @@ __all__ = [
     "DPMSolverMultistepScheduler",
     "EulerAncestralScheduler",
     "EulerDiscreteScheduler",
+    "HeunDiscreteScheduler",
+    "LMSDiscreteScheduler",
     "PNDMScheduler",
     "UniPCScheduler",
     "SCHEDULER_REGISTRY",

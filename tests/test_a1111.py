@@ -274,9 +274,13 @@ def test_full_checkpoint_conversion(tiny_state):
     assert set(weights["vae"]) == set(vflat)
 
 
-def test_convert_cli_output_loads_and_runs(tiny_state, tmp_path):
+@pytest.mark.parametrize("scheduler_type", ["ddim", "heun", "lms"])
+def test_convert_cli_output_loads_and_runs(tiny_state, tmp_path,
+                                           scheduler_type):
     """Full loop: synthetic LDM single-file -> CLI convert -> load -> generate
-    (BASELINE config 3)."""
+    (BASELINE config 3).  Parametrized over --scheduler_type so converted
+    checkpoints recording heun/lms actually construct and RUN those samplers
+    (ref builds the matching classes, convert_from_A1111.py:946-1003)."""
     import json
 
     from transformers import CLIPTextConfig as HFC, CLIPTextModel
@@ -311,7 +315,7 @@ def test_convert_cli_output_loads_and_runs(tiny_state, tmp_path):
     save_safetensors({k: np.ascontiguousarray(v) for k, v in full.items()}, ckpt)
 
     out_dir = str(tmp_path / "converted")
-    mtype = convert(str(ckpt), out_dir)
+    mtype = convert(str(ckpt), out_dir, scheduler_type=scheduler_type)
     assert mtype == "sd15"
 
     # converter does not ship tokenizer files (they come from the CLIP vocab);
@@ -329,6 +333,14 @@ def test_convert_cli_output_loads_and_runs(tiny_state, tmp_path):
             sorted(tok.bpe_ranks.items(), key=lambda kv: kv[1])))
 
     model = load_sd_model(out_dir, variant=None)
+    # the recorded --scheduler_type resolves to the registry sampler
+    expected = {"ddim": "DDIM", "heun": "heun", "lms": "lms"}[scheduler_type]
+    assert model.scheduler_name == expected
+    from stablediffusion_tpu.schedulers import make_scheduler
+
+    assert type(model.scheduler) is type(
+        make_scheduler(expected, model.scheduler_config)
+    )
     # head count and norm groups are not recoverable from shapes; real
     # checkpoints use the LDM defaults (8 heads / 32 groups) — tiny uses 2 / 8
     import dataclasses

@@ -164,6 +164,73 @@ def test_euler_ancestral_full_loop(rig):
     _check(ours, x, plan, ts, "euler_a")
 
 
+def test_heun_full_loop(rig):
+    """Heun predictor-corrector (k-diffusion sample_heun, churn 0): each
+    output step is an Euler predictor plus a trapezoidal corrector evaluated
+    at the NEXT (t, sigma); the final step to sigma 0 stays Euler-only.  The
+    compiled side runs the interleaved 2N-1-entry plan."""
+    _, mirror, _, _, emb = rig
+    N = 6
+    ours, plan, keys, lat_init = _ours(rig, "heun", N)
+    ts, sig = _euler_grid(N)
+    assert plan.num_steps == 2 * N - 1 and plan.order == 2
+    x = lat_init.astype(np.float64)
+    for i in range(N):
+        s, sn = sig[i], sig[i + 1]
+        eps = _eval_eps(mirror, emb, x / np.sqrt(s * s + 1.0), ts[i])
+        x0 = x - s * eps
+        d1 = (x - x0) / s
+        dt = sn - s
+        if sn == 0.0:  # last step: no model eval at sigma 0
+            x = x + d1 * dt
+        else:
+            xp = x + d1 * dt
+            eps2 = _eval_eps(
+                mirror, emb, xp / np.sqrt(sn * sn + 1.0), ts[i + 1]
+            )
+            x0b = xp - sn * eps2
+            d2 = (xp - x0b) / sn
+            x = x + 0.5 * (d1 + d2) * dt
+    mirror_ts = np.concatenate([ts[:1], np.repeat(ts[1:], 2)])
+    _check(ours, x, plan, mirror_ts, "heun")
+
+
+def test_lms_full_loop(rig):
+    """LMS / Adams-Bashforth 4 with order warm-up: the Lagrange-basis
+    integrals here use Gauss-Legendre quadrature (exact for cubics) —
+    independent of the analytic monomial expansion in schedulers/lms.py."""
+    _, mirror, _, _, emb = rig
+    N = 7  # deep enough to exercise the full order-4 tail
+    ours, plan, keys, lat_init = _ours(rig, "lms", N)
+    ts, sig = _euler_grid(N)
+    nodes, wts = np.polynomial.legendre.leggauss(5)
+
+    def lms_coeff(order, t, j):
+        def basis(tau):
+            prod = np.ones_like(tau)
+            for k in range(order):
+                if k == j:
+                    continue
+                prod = prod * (tau - sig[t - k]) / (sig[t - j] - sig[t - k])
+            return prod
+
+        a, b = sig[t], sig[t + 1]
+        xm, xr = 0.5 * (a + b), 0.5 * (b - a)
+        return float(np.sum(wts * basis(xm + xr * nodes)) * xr)
+
+    x = lat_init.astype(np.float64)
+    derivs = []
+    for i in range(N):
+        s = sig[i]
+        eps = _eval_eps(mirror, emb, x / np.sqrt(s * s + 1.0), ts[i])
+        x0 = x - s * eps
+        derivs = (derivs + [(x - x0) / s])[-4:]
+        order = min(i + 1, 4)
+        coeffs = [lms_coeff(order, i, j) for j in range(order)]
+        x = x + sum(c * d for c, d in zip(coeffs, reversed(derivs)))
+    _check(ours, x, plan, ts, "lms")
+
+
 # ---------------------------------------------------------------------------
 # DPM-Solver++ 2M (Lu et al. 2022) — ODE, Karras, SDE-Karras
 # ---------------------------------------------------------------------------

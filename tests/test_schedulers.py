@@ -94,6 +94,11 @@ ORACLE_CASES = [
     ("PNDM", 20, 0.15),
     ("uni_pc", 20, 1e-3),
     ("DDPM", 50, 0.2),
+    # k-diffusion converter samplers; the Euler-family oracle covers both
+    # (heun's corrector eval at odd interleaved indices reads sigmas[i] =
+    # sigma_next, exactly what the oracle expects)
+    ("heun", 20, 1e-3),
+    ("lms", 20, 1e-3),
 ]
 
 
@@ -305,7 +310,10 @@ def test_custom_timesteps_and_sigmas():
             continue
         plan = sched.plan(50, timesteps=ts_list)
         got = np.asarray(plan.timesteps)
-        assert plan.num_steps == 5, name
+        # order-2 plans (heun) interleave: 2N-1 scan entries for N steps
+        assert plan.num_steps == 5 * plan.order - (plan.order - 1), name
+        if plan.order == 2:
+            got = np.concatenate([got[:1], got[1::2]])
         if name == "FlowMatchEuler":
             # diffusers FlowMatchEulerDiscrete maps custom timesteps through
             # the shift transform sigma -> s*sigma / (1 + (s-1)*sigma)
@@ -351,3 +359,67 @@ def test_custom_sigmas_oracle_convergence():
     np.testing.assert_allclose(
         np.asarray(plan.timesteps), np.asarray(ref_plan.timesteps), atol=1.0
     )
+
+
+def test_heun_order2_plan_slicing():
+    """img2img strength / denoising_start slicing must land on Heun pair
+    boundaries (diffusers slices `t_start * scheduler.order` interleaved
+    entries), so the sliced scan starts on a predictor stage."""
+    from stablediffusion_tpu.pipelines.unified import (
+        StableDiffusionUnifiedPipeline,
+    )
+
+    pipe = StableDiffusionUnifiedPipeline()
+    sched = make_scheduler("heun")
+
+    plan, t_start = pipe.get_timesteps(sched, 8, strength=0.5,
+                                       denoising_start=None)
+    assert t_start == 8  # 4 sampler steps * order 2
+    assert plan.num_steps == 2 * 4 - 1  # predictor-led interleave remains
+    ts = np.asarray(plan.timesteps)
+    # local entry 0 is a lone predictor; every later timestep appears twice
+    assert ts[0] != ts[1] and (ts[1::2] == ts[2::2]).all()
+
+    # denoising_start: remaining count forced odd (starts on a predictor)
+    plan2, t2 = pipe.get_timesteps(sched, 8, strength=1.0,
+                                   denoising_start=0.5)
+    assert plan2.num_steps % 2 == 1
+    ts2 = np.asarray(plan2.timesteps)
+    assert ts2[0] != ts2[1] if plan2.num_steps > 1 else True
+
+
+def test_heun_img2img_pipeline_runs():
+    """Heun + img2img through the real pipeline (sliced interleaved plan)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from helpers import make_tiny_model
+    from stablediffusion_tpu.pipelines.unified import (
+        StableDiffusionUnifiedPipeline,
+    )
+
+    model = make_tiny_model("sd15", scheduler_name="heun")
+    pipe = StableDiffusionUnifiedPipeline()
+    out = pipe(model, prompt="a cat", height=32, width=32,
+               num_inference_steps=4, seed=3)
+    assert np.isfinite(out.images).all()
+    img = np.zeros((32, 32, 3), np.uint8)
+    out2 = pipe(model, prompt="a cat", image=img, strength=0.5,
+                height=32, width=32, num_inference_steps=4, seed=3)
+    assert np.isfinite(out2.images).all()
+
+
+def test_lms_pipeline_runs():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from helpers import make_tiny_model
+    from stablediffusion_tpu.pipelines.unified import (
+        StableDiffusionUnifiedPipeline,
+    )
+
+    model = make_tiny_model("sd15", scheduler_name="lms")
+    pipe = StableDiffusionUnifiedPipeline()
+    out = pipe(model, prompt="a cat", height=32, width=32,
+               num_inference_steps=5, seed=3)
+    assert np.isfinite(out.images).all()
