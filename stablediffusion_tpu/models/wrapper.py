@@ -194,7 +194,8 @@ class SDModel:
     # analog — the reference has no TI support at all) ----------------------
     _ti_state: Optional[Dict[str, Any]] = None  # orig table rows + triggers
 
-    def load_textual_inversion(self, source, token: Optional[str] = None) -> str:
+    def load_textual_inversion(self, source, token: Optional[str] = None,
+                               allow_pickle: bool = False) -> str:
         """Load a learned-embedding file and register its trigger word.
 
         Accepted formats (all ecosystem-standard):
@@ -224,7 +225,22 @@ class SDModel:
             else:
                 import torch
 
-                raw = torch.load(source, map_location="cpu", weights_only=False)
+                # A1111 .pt embeddings are pickles.  weights_only=True keeps
+                # deserialization to tensors/containers; full pickle (which
+                # executes arbitrary code) requires an explicit opt-in because
+                # serving exposes this path to request-named files on disk.
+                try:
+                    raw = torch.load(source, map_location="cpu",
+                                     weights_only=True)
+                except Exception:
+                    if not allow_pickle:
+                        raise ValueError(
+                            f"{source!r} is not loadable with "
+                            "weights_only=True; pass allow_pickle=True only "
+                            "for embedding files you trust (full pickle "
+                            "deserialization can execute arbitrary code)")
+                    raw = torch.load(source, map_location="cpu",
+                                     weights_only=False)
                 state = raw
         else:
             state, name_hint = dict(source), None

@@ -42,9 +42,10 @@ def maybe_initialize_distributed() -> bool:
     try:
         from jax._src import distributed as _dist
 
-        if getattr(_dist.global_state, "client", None) is not None:
+        state = getattr(_dist, "global_state", None)
+        if state is not None and getattr(state, "client", None) is not None:
             return True  # already initialized (idempotent re-entry)
-    except ImportError:  # pragma: no cover - private API moved
+    except (ImportError, AttributeError):  # pragma: no cover - private API moved
         pass
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
     on_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0

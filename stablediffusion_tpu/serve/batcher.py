@@ -150,6 +150,11 @@ class Batcher:
         self.timeout_s = timeout_s
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._lock = threading.Lock()  # model-slot single-writer
+        # live waiter count for shedding — Queue.qsize() is approximate and
+        # keeps counting abandoned (timed-out) items until the worker drains
+        # them, so a stall would shed new requests on ghost entries
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         self.merged_calls = 0  # observability; test hook
         self.shed_requests = 0  # observability; overload-shed counter
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -169,24 +174,30 @@ class Batcher:
         # overload shedding: beyond max_queue pending requests the client is
         # better served by an immediate 503-style error than a multi-minute
         # queue wait (each merged call is seconds of TPU time)
-        if self._q.qsize() >= self.max_queue:
-            self.shed_requests += 1
-            return {
-                "error": "OverloadedError: request queue full, retry later"
-            }
+        with self._pending_lock:
+            if self._pending >= self.max_queue:
+                self.shed_requests += 1
+                return {
+                    "error": "OverloadedError: request queue full, retry later"
+                }
+            self._pending += 1
         item = _Pending(
             dict(request_input),
             request_id,
             generation=getattr(self.handler, "model_generation", 0),
         )
         self._q.put(item)
-        if not item.event.wait(timeout=self.timeout_s):
-            # mark abandoned so the worker drops it from future groups
-            # instead of generating an image nobody reads; if generation
-            # already started the result is simply discarded
-            item.abandoned = True
-            return {"error": "TimeoutError: batched request timed out"}
-        return item.result
+        try:
+            if not item.event.wait(timeout=self.timeout_s):
+                # mark abandoned so the worker drops it from future groups
+                # instead of generating an image nobody reads; if generation
+                # already started the result is simply discarded
+                item.abandoned = True
+                return {"error": "TimeoutError: batched request timed out"}
+            return item.result
+        finally:
+            with self._pending_lock:
+                self._pending -= 1
 
     def close(self):
         """Stop the worker thread (used by tests; servers run forever)."""
@@ -252,6 +263,10 @@ class Batcher:
                 # now — those items re-run through the full serial handler
                 # (fresh validation against the CURRENT model)
                 cur_gen = getattr(self.handler, "model_generation", 0)
+                # re-check abandonment HERE, under the lock: items can time
+                # out while the worker waited for the model slot, and each
+                # one kept in the merged list burns a whole generation
+                group = [it for it in group if not it.abandoned]
                 stale = [it for it in group if it.generation != cur_gen]
                 group = [it for it in group if it.generation == cur_gen]
                 for it in stale:

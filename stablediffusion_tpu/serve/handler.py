@@ -200,7 +200,10 @@ class Handler:
                     )
             else:
 
-                # declarative: the list IS the desired state
+                # declarative: the list IS the desired state.  Trust
+                # boundary: requests name files on disk, so .pt embeddings
+                # load with weights_only=True only — a file needing full
+                # pickle deserialization is rejected, never executed.
                 self.model.unload_textual_inversion()
                 for ti in tis or []:
                     src = ti["path"] if isinstance(ti, dict) else str(ti)

@@ -291,11 +291,16 @@ class SentencePieceUnigramTokenizer:
                 s = best[start] + self.scores[pid]
                 if s > best[end]:
                     best[end], back[end] = s, (start, pid)
-            if back[end] is None:  # unknown single char fallback
+            # sentencepiece's lattice adds the single-char unknown node
+            # whenever the character itself has no piece — as a CANDIDATE,
+            # not only when nothing else ends here (mixed known/unknown
+            # scripts otherwise segment differently from transformers).
+            if text[end - 1:end] not in self.piece_to_id:
                 start = end - 1
                 if best[start] > NEG:
-                    best[end] = best[start] + self.unk_score
-                    back[end] = (start, self.unk_id)
+                    s = best[start] + self.unk_score
+                    if s > best[end]:
+                        best[end], back[end] = s, (start, self.unk_id)
         ids: List[int] = []
         pos = n
         while pos > 0:

@@ -57,7 +57,20 @@ def parse_weighted_prompt(text: str) -> List[Tuple[str, float]]:
             i += 1
             continue
         if c == ":" and stack and stack[-1][0] == "(":
-            close = text.find(")", i)
+            # weight lookahead must stay inside the CURRENT paren scope: any
+            # intervening bracket means this ':' is not a weight separator
+            close, j = -1, i + 1
+            while j < n:
+                ch = text[j]
+                if ch == "\\" and j + 1 < n and text[j + 1] in "()[]\\":
+                    j += 2
+                    continue
+                if ch == ")":
+                    close = j
+                    break
+                if ch in "([]":
+                    break
+                j += 1
             if close != -1:
                 try:
                     w = float(text[i + 1 : close].strip())
