@@ -35,6 +35,7 @@ def timeit(fn, q, k, v, iters=8):
 def main():
     from stablediffusion_tpu.ops.attention import _lib_flash, attention_xla
     from stablediffusion_tpu.ops.flash_attention import (
+        flash_attention_small_d,
         flash_attention_streaming,
     )
     from stablediffusion_tpu.utils.bench_utils import record_result
@@ -82,6 +83,14 @@ def main():
                     q_, k_, v_, scale=scale), q, k, v) * 1e3, 2)
         except Exception as e:
             row["stream_ms"] = f"fail({type(e).__name__})"
+        if D < 128:
+            # round-4 candidate: exp2 + ones-column denominator kernel
+            try:
+                row["smalld_ms"] = round(
+                    timeit(lambda q_, k_, v_: flash_attention_small_d(
+                        q_, k_, v_, scale=scale), q, k, v) * 1e3, 2)
+            except Exception as e:
+                row["smalld_ms"] = f"fail({type(e).__name__})"
         key = f"B{B}_S{S}_D{D}"
         results[key] = row
         print(json.dumps({key: row}), flush=True)

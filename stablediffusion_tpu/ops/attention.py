@@ -231,6 +231,20 @@ def attention(
     streaming kernel (A/B, benchmarks/bench_longkv_attention.py)."""
     if mask is None and _on_tpu():
         skv, d = k.shape[1], q.shape[-1]
+        if (
+            os.environ.get("SDTPU_SMALLD_ATTN")
+            and d < 128
+            and skv >= 2048
+        ):
+            # A/B override: route small-head long-KV self-attention through
+            # the exp2/ones-column kernel (benchmarks/bench_longkv_attention
+            # --smalld); candidate for the D=40 S>=8192 default pending TPU
+            # measurements (round-3 verdict item 2)
+            from stablediffusion_tpu.ops.flash_attention import (
+                flash_attention_small_d,
+            )
+
+            return flash_attention_small_d(q, k, v, scale=scale)
         if _use_pallas() and skv >= 2048:
             from stablediffusion_tpu.ops.flash_attention import (
                 flash_attention_streaming,
