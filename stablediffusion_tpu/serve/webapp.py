@@ -166,23 +166,157 @@ def index_html() -> str:
     return INDEX_HTML.format(sched_options=_SCHED_OPTIONS)
 
 
+def parse_lora_spec(text: str) -> dict:
+    """"name:weight,name2" -> {name: weight} (weight defaults to 1.0); the
+    same grammar as the HTML UI's LoRA field."""
+    out = {}
+    for part in (text or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, w = part.partition(":")
+        out[name.strip()] = float(w) if w.strip() else 1.0
+    return out
+
+
+def parse_ti_spec(text: str) -> list:
+    """"path[:token],..." -> [{"path":..., "token":...}] (token optional);
+    splits on the LAST ':' so Windows-style / nested paths survive."""
+    out = []
+    for part in (text or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        i = part.rfind(":")
+        if i > 1:
+            out.append({"path": part[:i].strip(), "token": part[i + 1:].strip()})
+        else:
+            out.append({"path": part})
+    return out
+
+
+def build_ui_request(
+    task: str,
+    prompt: str,
+    negative_prompt: str = "",
+    steps: int = 30,
+    cfg: float = 7.0,
+    seed: int = -1,
+    width: int = 1024,
+    height: int = 1024,
+    num_images: int = 1,
+    clip_skip: int = 0,
+    strength: float = 0.7,
+    scheduler: str = "",
+    model_type: str = "",
+    checkpoint: str = "",
+    loras: str = "",
+    textual_inversions: str = "",
+    lora_te_scale: float | None = None,
+    image=None,
+    mask_image=None,
+    prompt_weighting: bool = False,
+    vae_tiling: bool = False,
+    hires_scale: float = 0.0,
+    hires_strength: float = 0.7,
+) -> dict:
+    """Pure UI-state -> handler-request mapping shared by the Gradio
+    front-end and tests (same JSON job schema the HTML UI posts; images may
+    be numpy arrays — the in-process handler accepts them directly)."""
+    req = {
+        "prompt": prompt,
+        "negative_prompt": negative_prompt or None,
+        "num_inference_steps": int(steps),
+        "guidance_scale": float(cfg),
+        "clip_skip": int(clip_skip) or None,
+        "height": int(height),
+        "width": int(width),
+        "num_images_per_prompt": int(num_images),
+    }
+    if seed is not None and int(seed) >= 0:
+        req["seed"] = int(seed)
+    if prompt_weighting:
+        req["prompt_weighting"] = True
+    if vae_tiling:
+        req["vae_tiling"] = True
+    if hires_scale and float(hires_scale) > 1:
+        req["hires_scale"] = float(hires_scale)
+        req["hires_strength"] = float(hires_strength)
+    if lora_te_scale is not None:
+        req["cross_attention_kwargs"] = {"scale": float(lora_te_scale)}
+    model = {}
+    if checkpoint:
+        model["type"] = model_type or "sd15"
+        model["name"] = checkpoint
+    if scheduler:
+        model["scheduler"] = scheduler
+    lora_map = parse_lora_spec(loras)
+    if lora_map:
+        model["loras"] = lora_map
+    tis = parse_ti_spec(textual_inversions)
+    if tis:
+        model["textual_inversion"] = tis
+    if model:
+        req["model"] = model
+    if task != "txt2img":
+        if image is None:
+            raise ValueError(f"{task} needs an init image")
+        req["image"] = image
+        req["strength"] = float(strength)
+    if task == "inpaint":
+        if mask_image is None:
+            raise ValueError("inpaint needs a mask image")
+        req["mask_image"] = mask_image
+    return req
+
+
+def build_train_request(
+    data_dir: str, rank: int, steps: int, resolution: int, output_dir: str
+) -> dict:
+    if not data_dir:
+        raise ValueError("data dir required")
+    return {
+        "mode": "train",
+        "train": {
+            "data_dir": data_dir,
+            "rank": int(rank),
+            "max_train_steps": int(steps),
+            "resolution": int(resolution),
+            "output_dir": output_dir,
+        },
+    }
+
+
 def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
-    """Native Gradio front-end when the package is installed."""
+    """Native Gradio front-end (full parity with the HTML UI and the
+    reference's control surface, web-app/app.py:26-232: model type radio +
+    checkpoint + LoRA weights + scheduler, task radio with image/mask
+    upload + strength, the full parameter sliders, wired Generate, and a
+    REAL train tab — the reference's is a placeholder).  All request
+    construction lives in `build_ui_request` (tested without gradio)."""
     import gradio as gr
 
-    def generate(prompt, negative, steps, cfg, seed, width, height, scheduler):
-        resp = handler(
-            {
-                "prompt": prompt,
-                "negative_prompt": negative or None,
-                "num_inference_steps": int(steps),
-                "guidance_scale": float(cfg),
-                "seed": None if seed < 0 else int(seed),
-                "width": int(width),
-                "height": int(height),
-                "model": {"scheduler": scheduler},
-            }
-        )
+    sched_names = [n for n in SCHEDULER_NAMES if n != "DDPM"]
+
+    def generate(task, prompt, negative, steps, cfg, lora_te_scale,
+                 clip_skip, seed, width, height, num_images, strength,
+                 model_type, checkpoint, loras, tis, scheduler,
+                 prompt_weighting, vae_tiling, hires_scale, image, mask):
+        try:
+            req = build_ui_request(
+                task, prompt, negative_prompt=negative, steps=steps, cfg=cfg,
+                seed=seed, width=width, height=height, num_images=num_images,
+                clip_skip=clip_skip, strength=strength, scheduler=scheduler,
+                model_type=model_type, checkpoint=checkpoint, loras=loras,
+                textual_inversions=tis,
+                lora_te_scale=lora_te_scale if lora_te_scale else None,
+                image=image, mask_image=mask,
+                prompt_weighting=prompt_weighting, vae_tiling=vae_tiling,
+                hires_scale=hires_scale,
+            )
+        except ValueError as e:
+            raise gr.Error(str(e))
+        resp = handler(req)
         if "error" in resp:
             raise gr.Error(resp["error"])
         import base64
@@ -190,24 +324,97 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
 
         from PIL import Image
 
-        return [
-            Image.open(io.BytesIO(base64.b64decode(b))) for b in resp["images"]
-        ]
+        return (
+            [Image.open(io.BytesIO(base64.b64decode(b)))
+             for b in resp["images"]],
+            f"seed {resp.get('seed')}",
+        )
 
-    demo = gr.Interface(
-        fn=generate,
-        inputs=[
-            gr.Textbox(label="Prompt"),
-            gr.Textbox(label="Negative prompt"),
-            gr.Slider(1, 100, 30, label="Steps"),
-            gr.Slider(0, 15, 7, label="CFG"),
-            gr.Number(-1, label="Seed"),
-            gr.Slider(256, 2048, 1024, step=64, label="Width"),
-            gr.Slider(256, 2048, 1024, step=64, label="Height"),
-            gr.Dropdown([n for n in SCHEDULER_NAMES if n != "DDPM"],
-                        value="DPM++ 2M Karras", label="Scheduler"),
-        ],
-        outputs=gr.Gallery(label="Images"),
-        title="stablediffusion-tpu",
-    )
+    def train(data_dir, rank, steps, resolution, output_dir):
+        try:
+            req = build_train_request(data_dir, rank, steps, resolution,
+                                      output_dir)
+        except ValueError as e:
+            raise gr.Error(str(e))
+        resp = handler(req)
+        if "error" in resp:
+            raise gr.Error(resp["error"])
+        return f"done: {resp.get('lora_path')}"
+
+    with gr.Blocks(title="stablediffusion-tpu") as demo:
+        with gr.Tab("Inference"):
+            with gr.Group():
+                model_type = gr.Radio(["sd15", "sdxl", "sd3"], value="sdxl",
+                                      label="Stable Diffusion model type")
+                checkpoint = gr.Textbox(label="Checkpoint",
+                                        placeholder="(loaded model)")
+                loras = gr.Textbox(label="LoRAs (name:weight,...)",
+                                   placeholder="style:0.7,detail:0.5")
+                tis = gr.Textbox(label="Textual inversions (path[:token],...)")
+                scheduler = gr.Dropdown(sched_names, value="DPM++ 2M Karras",
+                                        label="Scheduler")
+            with gr.Group():
+                task = gr.Radio(["txt2img", "img2img", "inpaint"],
+                                value="txt2img", label="Generation task")
+                image = gr.Image(label="Init image", type="numpy",
+                                 visible=False)
+                mask = gr.Image(label="Mask image", type="numpy",
+                                visible=False)
+                strength = gr.Slider(0, 1, 0.7, step=0.01, label="Strength",
+                                     visible=False)
+
+                def _task_vis(t):
+                    non_txt = t != "txt2img"
+                    return (
+                        gr.update(visible=non_txt),
+                        gr.update(visible=t == "inpaint"),
+                        gr.update(visible=non_txt),
+                    )
+
+                task.change(_task_vis, inputs=task,
+                            outputs=[image, mask, strength])
+            prompt = gr.Textbox(label="Prompt", lines=2)
+            negative = gr.Textbox(label="Negative prompt")
+            with gr.Row():
+                steps = gr.Slider(1, 100, 30, step=1, label="Steps")
+                cfg = gr.Slider(0, 15, 7, step=0.1, label="Guidance scale")
+                lora_te_scale = gr.Slider(
+                    0, 1, 0, step=0.01,
+                    label="LoRA text-encoder strength (0 = default)")
+                clip_skip = gr.Slider(0, 4, 0, step=1, label="Clip skip")
+            with gr.Row():
+                seed = gr.Slider(-1, 1_000_000_000, -1, step=1, label="Seed")
+                width = gr.Slider(256, 2048, 1024, step=64, label="Width")
+                height = gr.Slider(256, 2048, 1024, step=64, label="Height")
+                num_images = gr.Slider(1, 16, 1, step=1,
+                                       label="Images per prompt")
+            with gr.Row():
+                prompt_weighting = gr.Checkbox(label="(word:1.2) weighting")
+                vae_tiling = gr.Checkbox(label="Tiled VAE (2048²+)")
+                hires_scale = gr.Slider(0, 4, 0, step=0.25,
+                                        label="Hires fix scale (0 = off)")
+            go = gr.Button("Generate")
+            gallery = gr.Gallery(label="Generated images",
+                                 object_fit="contain")
+            status = gr.Markdown()
+            go.click(
+                generate,
+                inputs=[task, prompt, negative, steps, cfg, lora_te_scale,
+                        clip_skip, seed, width, height, num_images, strength,
+                        model_type, checkpoint, loras, tis, scheduler,
+                        prompt_weighting, vae_tiling, hires_scale, image,
+                        mask],
+                outputs=[gallery, status],
+            )
+        with gr.Tab("Train"):
+            data_dir = gr.Textbox(label="Data dir (on server)")
+            with gr.Row():
+                rank = gr.Slider(1, 128, 16, step=1, label="LoRA rank")
+                tsteps = gr.Slider(1, 10_000, 500, step=1, label="Steps")
+                res = gr.Slider(256, 1024, 512, step=64, label="Resolution")
+            out_dir = gr.Textbox(label="Output dir", value="lora-out")
+            tgo = gr.Button("Train")
+            tstatus = gr.Markdown()
+            tgo.click(train, inputs=[data_dir, rank, tsteps, res, out_dir],
+                      outputs=tstatus)
     demo.launch(server_port=port)
