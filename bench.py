@@ -3,11 +3,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
-The measured program is the framework's real hot path: the 20-step CFG
-denoise `lax.scan` (full-size SD1.5 UNet, bf16, XLA attention) plus the
-VAE decode — i.e. everything between prompt embeddings and pixels.  Weights
-are random (no hub access in this environment); FLOPs and memory traffic are
-identical to real weights.
+The measured program is the framework's real serving span: CLIP-L text
+encode (cond + uncond, the pipeline's `_clip_encode`), the 20-step CFG
+denoise `lax.scan` (full-size SD1.5 UNet, bf16, XLA attention), and the VAE
+decode — i.e. everything between token ids and pixels, matching the
+reference's end-to-end path (sd_unified_pipeline.py:532-719).  Host-side
+tokenization (C++ BPE over a ~10-word prompt, <1 ms) is the only excluded
+piece.  Weights are random (no hub access in this environment); FLOPs and
+memory traffic are identical to real weights.
 
 Both phases are AOT-compiled (`jit.lower().compile()`), so the SAME
 executable is timed AND asked for XLA's FLOPs count — the detail payload
@@ -38,12 +41,17 @@ def build(batch: int):
     import jax.numpy as jnp
 
     from stablediffusion_tpu.core.config import (
+        SD15_TEXT_ENCODER,
         SD15_UNET,
         SD15_VAE,
         SchedulerConfig,
     )
-    from stablediffusion_tpu.models import unet, vae
-    from stablediffusion_tpu.pipelines.unified import _denoise, _vae_decode
+    from stablediffusion_tpu.models import clip, unet, vae
+    from stablediffusion_tpu.pipelines.unified import (
+        _clip_encode,
+        _denoise,
+        _vae_decode,
+    )
     from stablediffusion_tpu.schedulers import make_scheduler
     from stablediffusion_tpu.utils.bench_utils import aot_compile, compiled_cost
     from stablediffusion_tpu.utils.testing import random_model_params
@@ -54,12 +62,26 @@ def build(batch: int):
     # diffusers' fp16-overflow force_upcast rationale doesn't apply; ~2x
     # faster than the fp32 decode on v5e, see pipelines/unified._vae_decode)
     vae_params = random_model_params(vae.init_params, SD15_VAE, dtype=jnp.bfloat16)
+    te_params = random_model_params(clip.init_params, SD15_TEXT_ENCODER)
 
     scheduler = make_scheduler("DDIM", SchedulerConfig())
     plan = scheduler.plan(STEPS)
     latents = jax.random.normal(jax.random.key(2), (batch, 64, 64, 4), dtype)
-    embeds = jax.random.normal(jax.random.key(3), (2 * batch, 77, 768), dtype)
     keys = jax.random.split(jax.random.key(4), STEPS)
+
+    # cond + uncond token ids, the pipeline's real encode (mode="last")
+    cfg_te = SD15_TEXT_ENCODER
+    ids = jax.random.randint(
+        jax.random.key(5), (2 * batch, 77), 1, cfg_te.vocab_size - 2, jnp.int32
+    )
+    ids = ids.at[:, 10].set(cfg_te.eos_token_id)
+
+    def encode_fn(p, ids):
+        h, _ = _clip_encode(p, ids, config=cfg_te, mode="last", clip_skip=None)
+        return h.astype(dtype)
+
+    enc_c = aot_compile(jax.jit(encode_fn), te_params, ids)
+    embeds = enc_c(te_params, ids)
 
     den_args = (
         unet_params, latents, embeds, plan, keys,
@@ -78,12 +100,17 @@ def build(batch: int):
     # 1 and 20 report identical flops) — the denoise program is one scan of
     # STEPS trips, so scale its body count by the trip count
     flops = {
+        "encode": compiled_cost(enc_c).get("flops"),
         "denoise": (compiled_cost(den_c).get("flops") or 0) * STEPS,
         "decode": compiled_cost(dec_c).get("flops"),
     }
 
     def run():
-        lat = den_c(*den_args)
+        emb = enc_c(te_params, ids)
+        lat = den_c(
+            unet_params, latents, emb, plan, keys,
+            7.5, 0.0, None, None, None, None, None,
+        )
         return dec_c(vae_params, lat)
 
     return run, flops
@@ -167,11 +194,12 @@ def main():
             break
     if "batch1_sec" in detail:
         detail["p50_latency_sec_batch1"] = detail["batch1_sec"]
-    # methodology, stable across rounds: 20-step DDIM denoise (CFG) + full
-    # VAE decode from random prompt EMBEDDINGS — text encode excluded
-    # (~4 ms, amortized); vs_baseline divides by the self-chosen 2.0 img/s
-    # A100 fp16 estimate documented in BASELINE.md
-    detail["scope"] = "denoise+vae_decode; text-encode excluded; vae bf16"
+    # methodology: CLIP-L encode (cond+uncond) + 20-step DDIM denoise (CFG)
+    # + full VAE decode, token ids -> pixels (round-3 verdict item 6: the
+    # driver metric now covers the reference's serving span; only host BPE
+    # tokenization, <1 ms, is outside the measured program); vs_baseline
+    # divides by the self-chosen 2.0 img/s A100 fp16 estimate (BASELINE.md)
+    detail["scope"] = "clip_encode+denoise+vae_decode; host tokenize excluded; vae bf16"
     payload = {
         "metric": "sd15_512px_20step_images_per_sec_per_chip",
         "value": round(best_ips, 4),
