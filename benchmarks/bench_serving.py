@@ -1,0 +1,203 @@
+"""Serving-under-load benchmark: N concurrent HTTP clients against ONE
+worker (round-3 verdict item 9 — the batcher/mesh path had correctness tests
+but no throughput artifact).
+
+Drives the REAL serving stack end to end: ThreadingHTTPServer ->
+serve/batcher.Batcher (dynamic micro-batching) -> Handler -> pipeline, over
+localhost HTTP.  Records p50/p99 client latency, aggregate throughput and
+the merged-batch composition at 1 / 8 / 32 concurrent clients into
+RESULTS.json["serving"].
+
+Two modes:
+  * --tiny (default off-TPU): tiny random model on CPU — proves the harness
+    and measures batching/queueing OVERHEAD, not model time.
+  * full SD1.5 on the TPU chip (default on-TPU): the reference's serving
+    deployment shape (runpod-worker/, strictly serial there — our batcher
+    merges compatible requests into one pipeline call).
+
+Ref: the reference's whole deployment story is serverless serving
+(/root/reference/runpod-worker/rp_handler.py:44-63, serial).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _make_model(tiny: bool):
+    if tiny:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests"))
+        from helpers import make_tiny_model
+
+        return make_tiny_model("sd15"), 32, 2
+    from stablediffusion_tpu.core.config import (
+        SD15_TEXT_ENCODER,
+        SD15_UNET,
+        SD15_VAE,
+    )
+    from stablediffusion_tpu.models import clip, unet, vae
+    from stablediffusion_tpu.models.wrapper import SDModel
+    from stablediffusion_tpu.utils.testing import random_model_params
+    import jax.numpy as jnp
+    from transformers import CLIPTokenizer
+
+    # random full-size weights: FLOPs/memory identical to real ones
+    model = SDModel(
+        model_type="sd15",
+        unet_config=SD15_UNET,
+        unet_params=random_model_params(unet.init_params, SD15_UNET,
+                                        dtype=jnp.bfloat16),
+        vae_config=SD15_VAE,
+        vae_params=random_model_params(vae.init_params, SD15_VAE,
+                                       dtype=jnp.bfloat16),
+        text_encoder_config=SD15_TEXT_ENCODER,
+        text_encoder_params=random_model_params(clip.init_params,
+                                                SD15_TEXT_ENCODER),
+        tokenizer=CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
+        if os.environ.get("SDTPU_HUB_TOKENIZER")
+        else _local_tokenizer(),
+    )
+    return model, 512, 20
+
+
+def _local_tokenizer():
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from helpers import tiny_tokenizer
+
+    return tiny_tokenizer()
+
+
+def run_load(port: int, n_clients: int, n_requests: int, size: int,
+             steps: int):
+    url = f"http://127.0.0.1:{port}/"
+    lat: list = []
+    batched: list = []
+    errors: list = []
+    lock = threading.Lock()
+
+    def client(cid: int):
+        for r in range(n_requests):
+            body = json.dumps({
+                "id": f"c{cid}r{r}",
+                "input": {
+                    "prompt": f"a photo of thing {cid}",
+                    "num_inference_steps": steps,
+                    "height": size, "width": size,
+                    "seed": cid * 1000 + r,
+                },
+            }).encode()
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(
+                    urllib.request.Request(url, data=body), timeout=600
+                ) as resp:
+                    out = json.loads(resp.read())
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+                    batched.append(out.get("batched", 1))
+            except Exception as e:
+                with lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    if not lat:
+        return {"errors": errors[:3], "count": 0}
+    arr = np.asarray(lat)
+    comp = {}
+    for b in batched:
+        comp[str(b)] = comp.get(str(b), 0) + 1
+    return {
+        "clients": n_clients,
+        "count": len(lat),
+        "p50_sec": round(float(np.percentile(arr, 50)), 3),
+        "p99_sec": round(float(np.percentile(arr, 99)), 3),
+        "throughput_req_per_sec": round(len(lat) / wall, 3),
+        "batch_composition": comp,
+        "errors": errors[:3],
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny CPU model (harness/overhead mode)")
+    p.add_argument("--requests", type=int, default=4,
+                   help="requests per client")
+    p.add_argument("--clients", type=int, nargs="+", default=[1, 8, 32])
+    p.add_argument("--max_batch", type=int, default=8)
+    args = p.parse_args(argv)
+
+    if args.tiny:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from stablediffusion_tpu.serve import worker
+    from stablediffusion_tpu.serve.batcher import Batcher
+    from stablediffusion_tpu.serve.handler import Handler
+    from stablediffusion_tpu.utils.bench_utils import record_result
+
+    model, size, steps = _make_model(args.tiny)
+    worker.HANDLER = Handler(model=model)
+    worker.BATCHER = Batcher(worker.HANDLER, max_batch=args.max_batch,
+                             window_ms=25.0)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), worker._HTTPHandler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    # warm the compiled graphs so the load numbers measure steady state
+    run_load(port, 1, 1, size, steps)
+    run_load(port, args.max_batch, 1, size, steps)
+
+    results = {}
+    for n in args.clients:
+        row = run_load(port, n, args.requests, size, steps)
+        results[f"clients{n}"] = row
+        print(json.dumps({f"clients{n}": row}), flush=True)
+
+    mode = "tiny_cpu_overhead" if args.tiny else "sd15_512px_tpu"
+    payload = {
+        "metric": "serving_under_load",
+        "unit": "sec (client latency)",
+        "value": results.get(f"clients{args.clients[-1]}", {}).get(
+            "p50_sec", 0),
+        "mode": mode,
+        "steps": steps,
+        "size": size,
+        "max_batch": args.max_batch,
+        "merged_calls": worker.BATCHER.merged_calls,
+        "shed": worker.BATCHER.shed_requests,
+        "detail": results,
+    }
+    record_result(f"serving_{mode}", payload)
+    print(json.dumps({"serving": payload}))
+    server.shutdown()
+    worker.BATCHER.close()
+
+
+if __name__ == "__main__":
+    main()
