@@ -43,42 +43,10 @@ def _make_model(tiny: bool):
         from helpers import make_tiny_model
 
         return make_tiny_model("sd15"), 32, 2
-    from stablediffusion_tpu.core.config import (
-        SD15_TEXT_ENCODER,
-        SD15_UNET,
-        SD15_VAE,
-    )
-    from stablediffusion_tpu.models import clip, unet, vae
-    from stablediffusion_tpu.models.wrapper import SDModel
-    from stablediffusion_tpu.utils.testing import random_model_params
-    import jax.numpy as jnp
-    from transformers import CLIPTokenizer
+    from stablediffusion_tpu.utils.testing import random_full_model
 
     # random full-size weights: FLOPs/memory identical to real ones
-    model = SDModel(
-        model_type="sd15",
-        unet_config=SD15_UNET,
-        unet_params=random_model_params(unet.init_params, SD15_UNET,
-                                        dtype=jnp.bfloat16),
-        vae_config=SD15_VAE,
-        vae_params=random_model_params(vae.init_params, SD15_VAE,
-                                       dtype=jnp.bfloat16),
-        text_encoder_config=SD15_TEXT_ENCODER,
-        text_encoder_params=random_model_params(clip.init_params,
-                                                SD15_TEXT_ENCODER),
-        tokenizer=CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
-        if os.environ.get("SDTPU_HUB_TOKENIZER")
-        else _local_tokenizer(),
-    )
-    return model, 512, 20
-
-
-def _local_tokenizer():
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-    from helpers import tiny_tokenizer
-
-    return tiny_tokenizer()
+    return random_full_model("sd15"), 512, 20
 
 
 def run_load(port: int, n_clients: int, n_requests: int, size: int,
