@@ -197,3 +197,22 @@ def test_edit_combines_with_hires_fix(model, pipe):
                hires_scale=2.0, hires_strength=0.6)
     assert out.images.shape == (1, 64, 64, 3)
     assert np.isfinite(out.images).all()
+
+
+def test_pipeline_edit_order2_scheduler(pipe):
+    """Heun spends plan.order scan indices per sampler step, so edit
+    boundaries (sampler-step units) must scale by the order: the exact
+    endpoint identities of test_pipeline_edit_interpolates_between_endpoints
+    must hold unchanged under an order-2 plan."""
+    heun = make_tiny_model("sd15", scheduler_name="heun")
+    kw = dict(height=32, width=32, num_inference_steps=4, seed=11,
+              prompt_weighting=True)
+    cat = pipe(heun, prompt="a cat", **kw)
+    dog = pipe(heun, prompt="a dog", **kw)
+    mid = pipe(heun, prompt="a [cat:dog:0.5]", **kw)
+    assert np.abs(mid.images - cat.images).max() > 1e-7
+    assert np.abs(mid.images - dog.images).max() > 1e-7
+    all_dog = pipe(heun, prompt="a [cat:dog:0]", **kw)
+    np.testing.assert_allclose(all_dog.images, dog.images, atol=1e-6)
+    all_cat = pipe(heun, prompt="a [cat:dog:4]", **kw)
+    np.testing.assert_allclose(all_cat.images, cat.images, atol=1e-6)
