@@ -14,6 +14,7 @@ Usage: bench_highres.py [sdxl|sd15] [res] [tiled]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -107,9 +108,12 @@ def main(model_name: str = "sdxl", res: int = 1536, tiled: bool = False):
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
+    # A/B runs under attention env overrides record under a distinct key so
+    # they never clobber the canonical default-dispatch record
+    ab = "_smalld" if os.environ.get("SDTPU_SMALLD_ATTN") else ""
     payload = {
         "metric": f"{model_name}_{res}px_{STEPS}step_p50_latency"
-        + ("_tiledvae" if tiled else ""),
+        + ("_tiledvae" if tiled else "") + ab,
         "value": round(p50, 3),
         "unit": "sec/image",
         "detail": {
@@ -118,7 +122,7 @@ def main(model_name: str = "sdxl", res: int = 1536, tiled: bool = False):
         },
     }
     record_result(
-        f"{model_name}_{res}_txt2img_p50" + ("_tiled" if tiled else ""),
+        f"{model_name}_{res}_txt2img_p50" + ("_tiled" if tiled else "") + ab,
         payload,
     )
     print(json.dumps(payload))
