@@ -170,7 +170,7 @@ class SDModel:
         if self.adapters:
             self.set_adapters(dict(self.adapters))
         else:
-            self.unet_params = self._base_params["unet"]
+            self.unet_params = self._maybe_quantize(self._base_params["unet"])
         if image_encoder_path is not None:
             self.load_image_encoder(image_encoder_path)
 
@@ -185,7 +185,8 @@ class SDModel:
             if self.adapters:
                 self.set_adapters(dict(self.adapters))
             else:
-                self.unet_params = self._base_params["unet"]
+                self.unet_params = self._maybe_quantize(
+                    self._base_params["unet"])
         else:
             self.unet_params = strip_ip_weights(self.unet_params)
         self.ip_adapter = None
@@ -387,6 +388,42 @@ class SDModel:
     # originals (no drift from repeated add/subtract).
     _base_params: Optional[Dict[str, Any]] = None
     _adapter_store: Dict[str, Dict[str, dict]] = None  # name -> component tree
+    # int8 quantization mode for the UNet ("w8" | "w8a8" | None); survives
+    # adapter swaps — set_adapters/delete_adapters re-apply it after fusing
+    # from the pristine fp base (ops/quant.py: quantize AFTER LoRA fusion)
+    quant_mode: Optional[str] = None
+    quant_min_size: int = 65536
+
+    def quantize(self, mode: Optional[str] = "w8a8",
+                 min_size: Optional[int] = None) -> None:
+        """Opt-in int8 UNet quantization (TPU-native extension; the
+        reference serves fp16 torch with no quantized path,
+        /root/reference/pipelines/sd_unified_pipeline.py:465-523).
+
+        "w8a8" contracts the big matmuls/convs on the doubled-rate int8
+        MXU path; "w8" halves weight HBM reads only.  None reverts to the
+        pristine fp weights (re-fusing any active adapters).  Approximate:
+        conv_in/conv_out/time-embed/norms stay fp (ops/quant.py skip list).
+        """
+        self._ensure_base()
+        self.quant_mode = mode
+        if min_size is not None:
+            self.quant_min_size = int(min_size)
+        # re-derive working params from the fp base at the new mode,
+        # preserving any fused adapters
+        if self.adapters:
+            self.set_adapters(dict(self.adapters))
+        else:
+            self.unet_params = self._maybe_quantize(
+                self._base_params["unet"])
+
+    def _maybe_quantize(self, unet_tree):
+        if self.quant_mode is None:
+            return unet_tree
+        from stablediffusion_tpu.ops.quant import quantize_params
+
+        return quantize_params(
+            unet_tree, self.quant_mode, min_size=self.quant_min_size)
 
     def _ensure_base(self):
         if self._base_params is None:
@@ -427,18 +464,17 @@ class SDModel:
                 for n in weights
                 if component in self._adapter_store[n]
             }
-            setattr(
-                self,
-                attr,
-                fuse(base, comp_adapters, weights) if comp_adapters else base,
-            )
+            fused = fuse(base, comp_adapters, weights) if comp_adapters else base
+            if component == "unet":
+                fused = self._maybe_quantize(fused)
+            setattr(self, attr, fused)
         self.adapters = dict(weights)
 
     def delete_adapters(self):
         """Drop all adapters and restore pristine weights
         (delete_adapters analog)."""
         if self._base_params is not None:
-            self.unet_params = self._base_params["unet"]
+            self.unet_params = self._maybe_quantize(self._base_params["unet"])
             self.text_encoder_params = self._base_params["text_encoder"]
             self.text_encoder_2_params = self._base_params["text_encoder_2"]
         self._adapter_store = {}

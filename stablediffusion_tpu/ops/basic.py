@@ -21,6 +21,10 @@ import jax.numpy as jnp
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
     """x [..., in] @ weight [in, out] + bias."""
+    if "weight_int8" in params:  # quantized tree (ops/quant.py, opt-in)
+        from stablediffusion_tpu.ops.quant import int8_linear
+
+        return int8_linear(params, x)
     w = params["weight"]
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
     b = params.get("bias")
@@ -36,6 +40,10 @@ def conv2d(
     padding: int | str = "SAME",
 ) -> jax.Array:
     """NHWC conv with HWIO kernel."""
+    if "weight_int8" in params:  # quantized tree (ops/quant.py, opt-in)
+        from stablediffusion_tpu.ops.quant import int8_conv2d
+
+        return int8_conv2d(params, x, stride=stride, padding=padding)
     w = params["weight"].astype(x.dtype)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]

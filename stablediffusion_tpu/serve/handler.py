@@ -230,6 +230,20 @@ class Handler:
                 self.model.load_ip_adapter(path)
             else:
                 self.model.unload_ip_adapter()
+        if "quantize" in model_cfg:
+            # opt-in int8 UNet ("w8a8" | "w8" | null to revert); declarative
+            # like the other keys — idempotent when unchanged
+            q = model_cfg["quantize"] or None
+            if not hasattr(self.model, "quantize"):
+                if q:
+                    raise ValueError(
+                        "quantize is not supported for model type "
+                        f"{getattr(self.model, 'model_type', '?')!r}"
+                    )
+            elif q != self.model.quant_mode:
+                if q not in (None, "w8", "w8a8"):
+                    raise ValueError(f"unknown quantize mode {q!r}")
+                self.model.quantize(q)
 
     # -- entry ----------------------------------------------------------------
     def __call__(self, request_input: Dict[str, Any], request_id: str = "") -> Dict:
