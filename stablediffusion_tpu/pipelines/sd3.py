@@ -64,6 +64,10 @@ class SD3Model:
     _scheduler: Optional[BaseScheduler] = field(default=None, repr=False)
     _base_params: Optional[dict] = field(default=None, repr=False)
     _adapter_store: Optional[dict] = field(default=None, repr=False)
+    # int8 quantization mode for the MMDiT ("w8" | "w8a8" | None); survives
+    # adapter swaps, same contract as SDModel.quant_mode
+    quant_mode: Optional[str] = None
+    quant_min_size: int = 65536
 
     @property
     def scheduler(self) -> BaseScheduler:
@@ -130,20 +134,52 @@ class SD3Model:
                 for n in weights
                 if component in self._adapter_store[n]
             }
-            setattr(
-                self,
-                attr,
-                fuse(base, comp_adapters, weights) if comp_adapters else base,
-            )
+            fused = fuse(base, comp_adapters, weights) if comp_adapters else base
+            if component == "transformer":
+                fused = self._maybe_quantize(fused)
+            setattr(self, attr, fused)
         self.adapters = dict(weights)
 
     def delete_adapters(self):
         if self._base_params is not None:
-            self.transformer_params = self._base_params["transformer"]
+            self.transformer_params = self._maybe_quantize(
+                self._base_params["transformer"])
             self.text_encoder_params = self._base_params["text_encoder"]
             self.text_encoder_2_params = self._base_params["text_encoder_2"]
         self._adapter_store = {}
         self.adapters = {}
+
+    # -- int8 quantization (ops/quant.py; same lifecycle as SDModel) --------
+    # MMDiT-specific skip list: the AdaLN modulation linears live under
+    # norm* keys (caught by "norm"), the conditioning embedders and the
+    # patch/pos projections are input boundaries, proj_out is the output
+    # boundary.  NOTE: unlike the UNet, "proj_out" here is ONLY the final
+    # pixel head (the attention blocks use to_out/to_add_out), so skipping
+    # it does not touch the hot path.
+    _QUANT_SKIP = ("norm", "embedder", "pos_embed", "proj_out")
+
+    def quantize(self, mode: Optional[str] = "w8a8",
+                 min_size: Optional[int] = None) -> None:
+        """Opt-in int8 MMDiT quantization ("w8a8" | "w8" | None to revert);
+        see SDModel.quantize / ops/quant.py for semantics."""
+        self._ensure_base()
+        self.quant_mode = mode
+        if min_size is not None:
+            self.quant_min_size = int(min_size)
+        if self.adapters:
+            self.set_adapters(dict(self.adapters))
+        else:
+            self.transformer_params = self._maybe_quantize(
+                self._base_params["transformer"])
+
+    def _maybe_quantize(self, tree):
+        if self.quant_mode is None:
+            return tree
+        from stablediffusion_tpu.ops.quant import quantize_params
+
+        return quantize_params(tree, self.quant_mode,
+                               min_size=self.quant_min_size,
+                               skip_keys=self._QUANT_SKIP)
 
     def get_list_adapters(self) -> dict:
         return dict(self.adapters)

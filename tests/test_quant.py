@@ -244,3 +244,27 @@ def test_handler_quantize_key():
 
     with pytest.raises(Exception):
         h.maybe_reload_model({"quantize": "int4"})
+
+
+def test_sd3_quantize_lifecycle_and_pipeline():
+    from test_sd3 import make_tiny_sd3_model
+    from stablediffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
+
+    m = make_tiny_sd3_model()
+    pipe = StableDiffusion3Pipeline()
+    ref = pipe(m, prompt="a cat", height=32, width=32,
+               num_inference_steps=2, seed=5).images
+    m.quantize("w8a8", min_size=1)
+    assert _leaf_count(m.transformer_params, "weight_int8") > 0
+    # boundary layers stay fp
+    tp = m.transformer_params
+    assert "weight" in tp["proj_out"]
+    assert "weight" in tp["context_embedder"]
+    out = pipe(m, prompt="a cat", height=32, width=32,
+               num_inference_steps=2, seed=5).images
+    assert out.shape == ref.shape and np.isfinite(out).all()
+    assert np.abs(out - ref).mean() < 0.15
+    m.quantize(None)
+    out2 = pipe(m, prompt="a cat", height=32, width=32,
+                num_inference_steps=2, seed=5).images
+    np.testing.assert_array_equal(out2, ref)
