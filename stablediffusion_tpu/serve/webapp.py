@@ -41,7 +41,9 @@ INDEX_HTML = """<!DOCTYPE html>
  <label>Checkpoint</label><input id="model_name" placeholder="(loaded model)"><br>
  <label>LoRAs (name:weight,..)</label><input id="loras" placeholder="style:0.7,detail:0.5"><br>
  <label>Textual inversions (path[:token],..)</label><input id="ti" placeholder="embeds/thing.pt:mytoken"><br>
- <label>Scheduler</label><select id="scheduler">{sched_options}</select>
+ <label>Scheduler</label><select id="scheduler">{sched_options}</select><br>
+ <label>Quantize (int8, approximate)</label>
+ <select id="quantize"><option value="">off</option><option>w8a8</option><option>w8</option></select>
 </fieldset>
 <fieldset><legend>Task</legend>
  <label><input type="radio" name="task" value="txt2img" checked> Text-To-Image</label>
@@ -108,6 +110,7 @@ async function generate() {{
     model.type = g('model_type').value; model.name = g('model_name').value;
   }}
   if (g('scheduler').value) model.scheduler = g('scheduler').value;
+  if (g('quantize').value) model.quantize = g('quantize').value;
   if (g('loras').value) {{
     model.loras = {{}};
     g('loras').value.split(',').forEach(p => {{
@@ -219,6 +222,7 @@ def build_ui_request(
     vae_tiling: bool = False,
     hires_scale: float = 0.0,
     hires_strength: float = 0.7,
+    quantize: str = "",
 ) -> dict:
     """Pure UI-state -> handler-request mapping shared by the Gradio
     front-end and tests (same JSON job schema the HTML UI posts; images may
@@ -256,6 +260,8 @@ def build_ui_request(
     tis = parse_ti_spec(textual_inversions)
     if tis:
         model["textual_inversion"] = tis
+    if quantize:
+        model["quantize"] = quantize
     if model:
         req["model"] = model
     if task != "txt2img":
@@ -300,7 +306,7 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
 
     def generate(task, prompt, negative, steps, cfg, lora_te_scale,
                  clip_skip, seed, width, height, num_images, strength,
-                 model_type, checkpoint, loras, tis, scheduler,
+                 model_type, checkpoint, loras, tis, scheduler, quantize,
                  prompt_weighting, vae_tiling, hires_scale, image, mask):
         try:
             req = build_ui_request(
@@ -312,7 +318,7 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                 lora_te_scale=lora_te_scale if lora_te_scale else None,
                 image=image, mask_image=mask,
                 prompt_weighting=prompt_weighting, vae_tiling=vae_tiling,
-                hires_scale=hires_scale,
+                hires_scale=hires_scale, quantize=quantize,
             )
         except ValueError as e:
             raise gr.Error(str(e))
@@ -353,6 +359,9 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                 tis = gr.Textbox(label="Textual inversions (path[:token],...)")
                 scheduler = gr.Dropdown(sched_names, value="DPM++ 2M Karras",
                                         label="Scheduler")
+                quantize = gr.Dropdown(
+                    ["", "w8a8", "w8"], value="",
+                    label="Quantize (int8, approximate)")
             with gr.Group():
                 task = gr.Radio(["txt2img", "img2img", "inpaint"],
                                 value="txt2img", label="Generation task")
@@ -402,8 +411,8 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                 inputs=[task, prompt, negative, steps, cfg, lora_te_scale,
                         clip_skip, seed, width, height, num_images, strength,
                         model_type, checkpoint, loras, tis, scheduler,
-                        prompt_weighting, vae_tiling, hires_scale, image,
-                        mask],
+                        quantize, prompt_weighting, vae_tiling, hires_scale,
+                        image, mask],
                 outputs=[gallery, status],
             )
         with gr.Tab("Train"):

@@ -8,7 +8,7 @@ from stablediffusion_tpu.serve.webapp import index_html
 def test_template_renders_with_all_controls():
     h = index_html()
     for field in (
-        "model_type", "model_name", "loras", "ti", "scheduler",
+        "model_type", "model_name", "loras", "ti", "scheduler", "quantize",
         "prompt", "negative_prompt", "steps", "cfg", "clip_skip", "seed",
         "width", "height", "nimg", "vae_tiling", "prompt_weighting",
         "hires_scale", "hires_strength", "strength", "image", "mask_image",
@@ -53,6 +53,7 @@ def test_build_ui_request_full_mapping():
         checkpoint="ckpt", loras="style:0.7", textual_inversions="e.pt:t",
         lora_te_scale=0.5, image=img, mask_image=img,
         prompt_weighting=True, vae_tiling=True, hires_scale=2.0,
+        quantize="w8a8",
     )
     assert req["prompt"] == "a cat" and req["negative_prompt"] == "bad"
     assert req["num_inference_steps"] == 12 and req["guidance_scale"] == 5.5
@@ -66,6 +67,7 @@ def test_build_ui_request_full_mapping():
         "type": "sdxl", "name": "ckpt", "scheduler": "euler",
         "loras": {"style": 0.7},
         "textual_inversion": [{"path": "e.pt", "token": "t"}],
+        "quantize": "w8a8",
     }
     assert req["image"] is img and req["mask_image"] is img
     assert req["strength"] == 0.6
