@@ -49,6 +49,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--center_crop", action="store_true")
     p.add_argument("--random_flip", action="store_true")
+    p.add_argument("--aspect_ratio_bucketing", action="store_true",
+                   help="kohya-style buckets: train non-square images at "
+                        "their native aspect (one XLA compile per bucket)")
+    p.add_argument("--bucket_step", type=int, default=64)
+    p.add_argument("--max_bucket_ar", type=float, default=2.0)
     # optimization
     p.add_argument("--train_batch_size", type=int, default=16)
     p.add_argument("--num_train_epochs", type=int, default=100)
@@ -189,6 +194,9 @@ def main(argv=None):
         noise_offset=args.noise_offset,
         random_flip=args.random_flip,
         center_crop=args.center_crop,
+        aspect_ratio_bucketing=args.aspect_ratio_bucketing,
+        bucket_step=args.bucket_step,
+        max_bucket_ar=args.max_bucket_ar,
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
         resume_from_checkpoint=args.resume_from_checkpoint,

@@ -42,10 +42,43 @@ class Example:
     conditioning_pixel_values: Optional[np.ndarray] = None
 
 
+def bucket_resolutions(
+    base_resolution: int,
+    step: int = 64,
+    max_ar: float = 2.0,
+    min_side: Optional[int] = None,
+) -> List[tuple]:
+    """kohya-style aspect-ratio buckets: every (H, W) with both sides
+    multiples of `step`, area <= base_resolution^2 (maximized per aspect),
+    aspect ratio within [1/max_ar, max_ar], sides >= min_side.  XLA compiles
+    one train-step executable per bucket shape, so the list is kept small
+    (typically 10-20 buckets at step 64)."""
+    if min_side is None:
+        # kohya's 256 floor at production sizes; scale down for small bases
+        min_side = max(step, min(256, base_resolution // 2))
+    area = base_resolution * base_resolution
+    buckets = {(base_resolution, base_resolution)}
+    w = min_side
+    while w * min_side <= area:
+        h = min(int(area / w) // step * step, int(w * max_ar) // step * step)
+        if h >= min_side and h >= w / max_ar:
+            buckets.add((h, w))
+            buckets.add((w, h))
+        w += step
+    return sorted(buckets)
+
+
+def assign_bucket(height: int, width: int, buckets: List[tuple]) -> int:
+    """Index of the bucket whose aspect ratio is nearest (in log space) to
+    the image's."""
+    a = np.log(width / height)
+    return int(np.argmin([abs(np.log(bw / bh) - a) for bh, bw in buckets]))
+
+
 def transform_image(
     img,
     rng: np.random.Generator,
-    resolution: int,
+    resolution,
     center_crop: bool,
     random_flip: bool,
     flip_p: float,
@@ -57,10 +90,41 @@ def transform_image(
     tuple alongside the array.
 
     `conditioning_img` (ControlNet training) gets the IDENTICAL geometry
-    (crop/resize/flip) but stays in [0, 1] — paired pixels must line up."""
+    (crop/resize/flip) but stays in [0, 1] — paired pixels must line up.
+
+    `resolution`: an int keeps the reference's square crop-then-resize
+    path bit-identical; an (H, W) tuple is the aspect-ratio-bucket path
+    (cover-resize then crop to the bucket, diffusers SDXL convention:
+    crop coordinates recorded in resized space)."""
     img = img.convert("RGB")
     W, H = img.size
     original_size = (H, W)
+
+    if isinstance(resolution, (tuple, list)):
+        th, tw = int(resolution[0]), int(resolution[1])
+        scale = max(th / H, tw / W)
+        rh, rw = max(th, round(H * scale)), max(tw, round(W * scale))
+        if center_crop:
+            top, left = (rh - th) // 2, (rw - tw) // 2
+        else:
+            top = int(rng.integers(0, rh - th + 1))
+            left = int(rng.integers(0, rw - tw + 1))
+        flip = random_flip and rng.random() < flip_p
+
+        def geom_bucket(im):
+            im = im.resize((rw, rh), Image.BILINEAR)
+            im = im.crop((left, top, left + tw, top + th))
+            a = np.asarray(im, np.float32) / 255.0
+            return a[:, ::-1] if flip else a
+
+        arr = geom_bucket(img)
+        cond_arr = None
+        if conditioning_img is not None:
+            cond_arr = geom_bucket(conditioning_img.convert("RGB")).copy()
+        if flip:
+            left = rw - left - tw
+        arr = arr * 2.0 - 1.0
+        return arr.copy(), original_size, (top, left), (th, tw), cond_arr
 
     side = min(H, W)
     if center_crop:
@@ -119,9 +183,19 @@ class SDLoRADataset:
         center_crop: bool = False,
         seed: int = 0,
         conditioning_dir: Optional[str] = None,
+        aspect_ratio_bucketing: bool = False,
+        bucket_step: int = 64,
+        max_bucket_ar: float = 2.0,
     ):
         """`conditioning_dir` (ControlNet training): a sibling folder holding
-        the control image for each training image under the SAME filename."""
+        the control image for each training image under the SAME filename.
+
+        `aspect_ratio_bucketing` (kohya-style, beyond the reference's square
+        crop): images group into buckets of equal aspect ratio at ~constant
+        area resolution^2; every batch is drawn from ONE bucket, so non-
+        square images train at their native aspect instead of being center-
+        mutilated.  Each distinct bucket shape costs one extra XLA compile
+        of the train step (the step is shape-polymorphic under jit)."""
         self.data_dir = data_dir
         self.resolution = resolution
         self.random_flip = random_flip
@@ -147,6 +221,16 @@ class SDLoRADataset:
                     f"no conditioning image in {conditioning_dir} for: "
                     f"{missing[:5]}"
                 )
+        self.buckets: Optional[List[tuple]] = None
+        if aspect_ratio_bucketing:
+            self.buckets = bucket_resolutions(
+                resolution, step=bucket_step, max_ar=max_bucket_ar)
+            # PIL reads only the header for .size — no pixel decode here
+            self.bucket_items: List[List[int]] = [[] for _ in self.buckets]
+            for i, path in enumerate(self.items):
+                with Image.open(path) as im:
+                    w, h = im.size
+                self.bucket_items[assign_bucket(h, w, self.buckets)].append(i)
 
     def _conditioning_path(self, img_path: str) -> Optional[str]:
         if self.conditioning_dir is None:
@@ -171,11 +255,11 @@ class SDLoRADataset:
     def __getitem__(self, idx: int) -> Example:
         return self._load_item(idx, self.rng)
 
-    def _load_item(self, idx: int, rng) -> Example:
+    def _load_item(self, idx: int, rng, size=None) -> Example:
         path = self.items[idx]
         cond_path = self._conditioning_path(path)
         arr, original_size, crop_top_left, target_size, cond = transform_image(
-            Image.open(path), rng, self.resolution, self.center_crop,
+            Image.open(path), rng, size or self.resolution, self.center_crop,
             self.random_flip, self.flip_p,
             conditioning_img=Image.open(cond_path) if cond_path else None,
         )
@@ -217,41 +301,65 @@ class SDLoRADataset:
         # deadlock (wrappers waiting on item tasks that can never start)
         assembler = ThreadPoolExecutor(prefetch + 1) if pool is not None else None
 
-        def load_batch(idxs, rngs):
+        def load_batch(idxs, rngs, size=None):
             # rngs are spawned by the CALLER (main thread) so the stream is
             # deterministic regardless of worker scheduling
             pairs = list(zip([int(i) for i in idxs], rngs))
             if pool is None:
-                ex = [self._load_item(i, r) for i, r in pairs]
+                ex = [self._load_item(i, r, size=size) for i, r in pairs]
             else:
-                ex = list(pool.map(lambda p: self._load_item(*p), pairs))
+                ex = list(pool.map(lambda p: self._load_item(
+                    p[0], p[1], size=size), pairs))
             return _collate(ex)
 
         def index_stream():
+            """Yields (idxs, size): size is None on the square path, the
+            bucket (H, W) under aspect-ratio bucketing (batches are drawn
+            from ONE bucket; batch ORDER is shuffled across buckets and
+            sharded at batch granularity so every host sees whole,
+            shape-homogeneous batches)."""
             epoch = 0
             while epochs is None or epoch < epochs:
-                order = np.arange(len(self))
-                if shuffle:
-                    self.rng.shuffle(order)
-                order = order[shard_index::num_shards]
-                stop = len(order) - (batch_size - 1 if drop_last else 0)
-                for s in range(0, stop, batch_size):
-                    idxs = order[s : s + batch_size]
-                    if drop_last and len(idxs) < batch_size:
-                        break
-                    yield idxs
+                if getattr(self, "buckets", None):
+                    all_batches = []
+                    for b, bidxs in enumerate(self.bucket_items):
+                        order = np.asarray(bidxs)
+                        if shuffle:
+                            self.rng.shuffle(order)
+                        stop = len(order) - (batch_size - 1 if drop_last else 0)
+                        for s in range(0, max(stop, 0), batch_size):
+                            all_batches.append(
+                                (order[s : s + batch_size], self.buckets[b]))
+                    border = (
+                        self.rng.permutation(len(all_batches))
+                        if shuffle else np.arange(len(all_batches))
+                    )
+                    for i in border[shard_index::num_shards]:
+                        yield all_batches[int(i)]
+                else:
+                    order = np.arange(len(self))
+                    if shuffle:
+                        self.rng.shuffle(order)
+                    order = order[shard_index::num_shards]
+                    stop = len(order) - (batch_size - 1 if drop_last else 0)
+                    for s in range(0, stop, batch_size):
+                        idxs = order[s : s + batch_size]
+                        if drop_last and len(idxs) < batch_size:
+                            break
+                        yield idxs, None
                 epoch += 1
 
         try:
             if pool is None:
-                for idxs in index_stream():
-                    yield load_batch(idxs, self.rng.spawn(len(idxs)))
+                for idxs, size in index_stream():
+                    yield load_batch(idxs, self.rng.spawn(len(idxs)), size)
                 return
             pending = deque()
             stream = index_stream()
-            for idxs in stream:
+            for idxs, size in stream:
                 pending.append(
-                    assembler.submit(load_batch, idxs, self.rng.spawn(len(idxs)))
+                    assembler.submit(
+                        load_batch, idxs, self.rng.spawn(len(idxs)), size)
                 )
                 if len(pending) > prefetch:
                     yield pending.popleft().result()
@@ -367,7 +475,7 @@ class HFImageCaptionDataset(SDLoRADataset):
     def __getitem__(self, idx: int) -> Example:
         return self._load_item(idx, self.rng)
 
-    def _load_item(self, idx: int, rng) -> Example:
+    def _load_item(self, idx: int, rng, size=None) -> Example:
         row = self.ds[int(idx)]
         img = row[self.image_column]
         if isinstance(img, str):  # path column
@@ -378,7 +486,7 @@ class HFImageCaptionDataset(SDLoRADataset):
             if isinstance(cond_img, str):
                 cond_img = Image.open(cond_img)
         arr, original_size, crop_top_left, target_size, cond = transform_image(
-            img, rng, self.resolution, self.center_crop,
+            img, rng, size or self.resolution, self.center_crop,
             self.random_flip, self.flip_p, conditioning_img=cond_img,
         )
         caption = (

@@ -66,6 +66,12 @@ class SDTrainingArgs:
     noise_offset: float = 0.0
     random_flip: bool = True
     center_crop: bool = False
+    # kohya-style aspect-ratio bucketing (beyond the reference's square
+    # crop): batches are drawn from one aspect bucket at ~resolution^2 area;
+    # the jitted step recompiles once per bucket shape
+    aspect_ratio_bucketing: bool = False
+    bucket_step: int = 64
+    max_bucket_ar: float = 2.0
     gradient_checkpointing: bool = False
     # "" | "none" | "full" | "dots" | "offload" — see TrainStatics.remat_policy
     remat_policy: str = ""
@@ -175,7 +181,14 @@ class SDLoRATrainer:
             random_flip=args.random_flip,
             center_crop=args.center_crop,
             seed=args.seed,
+            aspect_ratio_bucketing=args.aspect_ratio_bucketing,
+            bucket_step=args.bucket_step,
+            max_bucket_ar=args.max_bucket_ar,
         )
+        if args.aspect_ratio_bucketing and not getattr(dataset, "buckets", None):
+            raise ValueError(
+                "aspect_ratio_bucketing needs the folder dataset "
+                "(SDLoRADataset); the provided dataset has no buckets")
         steps_per_epoch = max(len(dataset) // args.train_batch_size, 1)
         total_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
 
