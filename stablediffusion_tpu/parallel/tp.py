@@ -31,11 +31,22 @@ def _spec_for(path: str, ndim: int, tensor_size: int, shape) -> P:
     if ndim != 2:
         return P()
     full = path.replace("/", ".")
+    # int8-quantized trees (ops/quant.py): the [in, out] kernel is
+    # "weight_int8" and its per-output-channel scale is "[w8|w8a8]_scale"
+    # of shape [1, out] — both shard exactly like "weight" (the scale's
+    # leading 1 makes the row-parallel case a replicate automatically)
     for s in _COL_SUFFIXES:
-        if full.endswith(f"{s}.weight") and shape[1] % tensor_size == 0:
+        if (
+            full.endswith((f"{s}.weight", f"{s}.weight_int8",
+                           f"{s}.w8_scale", f"{s}.w8a8_scale"))
+            and shape[1] % tensor_size == 0
+        ):
             return P(None, TENSOR_AXIS)
     for s in _ROW_SUFFIXES:
-        if full.endswith(f"{s}.weight") and shape[0] % tensor_size == 0:
+        if (
+            full.endswith((f"{s}.weight", f"{s}.weight_int8"))
+            and shape[0] % tensor_size == 0
+        ):
             return P(TENSOR_AXIS, None)
     return P()
 

@@ -268,3 +268,52 @@ def test_sd3_quantize_lifecycle_and_pipeline():
     out2 = pipe(m, prompt="a cat", height=32, width=32,
                 num_inference_steps=2, seed=5).images
     np.testing.assert_array_equal(out2, ref)
+
+
+@pytest.mark.parametrize("mode,atol", [("w8", 2e-5), ("w8a8", 6e-3)])
+def test_quantized_tree_tp_sharding_matches(mode, atol):
+    """TP placement on a quantized tree (serving --mesh_tp + model.quantize):
+    the int8 kernels and their scales shard like fp weights.
+
+    Tolerances: "w8" dequantizes to the fp path, so it matches replicated
+    execution at the same 2e-5 the fp TP test uses.  "w8a8" cannot be that
+    tight under TP: the column-parallel QK contraction reduces in fp32 with
+    a different accumulation order, and a 1-ulp drift near a round()
+    boundary flips an int8 activation code (a ~1/127 relative jump) — so
+    the bound is a few quantization steps, not float ulps."""
+    import jax.numpy as jnp
+    from stablediffusion_tpu.models import unet
+    from stablediffusion_tpu.ops.quant import quantize_params
+    from stablediffusion_tpu.parallel import make_mesh
+    from stablediffusion_tpu.parallel.tp import shard_params_tp
+
+    m = make_tiny_model("sd15")
+    q = quantize_params(m.unet_params, mode, min_size=1)
+    mesh = make_mesh(data=4, tensor=2)
+    sharded = shard_params_tp(q, mesh)
+    # at least one int8 kernel actually got a tensor-axis shard
+    from jax.sharding import PartitionSpec as P
+
+    specs = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "weight_int8":
+                    specs.append(v.sharding.spec)
+                else:
+                    walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(sharded)
+    assert any(s != P() for s in specs), "no int8 kernel was TP-sharded"
+
+    lat = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+    ctx = jax.random.normal(
+        jax.random.key(1), (2, 77, m.unet_config.cross_attention_dim))
+    a = unet.apply(q, m.unet_config, lat, jnp.asarray(500), ctx)
+    b = unet.apply(sharded, m.unet_config, lat, jnp.asarray(500), ctx)
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), atol=atol)
