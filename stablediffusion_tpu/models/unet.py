@@ -141,6 +141,7 @@ def apply(
     mid_block_residual: Optional[jax.Array] = None,
     ip_hidden_states: Optional[jax.Array] = None,  # [B, n_tokens, cross_dim]
     ip_scale=None,
+    freeu: Optional[tuple] = None,  # (b1, b2, s1, s2) static — ops/freeu.py
 ):
     """Forward pass.
 
@@ -260,6 +261,10 @@ def apply(
         block_idx = n_blocks - 1 - i  # mirrored resolution index
         for j in range(config.layers_per_block + 1):
             skip = skips.pop()
+            if freeu is not None and not shallow_only:
+                from stablediffusion_tpu.ops.freeu import apply_freeu
+
+                x, skip = apply_freeu(x, skip, i, freeu)
             x = jnp.concatenate([x, skip], axis=-1)
             x = _resnet(bp["resnets"][str(j)], x, emb, g, eps)
             if has_attn:

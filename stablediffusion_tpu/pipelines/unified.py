@@ -60,6 +60,23 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale):
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
+def _resolve_freeu(freeu, model_type: str):
+    """Normalize the pipeline `freeu=` arg to a static (b1, b2, s1, s2)
+    tuple (or None): True picks the diffusers-recommended per-family
+    defaults; an explicit 4-sequence passes through."""
+    if freeu is None or freeu is False:
+        return None
+    from stablediffusion_tpu.ops.freeu import SD15_DEFAULTS, SDXL_DEFAULTS
+
+    if freeu is True:
+        return SDXL_DEFAULTS if model_type == "sdxl" else SD15_DEFAULTS
+    vals = tuple(float(v) for v in freeu)
+    if len(vals) != 4:
+        raise ValueError(
+            f"freeu must be True or (b1, b2, s1, s2); got {freeu!r}")
+    return vals
+
+
 def _denoising_valid(v) -> bool:
     return isinstance(v, float) and 0.0 < v < 1.0
 
@@ -184,6 +201,7 @@ def _vae_decode(params, latents, *, config: VAEConfig, force_upcast, dtype=None)
         "cache_interval",
         "controlnet_config",
         "controlnet_scale",
+        "freeu",
     ),
 )
 def _denoise(
@@ -212,6 +230,7 @@ def _denoise(
     controlnet_params=None,
     control_image=None,  # [B, H, W, 3] in [0, 1]
     controlnet_scale: float = 1.0,
+    freeu=None,  # (b1, b2, s1, s2) static tuple — ops/freeu.py
 ):
     """The hot loop (ref: sd_unified_pipeline.py:465-507) as one lax.scan.
 
@@ -268,7 +287,7 @@ def _denoise(
             unet_params, unet_config, x, t, emb, added_cond=added_cond,
             deep_cache=deep_cache, return_deep_cache=want_cache,
             down_block_residuals=down_res, mid_block_residual=mid_res,
-            ip_hidden_states=ip_tokens, ip_scale=ip_scale,
+            ip_hidden_states=ip_tokens, ip_scale=ip_scale, freeu=freeu,
         )
         pred, deep = result if want_cache else (result, None)
         if do_cfg:
@@ -743,7 +762,12 @@ class StableDiffusionUnifiedPipeline:
         hires_scale: Optional[float] = None,
         hires_strength: float = 0.7,
         hires_steps: Optional[int] = None,
+        # FreeU (arXiv 2309.11497, ops/freeu.py): True = per-family
+        # diffusers defaults, or an explicit (b1, b2, s1, s2). Static —
+        # toggling recompiles (same contract as cache_interval).
+        freeu: Union[bool, tuple, list, None] = None,
     ) -> SDPipelineOutput:
+        freeu = _resolve_freeu(freeu, model.model_type)
         scheduler = model.scheduler
         num_inference_steps = resolve_custom_schedule(
             num_inference_steps, timesteps, sigmas
@@ -788,6 +812,7 @@ class StableDiffusionUnifiedPipeline:
                     negative_prompt_embeds=negative_prompt_embeds,
                     pooled_prompt_embeds=pooled_prompt_embeds,
                     negative_pooled_prompt_embeds=negative_pooled_prompt_embeds,
+                    freeu=freeu,
                 ),
                 height=height or model.unet_config.sample_size * vf,
                 width=width or model.unet_config.sample_size * vf,
@@ -1243,6 +1268,7 @@ class StableDiffusionUnifiedPipeline:
             controlnet_params=model.controlnet_params if control_arr is not None else None,
             control_image=control_arr,
             controlnet_scale=float(controlnet_conditioning_scale),
+            freeu=freeu,
         )
 
         # decode

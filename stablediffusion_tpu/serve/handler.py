@@ -57,6 +57,7 @@ INFERENCE_ARG_KEYS = (
     "padding_mask_crop",
     "cache_interval",
     "vae_tiling",
+    "freeu",
     "hires_scale",
     "hires_strength",
     "hires_steps",
