@@ -80,9 +80,16 @@ def _attn(p: dict, x: jax.Array, ctx: jax.Array, heads: int,
 
 
 def _transformer_block(p: dict, x: jax.Array, ctx: jax.Array, heads: int,
-                       ip_ctx: Optional[jax.Array] = None, ip_scale=None):
+                       ip_ctx: Optional[jax.Array] = None, ip_scale=None,
+                       perturb_self: bool = False):
     h = layer_norm(p["norm1"], x)
-    x = x + _attn(p["attn1"], h, h, heads)
+    if perturb_self:
+        # PAG (arXiv 2403.17377): replace the self-attention map with
+        # identity — each token attends only to itself, so the attention
+        # output collapses to to_out(to_v(h))
+        x = x + linear(p["attn1"]["to_out"]["0"], linear(p["attn1"]["to_v"], h))
+    else:
+        x = x + _attn(p["attn1"], h, h, heads)
     x = x + _attn(p["attn2"], layer_norm(p["norm2"], x), ctx, heads,
                   ip_ctx=ip_ctx, ip_scale=ip_scale)
     h = layer_norm(p["norm3"], x)
@@ -101,6 +108,7 @@ def _transformer2d(
     groups: int = 32,
     ip_ctx: Optional[jax.Array] = None,
     ip_scale=None,
+    perturb_self: bool = False,
 ):
     B, H, W, C = x.shape
     residual = x
@@ -113,7 +121,8 @@ def _transformer2d(
         h = h.reshape(B, H * W, C)
     for i in range(n_layers):
         h = _transformer_block(p["transformer_blocks"][str(i)], h, ctx, heads,
-                               ip_ctx=ip_ctx, ip_scale=ip_scale)
+                               ip_ctx=ip_ctx, ip_scale=ip_scale,
+                               perturb_self=perturb_self)
     if use_linear_projection:
         h = linear(p["proj_out"], h)
         h = h.reshape(B, H, W, C)
@@ -142,6 +151,8 @@ def apply(
     ip_hidden_states: Optional[jax.Array] = None,  # [B, n_tokens, cross_dim]
     ip_scale=None,
     freeu: Optional[tuple] = None,  # (b1, b2, s1, s2) static — ops/freeu.py
+    pag_perturb: Optional[tuple] = None,  # static subset of ("down","mid","up"):
+    #   replace self-attention with identity in those groups (PAG branch)
 ):
     """Forward pass.
 
@@ -221,6 +232,7 @@ def apply(
                     g,
                     ip_ctx=ip_hidden_states,
                     ip_scale=ip_scale,
+                    perturb_self=bool(pag_perturb) and "down" in pag_perturb,
                 )
             skips.append(_with_res(x, len(skips)))
         if i < n_blocks - 1 and not shallow_only:
@@ -246,6 +258,7 @@ def apply(
             g,
             ip_ctx=ip_hidden_states,
             ip_scale=ip_scale,
+            perturb_self=bool(pag_perturb) and "mid" in pag_perturb,
         )
         x = _resnet(mp["resnets"]["1"], x, emb, g, eps)
         if mid_block_residual is not None:
@@ -278,6 +291,7 @@ def apply(
                     g,
                     ip_ctx=ip_hidden_states,
                     ip_scale=ip_scale,
+                    perturb_self=bool(pag_perturb) and "up" in pag_perturb,
                 )
         if i < n_blocks - 1:
             x = upsample_nearest_2x(x)

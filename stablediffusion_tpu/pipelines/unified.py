@@ -202,6 +202,7 @@ def _vae_decode(params, latents, *, config: VAEConfig, force_upcast, dtype=None)
         "controlnet_config",
         "controlnet_scale",
         "freeu",
+        "pag_layers",
     ),
 )
 def _denoise(
@@ -219,6 +220,7 @@ def _denoise(
     noise,  # None | [B, h, w, 4] (4ch blend path re-noising)
     ip_tokens=None,  # None | [2B or B, n_tokens, cross_dim] IP-Adapter context
     ip_scale=None,  # None | scalar f32 (traced: scale changes don't recompile)
+    pag_scale=None,  # None | scalar f32 — PAG strength (traced)
     *,
     unet_config: UNetConfig,
     scheduler: BaseScheduler,
@@ -231,6 +233,8 @@ def _denoise(
     control_image=None,  # [B, H, W, 3] in [0, 1]
     controlnet_scale: float = 1.0,
     freeu=None,  # (b1, b2, s1, s2) static tuple — ops/freeu.py
+    pag_layers: tuple = ("mid",),  # static — UNet groups whose self-attn the
+    #   PAG branch perturbs to identity (arXiv 2403.17377)
 ):
     """The hot loop (ref: sd_unified_pipeline.py:465-507) as one lax.scan.
 
@@ -290,11 +294,36 @@ def _denoise(
             ip_hidden_states=ip_tokens, ip_scale=ip_scale, freeu=freeu,
         )
         pred, deep = result if want_cache else (result, None)
+        text = pred
         if do_cfg:
             uncond, text = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance_scale * (text - uncond)
             if use_rescale:
                 pred = rescale_noise_cfg(pred, text, guidance_rescale)
+        if pag_scale is not None:
+            # PAG (arXiv 2403.17377): an extra conditional branch with the
+            # selected self-attention maps replaced by identity; guide away
+            # from it.  Final: uncond + cfg*(text-uncond) + pag*(text-pert).
+            def _cond_half(a):
+                if a is None:
+                    return None
+                return a[a.shape[0] // 2:] if do_cfg else a
+
+            pert = unet_model.apply(
+                unet_params, unet_config, _cond_half(x), t, _cond_half(emb),
+                added_cond=(
+                    None if added_cond is None
+                    else {k: _cond_half(v) for k, v in added_cond.items()}
+                ),
+                down_block_residuals=(
+                    None if down_res is None
+                    else [_cond_half(r) for r in down_res]
+                ),
+                mid_block_residual=_cond_half(mid_res),
+                ip_hidden_states=_cond_half(ip_tokens), ip_scale=ip_scale,
+                freeu=freeu, pag_perturb=pag_layers,
+            )
+            pred = pred + pag_scale * (text - pert)
         lat_new, state = scheduler.step(plan, state, i, pred, lat, key=key)
         if inpaint_mode == "blend4":
             init_prop = jnp.where(
@@ -766,8 +795,24 @@ class StableDiffusionUnifiedPipeline:
         # diffusers defaults, or an explicit (b1, b2, s1, s2). Static —
         # toggling recompiles (same contract as cache_interval).
         freeu: Union[bool, tuple, list, None] = None,
+        # PAG (arXiv 2403.17377): strength of guidance away from an extra
+        # conditional branch whose selected self-attention maps are identity.
+        # pag_applied_layers: subset of {"down", "mid", "up"} (static).
+        pag_scale: float = 0.0,
+        pag_applied_layers: Union[tuple, list] = ("mid",),
     ) -> SDPipelineOutput:
         freeu = _resolve_freeu(freeu, model.model_type)
+        pag_layers = tuple(sorted(set(pag_applied_layers or ())))
+        if pag_scale and float(pag_scale) > 0.0:
+            bad = [g for g in pag_layers if g not in ("down", "mid", "up")]
+            if bad or not pag_layers:
+                raise ValueError(
+                    "pag_applied_layers must be a non-empty subset of "
+                    f"('down', 'mid', 'up'); got {pag_applied_layers!r}")
+            if cache_interval and int(cache_interval) > 1:
+                raise ValueError(
+                    "pag_scale and cache_interval>1 cannot combine (the "
+                    "cached shallow steps skip the perturbed blocks)")
         scheduler = model.scheduler
         num_inference_steps = resolve_custom_schedule(
             num_inference_steps, timesteps, sigmas
@@ -813,6 +858,8 @@ class StableDiffusionUnifiedPipeline:
                     pooled_prompt_embeds=pooled_prompt_embeds,
                     negative_pooled_prompt_embeds=negative_pooled_prompt_embeds,
                     freeu=freeu,
+                    pag_scale=pag_scale,
+                    pag_applied_layers=pag_applied_layers,
                 ),
                 height=height or model.unet_config.sample_size * vf,
                 width=width or model.unet_config.sample_size * vf,
@@ -1269,6 +1316,11 @@ class StableDiffusionUnifiedPipeline:
             control_image=control_arr,
             controlnet_scale=float(controlnet_conditioning_scale),
             freeu=freeu,
+            pag_scale=(
+                jnp.asarray(pag_scale, jnp.float32)
+                if pag_scale and float(pag_scale) > 0.0 else None
+            ),
+            pag_layers=pag_layers,
         )
 
         # decode

@@ -58,6 +58,8 @@ INFERENCE_ARG_KEYS = (
     "cache_interval",
     "vae_tiling",
     "freeu",
+    "pag_scale",
+    "pag_applied_layers",
     "hires_scale",
     "hires_strength",
     "hires_steps",

@@ -65,7 +65,8 @@ INDEX_HTML = """<!DOCTYPE html>
  <label>Images per prompt</label><input type="number" id="nimg" value="1" min="1" max="16">
  <label><input type="checkbox" id="vae_tiling"> Tiled VAE (2048²+)</label>
  <label><input type="checkbox" id="prompt_weighting"> (word:1.2) weighting</label>
- <label><input type="checkbox" id="freeu"> FreeU</label><br>
+ <label><input type="checkbox" id="freeu"> FreeU</label>
+ <label>PAG scale (0=off)</label><input type="number" id="pag_scale" value="0" min="0" max="10" step="0.5"><br>
  <label>Hires fix scale (0=off)</label><input type="number" id="hires_scale" value="0" min="0" max="4" step="0.25">
  <label>Hires strength</label><input type="range" id="hires_strength" min="0" max="1" step="0.05" value="0.7">
 </fieldset>
@@ -103,6 +104,7 @@ async function generate() {{
   if (g('vae_tiling').checked) input.vae_tiling = true;
   if (g('prompt_weighting').checked) input.prompt_weighting = true;
   if (g('freeu').checked) input.freeu = true;
+  if (+g('pag_scale').value > 0) input.pag_scale = +g('pag_scale').value;
   if (+g('hires_scale').value > 1) {{
     input.hires_scale = +g('hires_scale').value;
     input.hires_strength = +g('hires_strength').value;
@@ -226,6 +228,7 @@ def build_ui_request(
     hires_strength: float = 0.7,
     quantize: str = "",
     freeu: bool = False,
+    pag_scale: float = 0.0,
 ) -> dict:
     """Pure UI-state -> handler-request mapping shared by the Gradio
     front-end and tests (same JSON job schema the HTML UI posts; images may
@@ -248,6 +251,8 @@ def build_ui_request(
         req["vae_tiling"] = True
     if freeu:
         req["freeu"] = True
+    if pag_scale and float(pag_scale) > 0:
+        req["pag_scale"] = float(pag_scale)
     if hires_scale and float(hires_scale) > 1:
         req["hires_scale"] = float(hires_scale)
         req["hires_strength"] = float(hires_strength)
@@ -312,8 +317,8 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
     def generate(task, prompt, negative, steps, cfg, lora_te_scale,
                  clip_skip, seed, width, height, num_images, strength,
                  model_type, checkpoint, loras, tis, scheduler, quantize,
-                 prompt_weighting, vae_tiling, freeu, hires_scale, image,
-                 mask):
+                 prompt_weighting, vae_tiling, freeu, pag_scale,
+                 hires_scale, image, mask):
         try:
             req = build_ui_request(
                 task, prompt, negative_prompt=negative, steps=steps, cfg=cfg,
@@ -324,7 +329,8 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                 lora_te_scale=lora_te_scale if lora_te_scale else None,
                 image=image, mask_image=mask,
                 prompt_weighting=prompt_weighting, vae_tiling=vae_tiling,
-                freeu=freeu, hires_scale=hires_scale, quantize=quantize,
+                freeu=freeu, pag_scale=pag_scale, hires_scale=hires_scale,
+                quantize=quantize,
             )
         except ValueError as e:
             raise gr.Error(str(e))
@@ -407,6 +413,8 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                 prompt_weighting = gr.Checkbox(label="(word:1.2) weighting")
                 vae_tiling = gr.Checkbox(label="Tiled VAE (2048²+)")
                 freeu = gr.Checkbox(label="FreeU")
+                pag_scale = gr.Slider(0, 10, 0, step=0.5,
+                                      label="PAG scale (0 = off)")
                 hires_scale = gr.Slider(0, 4, 0, step=0.25,
                                         label="Hires fix scale (0 = off)")
             go = gr.Button("Generate")
@@ -419,7 +427,7 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                         clip_skip, seed, width, height, num_images, strength,
                         model_type, checkpoint, loras, tis, scheduler,
                         quantize, prompt_weighting, vae_tiling, freeu,
-                        hires_scale, image, mask],
+                        pag_scale, hires_scale, image, mask],
                 outputs=[gallery, status],
             )
         with gr.Tab("Train"):
