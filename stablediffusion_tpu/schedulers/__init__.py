@@ -42,6 +42,16 @@ SCHEDULER_REGISTRY = {
         DPMSolverMultistepScheduler,
         {"algorithm_type": "sde-dpmsolver++", "use_karras_sigmas": True},
     ),
+    # A1111's third-order SDE family (k-diffusion sample_dpmpp_3m_sde)
+    "DPM++ 3M SDE": (
+        DPMSolverMultistepScheduler,
+        {"algorithm_type": "sde-dpmsolver++", "solver_order": 3},
+    ),
+    "DPM++ 3M SDE Karras": (
+        DPMSolverMultistepScheduler,
+        {"algorithm_type": "sde-dpmsolver++", "solver_order": 3,
+         "use_karras_sigmas": True},
+    ),
     "PNDM": (PNDMScheduler, {}),
     "uni_pc": (UniPCScheduler, {}),
     # the A1111 converter's remaining scheduler_type choices

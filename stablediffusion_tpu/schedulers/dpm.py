@@ -1,5 +1,8 @@
-"""DPM-Solver++ 2M multistep (Lu et al. 2022), with Karras-sigma and SDE
-variants.
+"""DPM-Solver++ multistep (Lu et al. 2022), orders 1-3, with Karras-sigma
+and SDE variants — including A1111's "DPM++ 3M SDE" (k-diffusion
+sample_dpmpp_3m_sde, eta=1, translated to VP coordinates; warm-up and
+order-lowered steps use the order-2 midpoint form, matching diffusers'
+lower-order convention rather than k-diffusion's phi2 warm-up).
 
 Reference binding: "DPM++ 2M", "DPM++ 2M Karras", "DPM++ 2M SDE Karras" at
 models/stable_diffusion.py:205-224.  Note the reference has a typo
@@ -62,7 +65,7 @@ class DPMSolverMultistepScheduler(BaseScheduler):
 
     def __init__(self, config: SchedulerConfig = SchedulerConfig()):
         super().__init__(config)
-        assert config.solver_order in (1, 2), "only orders 1/2 implemented"
+        assert config.solver_order in (1, 2, 3), "orders 1/2/3 implemented"
         self.sde = config.algorithm_type == "sde-dpmsolver++"
 
     def uses_noise(self) -> bool:
@@ -118,7 +121,13 @@ class DPMSolverMultistepScheduler(BaseScheduler):
         )
 
     def init_state(self, plan: Plan, sample_shape, dtype=jnp.float32):
-        # carry: previous x0 prediction (zeros before first step)
+        # carry: previous x0 prediction(s) (zeros before first step);
+        # order 3 keeps two steps of history
+        if self.config.solver_order == 3:
+            return (
+                jnp.zeros(sample_shape, jnp.float32),
+                jnp.zeros(sample_shape, jnp.float32),
+            )
         return (jnp.zeros(sample_shape, jnp.float32),)
 
     @staticmethod
@@ -139,7 +148,11 @@ class DPMSolverMultistepScheduler(BaseScheduler):
         raise ValueError(pt)
 
     def step(self, plan: Plan, state, i, model_output, sample, key=None):
-        (x0_prev,) = state
+        third_order = self.config.solver_order == 3
+        if third_order:
+            x0_prev, x0_prev2 = state
+        else:
+            (x0_prev,) = state
         N = plan.num_steps
         s = plan.sigmas
         sigma_s0 = s[i]  # current
@@ -190,9 +203,46 @@ class DPMSolverMultistepScheduler(BaseScheduler):
             (self.config.final_sigmas_type == "zero") or (N < 15)
         )
         use_first = (i == 0) | lower_final | (self.config.solver_order == 1)
-        prev = jnp.where(use_first, first, second)
+        if not third_order:
+            prev = jnp.where(use_first, first, second)
+            return prev.astype(sample.dtype), (x0,)
 
-        return prev.astype(sample.dtype), (x0,)
+        # third order: two steps of x0 history (garbage-safe index clips;
+        # the selection below never picks `third` before i==2)
+        sigma_s2 = s[jnp.clip(i - 2, 0)]
+        alpha_s2, sig_s2 = self._alpha_sigma(sigma_s2)
+        lambda_s2 = lam(alpha_s2, sig_s2)
+        h_1 = lambda_s1 - lambda_s2
+        hh = jnp.where(h == 0, 1.0, h)
+        r1 = h_1 / hh
+        D1_0 = D1  # (x0 - x0_prev) / r0, computed above
+        D1_1 = (x0_prev - x0_prev2) / jnp.where(r1 == 0, 1.0, r1)
+        rsum = jnp.where(r0 + r1 == 0, 1.0, r0 + r1)
+        D1_3 = D1_0 + (r0 / rsum) * (D1_0 - D1_1)
+        D2 = (D1_0 - D1_1) / rsum
+        if not self.sde:
+            # Lu et al. 2022 eq. (3.3) / diffusers third-order dpmsolver++
+            third = (
+                (sig_t / sig_s0) * sample32
+                - alpha_t * emh1 * D0
+                + alpha_t * (emh1 / hh + 1.0) * D1_3
+                - alpha_t * ((emh1 + h) / (hh * hh) - 0.5) * D2
+            )
+        else:
+            # k-diffusion sample_dpmpp_3m_sde with eta=1: h_eta = 2h,
+            # phi2 = expm1(-h_eta)/h_eta + 1, phi3 = phi2/h_eta - 0.5;
+            # denoised-space terms pick up alpha_t in VP coordinates
+            h_eta = jnp.where(h == 0, 1.0, 2.0 * h)
+            phi2 = (exp_m2h - 1.0) / h_eta + 1.0
+            phi3 = phi2 / h_eta - 0.5
+            third = base + alpha_t * (phi2 * D1_3 - phi3 * D2)
+
+        lower_second = (i == N - 2) & (N < 15)
+        use_second = (i == 1) | lower_second
+        prev = jnp.where(
+            use_first, first, jnp.where(use_second, second, third)
+        )
+        return prev.astype(sample.dtype), (x0, x0_prev)
 
     def add_noise_index(self, plan: Plan, original, noise, i):
         sigma = plan.sigmas[i]

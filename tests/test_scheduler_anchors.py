@@ -320,6 +320,93 @@ def test_dpmpp_2m_sde_karras_full_loop(rig):
     _check(ours, x, plan, ts, "DPM++ 2M SDE Karras")
 
 
+def _dpm3_mirror(mirror, emb, lat_init, keys, N, karras, sde):
+    """Third-order multistep from the published rules: Lu et al. 2022
+    eq. (3.3) (ODE) / k-diffusion sample_dpmpp_3m_sde with eta=1 (SDE),
+    with diffusers' lower-order warm-up/tail convention (N < 15: first at
+    i in {0, N-1}, second-midpoint at i in {1, N-2})."""
+    ts, sig = _dpm_grid(N, karras)
+    x = lat_init.astype(np.float64)
+    x0_hist = []
+    for i in range(N):
+        eps = _eval_eps(mirror, emb, x, ts[i])
+        a_s0, st_s0 = _alpha_sig(sig[i])
+        x0 = (x - st_s0 * eps) / a_s0
+        a_t, st_t = _alpha_sig(sig[i + 1])
+        h = _lam(sig[i + 1]) - _lam(sig[i])
+        order = 3
+        if i == 0 or i == N - 1:
+            order = 1
+        elif i == 1 or i == N - 2:
+            order = 2
+        if sde:
+            e_h, e_2h = np.exp(-h), np.exp(-2.0 * h)
+            xt = (
+                (st_t / st_s0 * e_h) * x
+                + a_t * (1.0 - e_2h) * x0
+                + st_t * np.sqrt(max(1.0 - e_2h, 0.0)) * _noise(keys, i)
+            )
+        else:
+            em1 = np.exp(-h) - 1.0
+            xt = (st_t / st_s0) * x - a_t * em1 * x0
+        if order >= 2:
+            h0 = _lam(sig[i]) - _lam(sig[i - 1])
+            r0 = h0 / h
+            D1_0 = (x0 - x0_hist[-1]) / r0
+            if order == 2:
+                if sde:
+                    xt = xt + 0.5 * a_t * (1.0 - e_2h) * D1_0
+                else:
+                    xt = xt - 0.5 * a_t * em1 * D1_0
+            else:
+                h1 = _lam(sig[i - 1]) - _lam(sig[i - 2])
+                r1 = h1 / h
+                D1_1 = (x0_hist[-1] - x0_hist[-2]) / r1
+                D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+                D2 = (D1_0 - D1_1) / (r0 + r1)
+                if sde:
+                    h_eta = 2.0 * h
+                    phi2 = (e_2h - 1.0) / h_eta + 1.0
+                    phi3 = phi2 / h_eta - 0.5
+                    xt = xt + a_t * (phi2 * D1 - phi3 * D2)
+                else:
+                    xt = xt + a_t * (em1 / h + 1.0) * D1 - a_t * (
+                        (em1 + h) / h**2 - 0.5
+                    ) * D2
+        x0_hist.append(x0)
+        x = xt
+    return x, ts
+
+
+def test_dpmpp_3m_sde_full_loop(rig):
+    _, mirror, _, _, emb = rig
+    N = 8  # third order active at i in [2, N-3]
+    ours, plan, keys, lat_init = _ours(rig, "DPM++ 3M SDE", N)
+    x, ts = _dpm3_mirror(mirror, emb, lat_init, keys, N, karras=False,
+                         sde=True)
+    _check(ours, x, plan, ts, "DPM++ 3M SDE")
+
+
+def test_dpmpp_3m_sde_karras_full_loop(rig):
+    _, mirror, _, _, emb = rig
+    N = 8
+    ours, plan, keys, lat_init = _ours(rig, "DPM++ 3M SDE Karras", N)
+    x, ts = _dpm3_mirror(mirror, emb, lat_init, keys, N, karras=True,
+                         sde=True)
+    _check(ours, x, plan, ts, "DPM++ 3M SDE Karras")
+
+
+def test_dpmpp_3m_ode_full_loop(rig):
+    """Order-3 ODE path (Lu et al. eq. 3.3) via solver_order override."""
+    _, mirror, _, _, emb = rig
+    N = 8
+    ours, plan, keys, lat_init = _ours(rig, "DPM++ 2M", N,
+                                       overrides={"solver_order": 3})
+    x, ts = _dpm3_mirror(mirror, emb, lat_init, keys, N, karras=False,
+                         sde=False)
+    _check(ours, x, plan, ts, "DPM++ 3M (ODE)")
+
+
 # ---------------------------------------------------------------------------
 # PNDM / PLMS (Liu et al. 2022), skip_prk_steps=True convention
 # ---------------------------------------------------------------------------
