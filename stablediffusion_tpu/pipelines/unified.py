@@ -221,11 +221,12 @@ def _denoise(
     ip_tokens=None,  # None | [2B or B, n_tokens, cross_dim] IP-Adapter context
     ip_scale=None,  # None | scalar f32 (traced: scale changes don't recompile)
     pag_scale=None,  # None | scalar f32 — PAG strength (traced)
+    image_guidance=None,  # None | scalar f32 — InstructPix2Pix image CFG
     *,
     unet_config: UNetConfig,
     scheduler: BaseScheduler,
     do_cfg: bool,
-    inpaint_mode: str,  # "none" | "blend4" | "concat9"
+    inpaint_mode: str,  # "none" | "blend4" | "concat9" | "ip2p"
     use_rescale: bool,
     cache_interval: int = 1,
     controlnet_config: Optional[UNetConfig] = None,
@@ -263,8 +264,23 @@ def _denoise(
 
     def one_step(lat, state, i, key, deep_cache=None, want_cache=False):
         emb = _embeds_at(i)
-        x = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
-        x = scheduler.scale_model_input(plan, x, i)
+        if inpaint_mode == "ip2p":
+            # InstructPix2Pix (Brooks et al. 2022): three branches —
+            # (text, image), (uncond, image), (uncond, zeros).  `emb`
+            # arrives in the CFG [uncond | text] layout; `image_latents`
+            # carries the UNSCALED mode() latents of the input image.
+            bh = emb.shape[0] // 2
+            emb = jnp.concatenate([emb[bh:], emb[:bh], emb[:bh]], axis=0)
+            x = jnp.concatenate([lat, lat, lat], axis=0)
+            x = scheduler.scale_model_input(plan, x, i)
+            il = jnp.concatenate(
+                [image_latents, image_latents, jnp.zeros_like(image_latents)],
+                axis=0,
+            )
+            x = jnp.concatenate([x, il.astype(x.dtype)], axis=-1)
+        else:
+            x = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+            x = scheduler.scale_model_input(plan, x, i)
         if inpaint_mode == "concat9":
             m = jnp.concatenate([mask, mask], axis=0) if do_cfg else mask
             mi = (
@@ -295,7 +311,15 @@ def _denoise(
         )
         pred, deep = result if want_cache else (result, None)
         text = pred
-        if do_cfg:
+        if inpaint_mode == "ip2p":
+            t3, i3, u3 = jnp.split(pred, 3, axis=0)
+            text = t3
+            pred = (
+                u3
+                + guidance_scale * (t3 - i3)
+                + image_guidance * (i3 - u3)
+            )
+        elif do_cfg:
             uncond, text = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance_scale * (text - uncond)
             if use_rescale:
@@ -800,6 +824,11 @@ class StableDiffusionUnifiedPipeline:
         # pag_applied_layers: subset of {"down", "mid", "up"} (static).
         pag_scale: float = 0.0,
         pag_applied_layers: Union[tuple, list] = ("mid",),
+        # InstructPix2Pix (Brooks et al. 2022; diffusers
+        # StableDiffusionInstructPix2PixPipeline): image-conditioned
+        # editing on an 8-channel UNet.  Requires `image`; full schedule
+        # (no strength slicing); three-branch CFG with this image scale.
+        image_guidance_scale: Optional[float] = None,
     ) -> SDPipelineOutput:
         freeu = _resolve_freeu(freeu, model.model_type)
         pag_layers = tuple(sorted(set(pag_applied_layers or ())))
@@ -884,6 +913,32 @@ class StableDiffusionUnifiedPipeline:
             B = 1 if isinstance(prompt, str) else len(prompt)
         n = num_images_per_prompt
         do_cfg = self.do_cfg and guidance_scale > 1.0
+        if image_guidance_scale is not None:
+            if image is None or mask_image is not None:
+                raise ValueError(
+                    "image_guidance_scale (InstructPix2Pix) needs `image` "
+                    "and no mask")
+            if unet_config.in_channels != 8:
+                raise ValueError(
+                    "InstructPix2Pix needs an 8-channel UNet; this model "
+                    f"has {unet_config.in_channels} input channels")
+            if model.is_sdxl or use_refiner:
+                raise ValueError("InstructPix2Pix is an SD1.x-family mode")
+            if (pag_scale and float(pag_scale) > 0.0) or (
+                ip_adapter_image is not None
+                or ip_adapter_image_embeds is not None
+                or control_image is not None
+            ):
+                raise ValueError(
+                    "image_guidance_scale cannot combine with PAG / "
+                    "IP-Adapter / ControlNet")
+            do_cfg = True  # the 3-branch combine needs uncond embeddings
+        elif unet_config.in_channels == 8:
+            raise ValueError(
+                "this model's UNet takes 8 input channels (an "
+                "InstructPix2Pix checkpoint): pass image= and "
+                "image_guidance_scale= — plain txt2img/img2img/inpaint "
+                "cannot feed its extra image-latent channels")
 
         # seed: int, or a list of per-sample ints (the reference's generator
         # lists, sd_unified_pipeline.py:771-781) — each batch element then
@@ -1043,6 +1098,46 @@ class StableDiffusionUnifiedPipeline:
                 latents = self._to_nhwc(latents, unet_c).astype(jnp.float32)
             # provided latents are scaled too (ref: sd_unified_pipeline.py:785)
             latents = latents * plan.init_noise_sigma
+        elif image_guidance_scale is not None:
+            # InstructPix2Pix: txt2img-style full-schedule denoise; the
+            # UNet's extra 4 channels carry the input image's mode()
+            # latents, UNSCALED (the pipeline-documented ip2p quirk: the
+            # model was trained on latents without the scaling factor —
+            # diffusers prepare_image_latents uses sample_mode="argmax"
+            # and skips vae.config.scaling_factor)
+            inpaint_mode = "ip2p"
+            plan = scheduler.plan(num_inference_steps, timesteps=timesteps,
+                                  sigmas=sigmas)
+            image_arr = self._image_or_latents(image, lat_c)
+            if getattr(image_arr, "ndim", 0) == 4 and (
+                image_arr.shape[-1] == lat_c
+            ):
+                image_lat = jnp.asarray(image_arr, jnp.float32)
+            else:
+                img = jnp.asarray(
+                    img_utils.preprocess_image(image_arr, height, width)
+                )
+                image_lat = _vae_encode_any(
+                    model.vae_params,
+                    img,
+                    k_encode,
+                    config=model.vae_config,
+                    force_upcast=model.vae_config.force_upcast,
+                    sample=False,  # mode(), not a draw
+                    tiling=vae_tiling,
+                ) / model.vae_config.scaling_factor
+            image_lat = jnp.tile(
+                image_lat, (B * n // image_lat.shape[0], 1, 1, 1)
+            )
+            shape = (B * n, height // vf, width // vf, lat_c)
+            if latents is None:
+                latents = randn(
+                    k_latent, shape, jnp.float32, per_sample_keys=_psk(0)
+                )
+            else:
+                latents = self._to_nhwc(latents, lat_c).astype(jnp.float32)
+            latents = latents * plan.init_noise_sigma
+            height, width = latents.shape[1] * vf, latents.shape[2] * vf
         elif mask_image is None:
             # img2img
             image_arr = self._image_or_latents(image, lat_c)
@@ -1319,6 +1414,10 @@ class StableDiffusionUnifiedPipeline:
             pag_scale=(
                 jnp.asarray(pag_scale, jnp.float32)
                 if pag_scale and float(pag_scale) > 0.0 else None
+            ),
+            image_guidance=(
+                jnp.asarray(image_guidance_scale, jnp.float32)
+                if image_guidance_scale is not None else None
             ),
             pag_layers=pag_layers,
         )

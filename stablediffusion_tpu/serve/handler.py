@@ -52,6 +52,7 @@ INFERENCE_ARG_KEYS = (
     "seed",
     "image",
     "strength",
+    "image_guidance_scale",
     "mask_image",
     "masked_image_latents",
     "padding_mask_crop",

@@ -51,7 +51,8 @@ INDEX_HTML = """<!DOCTYPE html>
  <label><input type="radio" name="task" value="inpaint"> Inpainting</label><br>
  <label>Init image</label><input type="file" id="image"><br>
  <label>Mask image</label><input type="file" id="mask_image"><br>
- <label>Strength</label><input type="range" id="strength" min="0" max="1" step="0.05" value="0.7">
+ <label>Strength</label><input type="range" id="strength" min="0" max="1" step="0.05" value="0.7"><br>
+ <label>Image CFG (InstructPix2Pix, 0=off)</label><input type="number" id="image_cfg" value="0" min="0" max="10" step="0.5">
 </fieldset>
 <fieldset><legend>Parameters</legend>
  <label>Prompt</label><textarea id="prompt" rows="2"></textarea><br>
@@ -105,6 +106,8 @@ async function generate() {{
   if (g('prompt_weighting').checked) input.prompt_weighting = true;
   if (g('freeu').checked) input.freeu = true;
   if (+g('pag_scale').value > 0) input.pag_scale = +g('pag_scale').value;
+  if (task === 'img2img' && +g('image_cfg').value > 0)
+    input.image_guidance_scale = +g('image_cfg').value;
   if (+g('hires_scale').value > 1) {{
     input.hires_scale = +g('hires_scale').value;
     input.hires_strength = +g('hires_strength').value;
@@ -229,6 +232,7 @@ def build_ui_request(
     quantize: str = "",
     freeu: bool = False,
     pag_scale: float = 0.0,
+    image_guidance_scale: float = 0.0,
 ) -> dict:
     """Pure UI-state -> handler-request mapping shared by the Gradio
     front-end and tests (same JSON job schema the HTML UI posts; images may
@@ -279,6 +283,11 @@ def build_ui_request(
             raise ValueError(f"{task} needs an init image")
         req["image"] = image
         req["strength"] = float(strength)
+        if task == "img2img" and image_guidance_scale and (
+            float(image_guidance_scale) > 0
+        ):
+            req["image_guidance_scale"] = float(image_guidance_scale)
+            del req["strength"]  # ip2p runs the full schedule
     if task == "inpaint":
         if mask_image is None:
             raise ValueError("inpaint needs a mask image")
@@ -318,7 +327,7 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                  clip_skip, seed, width, height, num_images, strength,
                  model_type, checkpoint, loras, tis, scheduler, quantize,
                  prompt_weighting, vae_tiling, freeu, pag_scale,
-                 hires_scale, image, mask):
+                 image_cfg, hires_scale, image, mask):
         try:
             req = build_ui_request(
                 task, prompt, negative_prompt=negative, steps=steps, cfg=cfg,
@@ -329,7 +338,8 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                 lora_te_scale=lora_te_scale if lora_te_scale else None,
                 image=image, mask_image=mask,
                 prompt_weighting=prompt_weighting, vae_tiling=vae_tiling,
-                freeu=freeu, pag_scale=pag_scale, hires_scale=hires_scale,
+                freeu=freeu, pag_scale=pag_scale,
+                image_guidance_scale=image_cfg, hires_scale=hires_scale,
                 quantize=quantize,
             )
         except ValueError as e:
@@ -383,6 +393,9 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                                 visible=False)
                 strength = gr.Slider(0, 1, 0.7, step=0.01, label="Strength",
                                      visible=False)
+                image_cfg = gr.Slider(
+                    0, 10, 0, step=0.5, visible=False,
+                    label="Image CFG (InstructPix2Pix, 0 = off)")
 
                 def _task_vis(t):
                     non_txt = t != "txt2img"
@@ -390,10 +403,11 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                         gr.update(visible=non_txt),
                         gr.update(visible=t == "inpaint"),
                         gr.update(visible=non_txt),
+                        gr.update(visible=t == "img2img"),
                     )
 
                 task.change(_task_vis, inputs=task,
-                            outputs=[image, mask, strength])
+                            outputs=[image, mask, strength, image_cfg])
             prompt = gr.Textbox(label="Prompt", lines=2)
             negative = gr.Textbox(label="Negative prompt")
             with gr.Row():
@@ -427,7 +441,7 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                         clip_skip, seed, width, height, num_images, strength,
                         model_type, checkpoint, loras, tis, scheduler,
                         quantize, prompt_weighting, vae_tiling, freeu,
-                        pag_scale, hires_scale, image, mask],
+                        pag_scale, image_cfg, hires_scale, image, mask],
                 outputs=[gallery, status],
             )
         with gr.Tab("Train"):
