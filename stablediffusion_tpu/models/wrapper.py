@@ -220,9 +220,14 @@ class SDModel:
         if isinstance(source, str):
             name_hint = os.path.splitext(os.path.basename(source))[0]
             if source.endswith(".safetensors"):
-                from stablediffusion_tpu.io.safetensors_io import load_file
+                from stablediffusion_tpu.io.safetensors_io import (
+                    load_safetensors,
+                )
 
-                state = {k: np.asarray(v) for k, v in load_file(source).items()}
+                state = {
+                    k: np.asarray(v)
+                    for k, v in load_safetensors(source).items()
+                }
             else:
                 import torch
 

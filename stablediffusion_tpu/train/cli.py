@@ -83,6 +83,28 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="saved adapter convention: diffusers/peft or A1111/kohya-ss")
     p.add_argument("--train_text_encoder", action="store_true")
     # full-model fine-tuning (train_text_to_image analog; UNet only)
+    p.add_argument("--instance_prompt", type=str, default=None,
+                   help="DreamBooth: fixed caption for the training images "
+                        "(e.g. 'a photo of sks dog'); overrides folder "
+                        "captions")
+    p.add_argument("--with_prior_preservation", action="store_true",
+                   help="DreamBooth prior preservation: pair batches with "
+                        "class images and add prior_loss_weight * class MSE")
+    p.add_argument("--class_data_dir", type=str, default=None)
+    p.add_argument("--class_prompt", type=str, default=None)
+    p.add_argument("--num_class_images", type=int, default=50)
+    p.add_argument("--prior_loss_weight", type=float, default=1.0)
+    p.add_argument("--sample_batch_size", type=int, default=4)
+    p.add_argument("--train_textual_inversion", type=str, default=None,
+                   metavar="PLACEHOLDER",
+                   help="textual-inversion training: learn embedding rows "
+                        "for this placeholder token (e.g. '<my-concept>'); "
+                        "UNet/text towers stay frozen")
+    p.add_argument("--ti_initializer_token", type=str, default=None,
+                   help="single existing token that seeds the new rows")
+    p.add_argument("--ti_num_vectors", type=int, default=1)
+    p.add_argument("--ti_templates", choices=("object", "style"),
+                   default="object")
     p.add_argument("--full_finetune", action="store_true",
                    help="train the whole UNet instead of LoRA factors; "
                         "saves a full diffusers-layout model")
@@ -211,6 +233,17 @@ def main(argv=None):
         lora_format=args.lora_format,
         full_finetune=args.full_finetune,
         use_ema=args.use_ema,
+        instance_prompt=args.instance_prompt,
+        with_prior_preservation=args.with_prior_preservation,
+        class_data_dir=args.class_data_dir,
+        class_prompt=args.class_prompt,
+        num_class_images=args.num_class_images,
+        prior_loss_weight=args.prior_loss_weight,
+        sample_batch_size=args.sample_batch_size,
+        textual_inversion=args.train_textual_inversion,
+        ti_initializer_token=args.ti_initializer_token,
+        ti_num_vectors=args.ti_num_vectors,
+        ti_templates=args.ti_templates,
         ema_decay=args.ema_decay,
     )
     # data-axis size must divide the batch; use the largest divisor

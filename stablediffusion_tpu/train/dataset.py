@@ -371,6 +371,82 @@ class SDLoRADataset:
                 pool.shutdown(wait=False, cancel_futures=True)
 
 
+class DreamBoothDataset:
+    """Prior-preservation pairing (Ruiz et al. 2022, arXiv 2208.12242; the
+    diffusers train_dreambooth collate): every batch is
+    [instance images | class images] with their fixed prompts; the loss
+    splits the halves and weights the class (prior) half separately.
+
+    The class stream cycles forever — epochs are counted on the instance
+    set.  Aspect-ratio bucketing is not supported (the two halves must
+    share one shape)."""
+
+    def __init__(
+        self,
+        instance_dir: str,
+        instance_prompt: str,
+        class_dir: str,
+        class_prompt: str,
+        **ds_kwargs,
+    ):
+        if ds_kwargs.get("aspect_ratio_bucketing"):
+            raise ValueError(
+                "DreamBooth prior preservation cannot use aspect-ratio "
+                "bucketing (instance/class halves must share one shape)")
+        self.instance = SDLoRADataset(instance_dir, **ds_kwargs)
+        self.class_set = SDLoRADataset(class_dir, **ds_kwargs)
+        self.instance_prompt = instance_prompt
+        self.class_prompt = class_prompt
+        self.buckets = None
+
+    def __len__(self) -> int:
+        return len(self.instance)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        epochs: Optional[int] = None,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        **kw,
+    ):
+        gi = self.instance.batches(
+            batch_size, shuffle=shuffle, epochs=epochs,
+            shard_index=shard_index, num_shards=num_shards, **kw,
+        )
+        gc = self.class_set.batches(
+            batch_size, shuffle=shuffle, epochs=None,
+            shard_index=shard_index, num_shards=num_shards, **kw,
+        )
+
+        def gen():
+            try:
+                for bi in gi:
+                    bc = next(gc)
+                    n_i = bi["pixel_values"].shape[0]
+                    n_c = bc["pixel_values"].shape[0]
+                    out = {
+                        "pixel_values": np.concatenate(
+                            [bi["pixel_values"], bc["pixel_values"]]
+                        ),
+                        "captions": (
+                            [self.instance_prompt] * n_i
+                            + [self.class_prompt] * n_c
+                        ),
+                        "filenames": bi["filenames"] + bc["filenames"],
+                    }
+                    for k in ("original_sizes", "crop_top_lefts",
+                              "target_sizes"):
+                        out[k] = np.concatenate([bi[k], bc[k]])
+                    yield out
+            finally:
+                gi.close()
+                gc.close()
+
+        return gen()
+
+
 class HFImageCaptionDataset(SDLoRADataset):
     """`datasets`-backed image/caption dataset — the reference CLIs'
     `--dataset_name` path (hub dataset, local `load_dataset` script, or a

@@ -85,6 +85,12 @@ class TrainStatics:
     # ControlNet training: architecture of the trainable ControlNet (defaults
     # to the UNet's own block layout, as ControlNetModel.from_unet does)
     controlnet_config: Optional[UNetConfig] = None
+    # Textual-inversion training (Gal et al. 2022): the embedding-table row
+    # indices of the placeholder token's vectors — the ONLY trainable rows
+    ti_rows: Optional[tuple] = None
+    # DreamBooth prior preservation (Ruiz et al. 2022): batches are
+    # [instance | class] halves; the class half's loss gets this weight
+    prior_loss_weight: Optional[float] = None
 
     @property
     def is_sdxl(self) -> bool:
@@ -299,6 +305,13 @@ def _prediction_loss(
         per_sample = per_sample * min_snr_weight(
             snr, statics.snr_gamma, statics.scheduler_config.prediction_type
         )
+    if statics.prior_loss_weight is not None:
+        # DreamBooth (Ruiz et al. 2022 eq. 2): instance loss + weighted
+        # prior loss over the class half of the batch
+        half = per_sample.shape[0] // 2
+        return jnp.mean(per_sample[:half]) + (
+            statics.prior_loss_weight * jnp.mean(per_sample[half:])
+        )
     return jnp.mean(per_sample)
 
 
@@ -442,6 +455,55 @@ def controlnet_loss_fn(
         added_cond,
     ).astype(jnp.float32)
 
+    return _prediction_loss(pred, latents, noise, timesteps, statics, scheduler)
+
+
+def ti_loss_fn(
+    ti,  # trainable: {"embeddings": [num_vectors, hidden] fp32}
+    frozen: Dict[str, Any],  # unet/vae/text_encoder base params
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    statics: TrainStatics,
+    scheduler: BaseScheduler,
+):
+    """Textual-inversion training loss (Gal et al. 2022, arXiv 2208.01618;
+    diffusers textual_inversion.py analog — beyond-parity, the reference
+    only ships LoRA training).  The trainable pytree is the placeholder
+    token's embedding rows alone; they are spliced into the frozen text
+    tower's table at statics.ti_rows each step (the JAX-native equivalent
+    of the upstream trick of optimizing the whole table and restoring every
+    non-placeholder row after each step)."""
+    dt = statics.compute_dtype
+    base_te = frozen["text_encoder"]
+    emb = base_te["text_model"]["embeddings"]
+    w = emb["token_embedding"]["weight"]
+    w = w.at[jnp.asarray(statics.ti_rows)].set(
+        ti["embeddings"].astype(w.dtype)
+    )
+    te = dict(base_te)
+    tm = dict(te["text_model"])
+    e = dict(tm["embeddings"])
+    e["token_embedding"] = {"weight": w}
+    tm["embeddings"] = e
+    te["text_model"] = tm
+
+    latents, noise, timesteps, noisy, embeds, added_cond = _prepare_diffusion(
+        frozen, batch, key, statics, scheduler, te=te
+    )
+
+    def unet_fwd(p, x, t, ctx, added):
+        return unet_model.apply(
+            p, statics.unet_config, x, t, ctx, added_cond=added
+        )
+
+    unet_fwd = _resolve_remat(statics)(unet_fwd)
+    pred = unet_fwd(
+        frozen["unet"],
+        noisy.astype(dt),
+        timesteps,
+        embeds.astype(dt),
+        added_cond,
+    ).astype(jnp.float32)
     return _prediction_loss(pred, latents, noise, timesteps, statics, scheduler)
 
 

@@ -106,6 +106,29 @@ class SDTrainingArgs:
     ema_decay: float = 0.9999
     # "peft" (diffusers load_lora_weights) | "kohya" (A1111/kohya-ss webui)
     lora_format: str = "peft"
+    # Textual-inversion training (Gal et al. 2022; diffusers
+    # textual_inversion.py analog — beyond-parity): train ONLY the
+    # placeholder token's new embedding rows; UNet + text towers frozen.
+    # Captions come from the paper's templates ("object" | "style"), one
+    # drawn per image per step; the folder captions are ignored.
+    textual_inversion: Optional[str] = None  # the placeholder token
+    ti_initializer_token: Optional[str] = None  # seeds the new rows
+    ti_num_vectors: int = 1
+    ti_templates: str = "object"  # "object" | "style"
+    # DreamBooth (Ruiz et al. 2022; diffusers train_dreambooth analog —
+    # beyond-parity).  instance_prompt alone overrides the folder captions
+    # ("a photo of sks dog"); with_prior_preservation additionally pairs
+    # each batch with class images (auto-generated into class_data_dir by
+    # the model itself when fewer than num_class_images exist) and adds
+    # prior_loss_weight * class-half MSE.  Composes with LoRA (default)
+    # and --full_finetune.
+    instance_prompt: Optional[str] = None
+    with_prior_preservation: bool = False
+    class_data_dir: Optional[str] = None
+    class_prompt: Optional[str] = None
+    num_class_images: int = 50
+    prior_loss_weight: float = 1.0
+    sample_batch_size: int = 4
 
 
 class SDLoRATrainer:
@@ -141,8 +164,73 @@ class SDLoRATrainer:
 
         dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
 
+        if args.with_prior_preservation:
+            if args.textual_inversion:
+                raise ValueError(
+                    "with_prior_preservation does not combine with "
+                    "textual_inversion (the TI paper trains on concept "
+                    "images only)")
+            if not (args.instance_prompt and args.class_prompt
+                    and args.class_data_dir):
+                raise ValueError(
+                    "with_prior_preservation needs instance_prompt, "
+                    "class_prompt and class_data_dir")
+            if self.dataset is not None:
+                raise ValueError(
+                    "with_prior_preservation builds its own paired dataset; "
+                    "pass data_dir, not dataset=")
+            self._ensure_class_images()
+
+        ti_rows = None
+        if args.textual_inversion:
+            if args.full_finetune or args.train_text_encoder:
+                raise ValueError(
+                    "textual_inversion trains ONLY the new embedding rows; "
+                    "set full_finetune=False and train_text_encoder=False")
+            if model.is_sdxl:
+                raise ValueError(
+                    "textual-inversion TRAINING targets the SD1.x/2.x "
+                    "single-tower family (dual-tower SDXL TI loading is "
+                    "supported via load_textual_inversion)")
+            if not args.ti_initializer_token:
+                raise ValueError("textual_inversion needs ti_initializer_token")
+            if args.ti_templates not in ("object", "style"):
+                raise ValueError("ti_templates must be 'object' or 'style'")
+            V = int(args.ti_num_vectors)
+            table = model.text_encoder_params["text_model"]["embeddings"][
+                "token_embedding"]["weight"]
+            orig_rows = table.shape[0]
+            init_ids = np.asarray(
+                model.tokenizer([args.ti_initializer_token]))[0]
+            init_id = int(init_ids[1])  # position 0 is BOS
+            if int(init_ids[2]) != model.tokenizer.eos_token_id:
+                raise ValueError(
+                    f"ti_initializer_token {args.ti_initializer_token!r} "
+                    "must encode to a single token")
+            init_row = np.asarray(table[init_id], np.float32)
+            rows0 = np.tile(init_row[None, :], (V, 1))
+            # appends the rows to live+base tables and registers the
+            # placeholder trigger in the tokenizer (same path inference uses)
+            model.load_textual_inversion(
+                {args.textual_inversion: rows0}, token=args.textual_inversion
+            )
+            ti_rows = tuple(range(orig_rows, orig_rows + V))
+            self._ti_placeholder = args.textual_inversion
+            from stablediffusion_tpu.train.ti_templates import (
+                OBJECT_TEMPLATES,
+                STYLE_TEMPLATES,
+            )
+
+            self._ti_templates = (
+                OBJECT_TEMPLATES if args.ti_templates == "object"
+                else STYLE_TEMPLATES
+            )
+            self._ti_rng = np.random.default_rng(args.seed)
+
         full = args.full_finetune
-        if full:
+        if args.textual_inversion:
+            trainable = {"embeddings": jnp.asarray(rows0, jnp.float32)}
+        elif full:
             if args.train_text_encoder:
                 raise ValueError(
                     "full_finetune trains the UNet only (the upstream "
@@ -175,7 +263,22 @@ class SDLoRATrainer:
         lora = trainable  # loop-local name (historical)
 
         # data
-        dataset = self.dataset or SDLoRADataset(
+        if args.with_prior_preservation:
+            from stablediffusion_tpu.train.dataset import DreamBoothDataset
+
+            dataset = DreamBoothDataset(
+                self.data_dir,
+                args.instance_prompt,
+                args.class_data_dir,
+                args.class_prompt,
+                resolution=args.resolution,
+                random_flip=args.random_flip,
+                center_crop=args.center_crop,
+                seed=args.seed,
+            )
+        else:
+            dataset = None
+        dataset = dataset or self.dataset or SDLoRADataset(
             self.data_dir,
             resolution=args.resolution,
             random_flip=args.random_flip,
@@ -223,8 +326,20 @@ class SDLoRATrainer:
             gradient_checkpointing=args.gradient_checkpointing,
             remat_policy=args.remat_policy,
             vae_microbatch=args.vae_microbatch,
+            ti_rows=ti_rows,
+            prior_loss_weight=(
+                float(args.prior_loss_weight)
+                if args.with_prior_preservation else None
+            ),
         )
-        if full:
+        if args.textual_inversion:
+            from stablediffusion_tpu.train.train_step import ti_loss_fn
+
+            step_fn = make_train_step(
+                statics, scheduler, optimizer, mesh=self.mesh,
+                loss=ti_loss_fn,
+            )
+        elif full:
             from stablediffusion_tpu.train.train_step import full_finetune_loss_fn
 
             step_fn = make_train_step(
@@ -267,7 +382,9 @@ class SDLoRATrainer:
             frozen["text_encoder_2"] = model.text_encoder_2_params
 
         # resume
-        ckpt_key = "unet" if full else "lora"
+        ckpt_key = (
+            "ti" if args.textual_inversion else ("unet" if full else "lora")
+        )
         start_step = 0
         if args.resume_from_checkpoint:
             found = ckpt.resolve_resume(
@@ -343,7 +460,14 @@ class SDLoRATrainer:
                 and jax.process_index() == 0
             ):
                 epoch = step // steps_per_epoch
-                if full:
+                if args.textual_inversion:
+                    # write the current rows into the live tower (the
+                    # trigger is registered) and render normally
+                    self._set_ti_rows(
+                        ti_rows, np.asarray(lora["embeddings"], np.float32)
+                    )
+                    self._log_validation_full(model.unet_params, epoch, step)
+                elif full:
                     self._log_validation_full(lora, epoch, step)
                 else:
                     self._log_validation(lora, epoch, step)
@@ -370,6 +494,23 @@ class SDLoRATrainer:
         self.lora = lora
         if self.metrics is not None:
             self.metrics.flush()
+        if args.textual_inversion:
+            # write the trained rows into the live model (the rows were
+            # appended at setup; the trigger is already registered) and save
+            # the diffusers learned_embeds format our loader round-trips
+            rows = np.asarray(lora["embeddings"], np.float32)
+            self._set_ti_rows(ti_rows, rows)
+            if jax.process_index() == 0:
+                import os
+
+                from stablediffusion_tpu.io.safetensors_io import save_safetensors
+
+                os.makedirs(args.output_dir, exist_ok=True)
+                save_safetensors(
+                    {args.textual_inversion: rows},
+                    f"{args.output_dir}/learned_embeds.safetensors",
+                )
+            return lora
         if full:
             # write the trained (or EMA) weights back into the model and save
             # the FULL diffusers-layout pipeline (train_text_to_image
@@ -396,6 +537,77 @@ class SDLoRATrainer:
                 format=args.lora_format,
             )
         return lora
+
+    def _ensure_class_images(self) -> None:
+        """Top up class_data_dir to num_class_images with the model's own
+        renders of class_prompt (the diffusers train_dreambooth
+        pre-generation loop)."""
+        import os
+
+        args = self.args
+        os.makedirs(args.class_data_dir, exist_ok=True)
+        exts = (".jpg", ".jpeg", ".png", ".webp")
+        have = [
+            f for f in os.listdir(args.class_data_dir)
+            if f.lower().endswith(exts)
+        ]
+        missing = int(args.num_class_images) - len(have)
+        if missing <= 0:
+            return
+        if jax.process_index() != 0:
+            return  # single-writer; other hosts see the files via shared fs
+        from PIL import Image
+
+        from stablediffusion_tpu.pipelines.unified import (
+            StableDiffusionUnifiedPipeline,
+        )
+
+        logger.info(
+            "generating %d class images for %r", missing, args.class_prompt
+        )
+        pipe = StableDiffusionUnifiedPipeline()
+        done = 0
+        while done < missing:
+            n = min(int(args.sample_batch_size), missing - done)
+            out = pipe(
+                self.model,
+                prompt=args.class_prompt,
+                num_images_per_prompt=n,
+                num_inference_steps=25,
+                seed=args.seed + 7919 + done,
+            )
+            for im in out.images:
+                arr = (np.clip(im, 0.0, 1.0) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(
+                    os.path.join(
+                        args.class_data_dir, f"class-{len(have) + done}.jpg"
+                    )
+                )
+                done += 1
+
+    def _set_ti_rows(self, ti_rows, rows) -> None:
+        """Write trained embedding rows into the live (and pristine-base)
+        text tower so the registered trigger renders with them."""
+        model = self.model
+        idx = jnp.asarray(ti_rows)
+
+        def put(tree):
+            emb = tree["text_model"]["embeddings"]
+            w = emb["token_embedding"]["weight"]
+            w = w.at[idx].set(jnp.asarray(rows, w.dtype))
+            tree = dict(tree)
+            tm = dict(tree["text_model"])
+            e = dict(tm["embeddings"])
+            e["token_embedding"] = {"weight": w}
+            tm["embeddings"] = e
+            tree["text_model"] = tm
+            return tree
+
+        model.text_encoder_params = put(model.text_encoder_params)
+        if model._base_params is not None:
+            base = model._base_params.get("text_encoder")
+            if base is not None:
+                model._base_params["text_encoder"] = put(base)
 
     def _log_validation_full(self, unet_params, epoch: int, step: int) -> None:
         """Validation rendering for full_finetune: swap the live UNet weights
@@ -459,9 +671,24 @@ class SDLoRATrainer:
 
     def _prepare_batch(self, batch) -> Dict[str, jax.Array]:
         model = self.model
+        captions = batch["captions"]
+        if (
+            self.args.instance_prompt
+            and not self.args.with_prior_preservation
+        ):
+            captions = [self.args.instance_prompt] * len(captions)
+        if self.args.textual_inversion:
+            # TI convention: folder captions are ignored; each image gets a
+            # random paper template around the placeholder token
+            captions = [
+                self._ti_rng.choice(self._ti_templates).format(
+                    self._ti_placeholder
+                )
+                for _ in captions
+            ]
         jb: Dict[str, Any] = {
             "pixel_values": jnp.asarray(batch["pixel_values"]),
-            "input_ids": jnp.asarray(model.tokenizer(batch["captions"])),
+            "input_ids": jnp.asarray(model.tokenizer(captions)),
         }
         if model.is_sdxl:
             jb["input_ids_2"] = jnp.asarray(model.tokenizer_2(batch["captions"]))
