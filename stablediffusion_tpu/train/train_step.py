@@ -87,7 +87,9 @@ class TrainStatics:
     controlnet_config: Optional[UNetConfig] = None
     # Textual-inversion training (Gal et al. 2022): the embedding-table row
     # indices of the placeholder token's vectors — the ONLY trainable rows
+    # (ti_rows_2: the second SDXL tower's rows)
     ti_rows: Optional[tuple] = None
+    ti_rows_2: Optional[tuple] = None
     # DreamBooth prior preservation (Ruiz et al. 2022): batches are
     # [instance | class] halves; the class half's loss gets this weight
     prior_loss_weight: Optional[float] = None
@@ -474,21 +476,28 @@ def ti_loss_fn(
     of the upstream trick of optimizing the whole table and restoring every
     non-placeholder row after each step)."""
     dt = statics.compute_dtype
-    base_te = frozen["text_encoder"]
-    emb = base_te["text_model"]["embeddings"]
-    w = emb["token_embedding"]["weight"]
-    w = w.at[jnp.asarray(statics.ti_rows)].set(
-        ti["embeddings"].astype(w.dtype)
-    )
-    te = dict(base_te)
-    tm = dict(te["text_model"])
-    e = dict(tm["embeddings"])
-    e["token_embedding"] = {"weight": w}
-    tm["embeddings"] = e
-    te["text_model"] = tm
+
+    def splice(base, rows_idx, rows):
+        emb = base["text_model"]["embeddings"]
+        w = emb["token_embedding"]["weight"]
+        w = w.at[jnp.asarray(rows_idx)].set(rows.astype(w.dtype))
+        tree = dict(base)
+        tm = dict(tree["text_model"])
+        e = dict(tm["embeddings"])
+        e["token_embedding"] = {"weight": w}
+        tm["embeddings"] = e
+        tree["text_model"] = tm
+        return tree
+
+    te = splice(frozen["text_encoder"], statics.ti_rows, ti["embeddings"])
+    te2 = None
+    if statics.is_sdxl:
+        te2 = splice(
+            frozen["text_encoder_2"], statics.ti_rows_2, ti["embeddings_2"]
+        )
 
     latents, noise, timesteps, noisy, embeds, added_cond = _prepare_diffusion(
-        frozen, batch, key, statics, scheduler, te=te
+        frozen, batch, key, statics, scheduler, te=te, te2=te2
     )
 
     def unet_fwd(p, x, t, ctx, added):

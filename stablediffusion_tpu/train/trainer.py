@@ -181,39 +181,51 @@ class SDLoRATrainer:
                     "pass data_dir, not dataset=")
             self._ensure_class_images()
 
-        ti_rows = None
+        ti_rows = ti_rows_2 = None
         if args.textual_inversion:
             if args.full_finetune or args.train_text_encoder:
                 raise ValueError(
                     "textual_inversion trains ONLY the new embedding rows; "
                     "set full_finetune=False and train_text_encoder=False")
-            if model.is_sdxl:
-                raise ValueError(
-                    "textual-inversion TRAINING targets the SD1.x/2.x "
-                    "single-tower family (dual-tower SDXL TI loading is "
-                    "supported via load_textual_inversion)")
             if not args.ti_initializer_token:
                 raise ValueError("textual_inversion needs ti_initializer_token")
             if args.ti_templates not in ("object", "style"):
                 raise ValueError("ti_templates must be 'object' or 'style'")
             V = int(args.ti_num_vectors)
-            table = model.text_encoder_params["text_model"]["embeddings"][
-                "token_embedding"]["weight"]
-            orig_rows = table.shape[0]
-            init_ids = np.asarray(
-                model.tokenizer([args.ti_initializer_token]))[0]
-            init_id = int(init_ids[1])  # position 0 is BOS
-            if int(init_ids[2]) != model.tokenizer.eos_token_id:
-                raise ValueError(
-                    f"ti_initializer_token {args.ti_initializer_token!r} "
-                    "must encode to a single token")
-            init_row = np.asarray(table[init_id], np.float32)
-            rows0 = np.tile(init_row[None, :], (V, 1))
-            # appends the rows to live+base tables and registers the
-            # placeholder trigger in the tokenizer (same path inference uses)
-            model.load_textual_inversion(
-                {args.textual_inversion: rows0}, token=args.textual_inversion
-            )
+
+            def init_rows(tokenizer, params):
+                table = params["text_model"]["embeddings"][
+                    "token_embedding"]["weight"]
+                init_ids = np.asarray(
+                    tokenizer([args.ti_initializer_token]))[0]
+                init_id = int(init_ids[1])  # position 0 is BOS
+                if int(init_ids[2]) != tokenizer.eos_token_id:
+                    raise ValueError(
+                        f"ti_initializer_token "
+                        f"{args.ti_initializer_token!r} must encode to a "
+                        "single token")
+                row = np.asarray(table[init_id], np.float32)
+                return table.shape[0], np.tile(row[None, :], (V, 1))
+
+            orig_rows, rows0 = init_rows(
+                model.tokenizer, model.text_encoder_params)
+            if model.is_sdxl:
+                # dual-tower (diffusers textual_inversion_sdxl analog):
+                # rows in BOTH towers, saved as {clip_l, clip_g}
+                orig_rows_2, rows0_2 = init_rows(
+                    model.tokenizer_2, model.text_encoder_2_params)
+                model.load_textual_inversion(
+                    {"clip_l": rows0, "clip_g": rows0_2},
+                    token=args.textual_inversion,
+                )
+                ti_rows_2 = tuple(range(orig_rows_2, orig_rows_2 + V))
+            else:
+                # appends the rows to live+base tables and registers the
+                # placeholder trigger in the tokenizer (inference's path)
+                model.load_textual_inversion(
+                    {args.textual_inversion: rows0},
+                    token=args.textual_inversion,
+                )
             ti_rows = tuple(range(orig_rows, orig_rows + V))
             self._ti_placeholder = args.textual_inversion
             from stablediffusion_tpu.train.ti_templates import (
@@ -230,6 +242,8 @@ class SDLoRATrainer:
         full = args.full_finetune
         if args.textual_inversion:
             trainable = {"embeddings": jnp.asarray(rows0, jnp.float32)}
+            if model.is_sdxl:
+                trainable["embeddings_2"] = jnp.asarray(rows0_2, jnp.float32)
         elif full:
             if args.train_text_encoder:
                 raise ValueError(
@@ -327,6 +341,7 @@ class SDLoRATrainer:
             remat_policy=args.remat_policy,
             vae_microbatch=args.vae_microbatch,
             ti_rows=ti_rows,
+            ti_rows_2=ti_rows_2,
             prior_loss_weight=(
                 float(args.prior_loss_weight)
                 if args.with_prior_preservation else None
@@ -461,11 +476,17 @@ class SDLoRATrainer:
             ):
                 epoch = step // steps_per_epoch
                 if args.textual_inversion:
-                    # write the current rows into the live tower (the
+                    # write the current rows into the live tower(s) (the
                     # trigger is registered) and render normally
                     self._set_ti_rows(
                         ti_rows, np.asarray(lora["embeddings"], np.float32)
                     )
+                    if model.is_sdxl:
+                        self._set_ti_rows(
+                            ti_rows_2,
+                            np.asarray(lora["embeddings_2"], np.float32),
+                            tower=2,
+                        )
                     self._log_validation_full(model.unet_params, epoch, step)
                 elif full:
                     self._log_validation_full(lora, epoch, step)
@@ -500,6 +521,11 @@ class SDLoRATrainer:
             # the diffusers learned_embeds format our loader round-trips
             rows = np.asarray(lora["embeddings"], np.float32)
             self._set_ti_rows(ti_rows, rows)
+            payload = {args.textual_inversion: rows}
+            if model.is_sdxl:
+                rows2 = np.asarray(lora["embeddings_2"], np.float32)
+                self._set_ti_rows(ti_rows_2, rows2, tower=2)
+                payload = {"clip_l": rows, "clip_g": rows2}
             if jax.process_index() == 0:
                 import os
 
@@ -507,7 +533,7 @@ class SDLoRATrainer:
 
                 os.makedirs(args.output_dir, exist_ok=True)
                 save_safetensors(
-                    {args.textual_inversion: rows},
+                    payload,
                     f"{args.output_dir}/learned_embeds.safetensors",
                 )
             return lora
@@ -585,7 +611,7 @@ class SDLoRATrainer:
                 )
                 done += 1
 
-    def _set_ti_rows(self, ti_rows, rows) -> None:
+    def _set_ti_rows(self, ti_rows, rows, tower: int = 1) -> None:
         """Write trained embedding rows into the live (and pristine-base)
         text tower so the registered trigger renders with them."""
         model = self.model
@@ -603,11 +629,13 @@ class SDLoRATrainer:
             tree["text_model"] = tm
             return tree
 
-        model.text_encoder_params = put(model.text_encoder_params)
+        attr = "text_encoder_params" if tower == 1 else "text_encoder_2_params"
+        comp = "text_encoder" if tower == 1 else "text_encoder_2"
+        setattr(model, attr, put(getattr(model, attr)))
         if model._base_params is not None:
-            base = model._base_params.get("text_encoder")
+            base = model._base_params.get(comp)
             if base is not None:
-                model._base_params["text_encoder"] = put(base)
+                model._base_params[comp] = put(base)
 
     def _log_validation_full(self, unet_params, epoch: int, step: int) -> None:
         """Validation rendering for full_finetune: swap the live UNet weights

@@ -142,3 +142,30 @@ def test_ti_cli_flags(data_dir, tmp_path, monkeypatch):
     ]
     cli.main(argv)
     assert os.path.exists(f"{out}/learned_embeds.safetensors")
+
+
+def test_ti_train_sdxl_dual_tower(data_dir, tmp_path):
+    """SDXL TI trains rows in BOTH towers and saves the {clip_l, clip_g}
+    dual-tower format load_textual_inversion round-trips."""
+    model = make_tiny_model("sdxl")
+    out = str(tmp_path / "xl-out")
+    args = _args(tmp_path, output_dir=out)
+    trainer = SDLoRATrainer(model, args, data_dir)
+    rows = trainer.train()
+    assert set(rows) == {"embeddings", "embeddings_2"}
+    h1 = model.text_encoder_config.hidden_size
+    h2 = model.text_encoder_2_config.hidden_size
+    assert np.asarray(rows["embeddings"]).shape == (2, h1)
+    assert np.asarray(rows["embeddings_2"]).shape == (2, h2)
+
+    fresh = make_tiny_model("sdxl")
+    pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
+    kw = dict(height=32, width=32, num_inference_steps=2, seed=3)
+    base_img = pipe(fresh, prompt="a photo of <thing>", **kw).images
+    tok = fresh.load_textual_inversion(f"{out}/learned_embeds.safetensors",
+                                       token="<thing>")
+    assert tok == "<thing>"
+    ti_img = pipe(fresh, prompt="a photo of <thing>", **kw).images
+    assert not np.array_equal(base_img, ti_img)
+    trained_img = pipe(model, prompt="a photo of <thing>", **kw).images
+    np.testing.assert_array_equal(ti_img, trained_img)
