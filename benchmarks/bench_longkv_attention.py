@@ -42,7 +42,11 @@ def main():
 
     results = {}
     for B, S, H, D in [
+        (2, 2048, 8, 40),
+        (8, 2048, 8, 40),
         (2, 4096, 8, 40),
+        (8, 4096, 8, 40),   # SD1.5 512² L1 at throughput batch (CFG-doubled)
+        (16, 4096, 8, 40),
         (2, 9216, 8, 40),
         (1, 16384, 8, 40),
         (2, 16384, 8, 40),

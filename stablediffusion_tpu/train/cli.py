@@ -112,6 +112,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="EMA of the UNet weights (full_finetune only); the "
                         "EMA is what gets saved")
     p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--shard_opt_state", action="store_true",
+                   help="ZeRO-1: split the Adam moments over the data mesh "
+                        "axis instead of replicating (needs >=2 devices)")
+    p.add_argument("--shard_params", action="store_true",
+                   help="FSDP: split frozen+trainable params over the data "
+                        "axis; XLA all-gathers each weight at use")
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "fp16", "bf16"])
     # checkpointing
@@ -245,6 +251,8 @@ def main(argv=None):
         ti_num_vectors=args.ti_num_vectors,
         ti_templates=args.ti_templates,
         ema_decay=args.ema_decay,
+        shard_opt_state=args.shard_opt_state,
+        shard_params=args.shard_params,
     )
     # data-axis size must divide the batch; use the largest divisor
     import math

@@ -242,6 +242,9 @@ class SD3TrainingArgs:
     checkpointing_steps: Optional[int] = None
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None
+    # ZeRO levers (parallel/zero.py; see SDTrainingArgs for semantics)
+    shard_opt_state: bool = False
+    shard_params: bool = False
     output_dir: str = "sd3-lora-out"
     log_every: int = 10
     report_to: Optional[str] = None
@@ -320,8 +323,16 @@ class SD3LoRATrainer:
             vae_microbatch=args.vae_microbatch,
             remat_policy=args.remat_policy,
         )
+        if (args.shard_opt_state or args.shard_params) and self.mesh is None:
+            raise ValueError(
+                "shard_opt_state/shard_params split state over the data "
+                "axis — pass a mesh"
+            )
         step_fn = make_train_step(
-            statics, scheduler, optimizer, mesh=self.mesh, loss=sd3_lora_loss_fn
+            statics, scheduler, optimizer, mesh=self.mesh,
+            loss=sd3_lora_loss_fn, donate=True,
+            shard_opt_state=args.shard_opt_state,
+            shard_params=args.shard_params,
         )
         encode_fn = (
             make_sd3_encode_fn(statics, mesh=self.mesh)
@@ -350,6 +361,16 @@ class SD3LoRATrainer:
                 )
                 lora, opt_state = state["lora"], state["opt_state"]
                 logger.info("resumed from %s at step %d", path, start_step)
+
+        if self.mesh is not None and args.shard_opt_state:
+            from stablediffusion_tpu.parallel import zero
+
+            opt_state = zero.shard_tree(opt_state, self.mesh)
+        if self.mesh is not None and args.shard_params:
+            from stablediffusion_tpu.parallel import zero
+
+            lora = zero.shard_tree(lora, self.mesh)
+            frozen = zero.shard_tree(frozen, self.mesh)
 
         step = start_step
         t0 = time.time()

@@ -522,12 +522,26 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
     loss=loss_fn,
+    donate: bool = False,
+    shard_opt_state: bool = False,
+    shard_params: bool = False,
 ):
     """Build the jitted train step.  With a mesh, batch inputs are expected
     sharded over the `data` axis and params/opt-state replicated; XLA inserts
     the gradient all-reduce.  `loss` selects the training mode (LoRA default;
     `controlnet_loss_fn` for ControlNet training — same trainable/opt
-    signature, different trainable pytree)."""
+    signature, different trainable pytree).
+
+    Memory levers (parallel/zero.py):
+      * donate=True — donate the trainable/opt-state input buffers to the
+        step so XLA updates them in place instead of holding two copies
+        (the trainer loop rebinds, so the invalidated inputs are never
+        reused; leave False for ad-hoc callers that re-step from the same
+        tree).
+      * shard_opt_state=True (ZeRO-1) — optimizer moments live split over
+        the data axis; callers place them with zero.shard_tree first.
+      * shard_params=True (FSDP) — frozen AND trainable params split over
+        the data axis; XLA all-gathers each weight at use."""
 
     import os
     from contextlib import nullcontext
@@ -563,28 +577,41 @@ def make_train_step(
         )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
+        if mesh is not None and shard_opt_state:
+            opt_state = zero.constrain_tree(opt_state, mesh)
+        if mesh is not None and shard_params:
+            trainable = zero.constrain_tree(trainable, mesh)
         grad_norm = optax.global_norm(grads)
         return trainable, opt_state, {"loss": loss_val, "grad_norm": grad_norm}
 
+    donate_kw = {"donate_argnums": (0, 1)} if donate else {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from stablediffusion_tpu.parallel import zero
+
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-
-        def batch_sharding(b):
-            return {
-                k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
-                for k, v in b.items()
-            }
-
+        # None = respect the argument's own placement (zero.shard_tree puts
+        # the split layout on the state; jit then keeps it) — forcing `repl`
+        # here would silently all-gather the state back every step
         jitted = jax.jit(
             step,
-            in_shardings=(repl, repl, repl, None, repl),
-            out_shardings=(repl, repl, repl),
+            in_shardings=(
+                None if shard_params else repl,
+                None if shard_opt_state else repl,
+                None if shard_params else repl,
+                None,
+                repl,
+            ),
+            out_shardings=(
+                None if shard_params else repl,
+                None if shard_opt_state else repl,
+                repl,
+            ),
+            **donate_kw,
         )
     else:
-        jitted = jax.jit(step)
+        jitted = jax.jit(step, **donate_kw)
 
     def step_scoped(*args, **kwargs):
         with _flash_all():

@@ -104,6 +104,11 @@ class SDTrainingArgs:
     full_finetune: bool = False
     use_ema: bool = False  # EMA of the UNet weights, used for the final save
     ema_decay: float = 0.9999
+    # ZeRO memory levers on a data mesh (parallel/zero.py): split the Adam
+    # moments (ZeRO-1) and/or the frozen+trainable parameter trees (FSDP)
+    # over the data axis instead of replicating them on every chip
+    shard_opt_state: bool = False
+    shard_params: bool = False
     # "peft" (diffusers load_lora_weights) | "kohya" (A1111/kohya-ss webui)
     lora_format: str = "peft"
     # Textual-inversion training (Gal et al. 2022; diffusers
@@ -164,6 +169,11 @@ class SDLoRATrainer:
 
         dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
 
+        if (args.shard_opt_state or args.shard_params) and self.mesh is None:
+            raise ValueError(
+                "shard_opt_state/shard_params split state over the data "
+                "axis — pass a mesh (or --mesh_dp on the CLI)"
+            )
         if args.with_prior_preservation:
             if args.textual_inversion:
                 raise ValueError(
@@ -347,23 +357,30 @@ class SDLoRATrainer:
                 if args.with_prior_preservation else None
             ),
         )
+        # donate the state buffers to the step (in-place update) — except
+        # under EMA, where `ema` starts as an alias of the initial trainable
+        # tree and donation would invalidate it out from under the EMA update
+        step_kw = dict(
+            mesh=self.mesh,
+            donate=not args.use_ema,
+            shard_opt_state=args.shard_opt_state,
+            shard_params=args.shard_params,
+        )
         if args.textual_inversion:
             from stablediffusion_tpu.train.train_step import ti_loss_fn
 
             step_fn = make_train_step(
-                statics, scheduler, optimizer, mesh=self.mesh,
-                loss=ti_loss_fn,
+                statics, scheduler, optimizer, loss=ti_loss_fn, **step_kw
             )
         elif full:
             from stablediffusion_tpu.train.train_step import full_finetune_loss_fn
 
             step_fn = make_train_step(
-                statics, scheduler, optimizer, mesh=self.mesh,
-                loss=full_finetune_loss_fn,
+                statics, scheduler, optimizer, loss=full_finetune_loss_fn,
+                **step_kw
             )
         else:
-            step_fn = make_train_step(statics, scheduler, optimizer,
-                                      mesh=self.mesh)
+            step_fn = make_train_step(statics, scheduler, optimizer, **step_kw)
         ema = None
         if args.use_ema:
             if not full:
@@ -414,6 +431,18 @@ class SDLoRATrainer:
                 lora, opt_state = state[ckpt_key], state["opt_state"]
                 ema = state.get("ema", ema)
                 logger.info("resumed from %s at step %d", path, start_step)
+
+        # ZeRO placement — after resume so reloaded state gets the same
+        # split layout the step's in_shardings expect
+        if self.mesh is not None and args.shard_opt_state:
+            from stablediffusion_tpu.parallel import zero
+
+            opt_state = zero.shard_tree(opt_state, self.mesh)
+        if self.mesh is not None and args.shard_params:
+            from stablediffusion_tpu.parallel import zero
+
+            lora = zero.shard_tree(lora, self.mesh)
+            frozen = zero.shard_tree(frozen, self.mesh)
 
         # loop
         step = start_step
