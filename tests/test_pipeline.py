@@ -673,3 +673,23 @@ def test_vae_tiling_img2img_wiring(sd15):
     a = pipe(sd15, "a cat", **kw)
     b = pipe(sd15, "a cat", vae_tiling=True, **kw)
     np.testing.assert_allclose(a.images, b.images, atol=1e-6)
+
+
+def test_turbo_few_step_no_cfg(pipe, sd15):
+    """SD-Turbo / SDXL-Turbo serving recipe (1–4 steps, trailing timesteps,
+    guidance_scale=0): no CFG batch doubling, explicit `timesteps=` honored,
+    single-step generation works end to end."""
+    one = pipe(sd15, "a cat", height=H, width=W, num_inference_steps=1,
+               guidance_scale=0.0, timesteps=[999], seed=5)
+    assert one.images.shape == (1, H, W, 3)
+    assert np.isfinite(one.images).all()
+
+    sd15.set_scheduler("euler_a")
+    four = pipe(sd15, "a cat", height=H, width=W, num_inference_steps=4,
+                guidance_scale=0.0, timesteps=[999, 749, 499, 249], seed=5)
+    assert np.isfinite(four.images).all()
+    # CFG off means the negative prompt cannot change the output
+    neg = pipe(sd15, "a cat", negative_prompt="dog", height=H, width=W,
+               num_inference_steps=4, guidance_scale=0.0,
+               timesteps=[999, 749, 499, 249], seed=5)
+    np.testing.assert_allclose(four.images, neg.images, atol=1e-6)

