@@ -52,6 +52,12 @@ def main():
         (2, 16384, 8, 40),
         (2, 4096, 8, 64),
         (2, 9216, 8, 64),
+        # batch-1 CFG latency shapes (round-4 occupancy work): SD1.5 L2 and
+        # SDXL L1/L2 self-attention at B=2; plus the batch-8 L2 throughput
+        (2, 1024, 8, 80),
+        (16, 1024, 8, 80),  # SD1.5 512² L2 at throughput batch
+        (2, 4096, 10, 64),  # SDXL 1024² L1 at B=1 (CFG 2)
+        (2, 1024, 20, 64),  # SDXL 1024² L2 at B=1
         # VAE mid-block at 1024²/1536² decode: single head, D=512 — the
         # library kernel cannot tile D>128, so streaming vs XLA only.
         (1, 16384, 1, 512),

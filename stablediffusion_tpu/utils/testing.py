@@ -102,4 +102,5 @@ def random_full_model(name: str, dtype=jnp.bfloat16):
             timestep_spacing="leading" if sdxl else "leading"
         ),
         scheduler_name="DDIM",
+        **kwargs,
     )
