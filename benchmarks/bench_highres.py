@@ -110,7 +110,7 @@ def main(model_name: str = "sdxl", res: int = 1536, tiled: bool = False):
     p50 = times[len(times) // 2]
     # A/B runs under attention env overrides record under a distinct key so
     # they never clobber the canonical default-dispatch record
-    ab = "_smalld" if os.environ.get("SDTPU_SMALLD_ATTN") else ""
+    ab = ""  # (round-4) the smalld A/B kernel was killed; suffix retired
     payload = {
         "metric": f"{model_name}_{res}px_{STEPS}step_p50_latency"
         + ("_tiledvae" if tiled else "") + ab,

@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, q, k, v, iters=8):
+def timeit(fn, q, k, v, iters=64):
+    # iters=64, NOT 8: one scanned call carries ~24 ms of fixed tunnel
+    # dispatch+fetch latency, i.e. ~3 ms/iter contamination at 8 iters —
+    # larger than the real cost of the S=4096 kernels (the b1 device
+    # profile shows lib flash at B2,S4096,D40 is ~1.0 ms/call; the 8-iter
+    # run of this bench reported 5.65).  At 64 iters the floor is <0.4 ms.
     def run(q0, k0, v0):
         def body(carry, _):
             return fn(q0 + 1e-6 * carry, k0, v0), ()
@@ -35,7 +40,6 @@ def timeit(fn, q, k, v, iters=8):
 def main():
     from stablediffusion_tpu.ops.attention import _lib_flash, attention_xla
     from stablediffusion_tpu.ops.flash_attention import (
-        flash_attention_small_d,
         flash_attention_streaming,
     )
     from stablediffusion_tpu.utils.bench_utils import record_result
@@ -93,15 +97,7 @@ def main():
                     q_, k_, v_, scale=scale), q, k, v) * 1e3, 2)
         except Exception as e:
             row["stream_ms"] = f"fail({type(e).__name__})"
-        if D < 128:
-            # round-4 candidate: exp2 + ones-column denominator kernel
-            try:
-                row["smalld_ms"] = round(
-                    timeit(lambda q_, k_, v_: flash_attention_small_d(
-                        q_, k_, v_, scale=scale), q, k, v) * 1e3, 2)
-            except Exception as e:
-                row["smalld_ms"] = f"fail({type(e).__name__})"
-        key = f"B{B}_S{S}_D{D}"
+        key = f"B{B}_S{S}_H{H}_D{D}"
         results[key] = row
         print(json.dumps({key: row}), flush=True)
 

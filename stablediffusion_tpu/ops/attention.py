@@ -128,13 +128,25 @@ def _lib_flash_supported(q_shape, k_shape) -> bool:
 
     At tiny attention batch (B<=2, i.e. single-image CFG latency serving),
     the D<64 floor is lifted: the XLA path's materialized probs dominate
-    there and flash wins end-to-end (SD1.5 batch-1 p50 1.106 -> 0.464 s);
-    at batch>=8 the padded-MXU flash loses, so XLA keeps D=40 throughput.
+    there and flash wins end-to-end (SD1.5 batch-1 p50 1.106 -> 0.464 s).
+
+    Round-4 measurement caveat that SETS this table: STANDALONE attention
+    microbenches do not transfer to the big-batch in-graph XLA path.  Inside
+    the real denoise program XLA emits ONE kOutput loop fusion per layer
+    computing softmax(QK^T)V end-to-end without materializing [S,S] logits
+    (b8 device trace: 6.97 ms at B16,S4096,H8,D40 = ~50 TF/s incl. both
+    matmuls — at the D=40 padded-MXU practical ceiling and FASTER than the
+    library flash kernel's 9.22 ms standalone), while the same XLA
+    formulation benched standalone materializes logits and reads 12.73 ms.
+    Hence D<64 big-batch stays on XLA: the fusion only exists in-graph.
+    Kernel custom-calls (lib flash, streaming) measure the same in or out
+    of graph, so their standalone numbers are trusted.
 
     Past S=8192 (>=1448² generation) the floor drops to 32 at ANY batch:
-    XLA's fp32 [B,H,S,S] logits are 2 GiB per image at S=16384, H=8 — the
-    padded-MXU penalty is irrelevant when the alternative cannot fit
-    (benchmarks/bench_longkv_attention.py)."""
+    XLA's fp32/bf16 [B,H,S,S] intermediates are GiB-scale there and the
+    loop fusion stops being chosen — the flash kernels own the regime
+    (benchmarks/bench_longkv_attention.py: B2 S9216 D40 lib 5.45 vs XLA
+    23.74 ms; S=16384 XLA cannot run)."""
     b, sq, _, d = q_shape
     skv = k_shape[1]
     d_min = 32 if (_flash_mode() == "all" or b <= 2 or skv >= 8192) else 64
@@ -231,20 +243,11 @@ def attention(
     streaming kernel (A/B, benchmarks/bench_longkv_attention.py)."""
     if mask is None and _on_tpu():
         skv, d = k.shape[1], q.shape[-1]
-        if (
-            os.environ.get("SDTPU_SMALLD_ATTN")
-            and d < 128
-            and skv >= 2048
-        ):
-            # A/B override: route small-head long-KV self-attention through
-            # the exp2/ones-column kernel (benchmarks/bench_longkv_attention
-            # --smalld); candidate for the D=40 S>=8192 default pending TPU
-            # measurements (round-3 verdict item 2)
-            from stablediffusion_tpu.ops.flash_attention import (
-                flash_attention_small_d,
-            )
-
-            return flash_attention_small_d(q, k, v, scale=scale)
+        # (round 4) a third hand kernel — exp2/ones-column "smalld" for
+        # D<128 — was built for the D=40 regime and KILLED: with clean
+        # 64-iter timing it lost to the library kernel at every measured
+        # shape (e.g. B2 S4096 D40: 1.59 vs 1.40 ms; B1 S16384 D40: 8.65 vs
+        # 8.32).  Numbers preserved in RESULTS.json["longkv_attention"].
         if _use_pallas() and skv >= 2048:
             from stablediffusion_tpu.ops.flash_attention import (
                 flash_attention_streaming,

@@ -128,139 +128,18 @@ def _flash_stream_kernel(
 
 
 # ---------------------------------------------------------------------------
-# Small-head-dim long-KV kernel (the D=40 SD1.5 regime)
+# (removed) Small-head-dim long-KV kernel — round-4 kill-or-keep: an
+# exp2/ones-column-denominator kernel for D<128 (scale folded into Q, the
+# softmax denominator riding the PV matmul as a ones column in the lane-pad
+# space) LOST to the library flash kernel at every measured shape once the
+# benchmark timing was cleaned of tunnel dispatch latency (64-iter scans):
+# B2 S4096 D40 1.59 vs 1.40 ms, B1 S16384 D40 8.65 vs 8.32, B16 S4096 D40
+# 10.92 vs 9.22.  The D=40 MXU lane pad is structural (a 40-deep
+# contraction cannot use the other 88 lanes; block-diagonal packings just
+# move the zeros), and the library kernel already sits on the padded-MXU
+# floor.  Numbers: RESULTS.json["longkv_attention"] (git: round-4 history).
 # ---------------------------------------------------------------------------
-#
-# At D=40 the MXU work is lane-padded to 128 no matter what (the pad is
-# structural: producing H*S^2 logit scalars with a 40-deep contraction cannot
-# use the other 88 lanes — block-diagonal packings just move the zeros), so
-# the kernel is softmax/VPU-bound: the library flash kernel measures 20.9 ms
-# at the SD1.5-1024² L1 shape (B2 H8 S16384 D40) vs a ~11-18 ms padded-MXU
-# floor.  This kernel attacks the VPU side:
-#
-#   * scale AND the base-2 conversion fold into Q once on the host
-#     (p = 2^(s - m) with s already log2-scaled) — no per-logit multiply;
-#   * the softmax DENOMINATOR rides the PV matmul: V gets a ones column in
-#     lane 40..128 pad space that the MXU multiplies for free, so there is
-#     no VPU row-sum;
-#   * KV/Q padding needs NO mask: zero K rows give s=0 logits and zero
-#     V/ones rows contribute nothing to acc or denom — online softmax is
-#     shift-consistent for any m >= true max, so an m inflated to 0 by pad
-#     columns stays exact (fp32 keeps full relative precision at any
-#     exponent);
-#   * per-logit VPU work drops to max-reduce + subtract + exp2 + bf16 cast.
-#
-# Per-(batch*head) grid with dense [BH, S, D] blocks; D < 128 required
-# (the denominator column lives at lane D).
 
-
-def _smalld_kernel(
-    q_ref,  # [1, BQ, D]   (pre-scaled by softmax_scale * log2(e))
-    k_ref,  # [1, BKV, D]
-    v_ref,  # [1, BKV, 128] (cols 0:D = V, col D = 1.0, rest 0)
-    o_ref,  # [1, BQ, D]
-    acc_ref,  # scratch [BQ, 128] f32 (cols 0:D = PV, col D = denom)
-    m_ref,  # scratch [BQ, 128] f32 (col 0 = running max)
-    *,
-    head_dim: int,
-):
-    j = pl.program_id(2)
-    n_kv = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m_old = m_ref[:, :1]
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp2(s - m_new).astype(v_ref.dtype)
-    pv = jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    alpha = jnp.exp2(m_old - m_new)
-    acc_ref[...] = alpha * acc_ref[...] + pv
-    m_ref[:, :1] = m_new
-
-    @pl.when(j == n_kv - 1)
-    def _finish():
-        denom = acc_ref[:, head_dim : head_dim + 1]
-        o_ref[0] = (acc_ref[:, :head_dim] / denom).astype(o_ref.dtype)
-
-
-_LOG2E = 1.4426950408889634
-
-
-@functools.partial(jax.jit, static_argnames=("scale",))
-def flash_attention_small_d(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None
-) -> jax.Array:
-    """Long-KV attention for head dims < 128 (q/k/v [B, S, H, D])."""
-    B, Sq, H, D = q.shape
-    Skv = k.shape[1]
-    assert D < 128, "denominator column needs lane D < 128"
-    if scale is None:
-        scale = D**-0.5
-
-    bq = min(512, _round_up(Sq, 8))
-    bkv = min(1024, _round_up(Skv, _LANE))
-    sq_pad = _round_up(Sq, bq)
-    skv_pad = _round_up(Skv, bkv)
-
-    def flat(x, s):  # [B,S,H,D] -> [B*H, S, D]
-        return x.transpose(0, 2, 1, 3).reshape(B * H, s, D)
-
-    qf = flat((q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype), Sq)
-    kf, vf = flat(k, Skv), flat(v, Skv)
-    # denominator ones-column at lane D; lanes D+1..128 stay zero (free: the
-    # tile is lane-padded to 128 regardless)
-    vf = jnp.pad(vf, ((0, 0), (0, 0), (0, _LANE - D)))
-    vf = vf.at[:, :, D].set(jnp.ones((), vf.dtype))
-    if sq_pad != Sq:
-        qf = jnp.pad(qf, ((0, 0), (0, sq_pad - Sq), (0, 0)))
-    if skv_pad != Skv:
-        # zero K rows -> s=0 logits; zero V rows (incl. the ones column)
-        # -> no acc/denom contribution: correct without any mask
-        kf = jnp.pad(kf, ((0, 0), (0, skv_pad - Skv), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, skv_pad - Skv), (0, 0)))
-
-    grid = (B * H, sq_pad // bq, skv_pad // bkv)
-    out = pl.pallas_call(
-        functools.partial(_smalld_kernel, head_dim=D),
-        out_shape=jax.ShapeDtypeStruct((B * H, sq_pad, D), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, D), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, _LANE), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((bq, _LANE), jnp.float32),
-            pltpu.VMEM((bq, _LANE), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Sq * Skv * D,
-            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
-            transcendentals=B * H * Sq * Skv,
-        ),
-    )(qf, kf, vf)
-    out = out[:, :Sq] if sq_pad != Sq else out
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))

@@ -666,5 +666,12 @@ class StableDiffusion3Pipeline:
             images = _sd3_vae_decode(
                 model.vae_params, latents, config=model.vae_config
             )
+        if output_type == "uint8":
+            # device-side quantize: 4x smaller device->host tunnel fetch
+            return SDPipelineOutput(
+                images=np.asarray(img_utils.postprocess_uint8_device(images)),
+                latents=None,
+                seed=seed,
+            )
         images_np = img_utils.postprocess_image(np.asarray(images, np.float32))
         return SDPipelineOutput(images=images_np, latents=None, seed=seed)

@@ -45,7 +45,8 @@ from stablediffusion_tpu.utils import images as img_utils
 
 @dataclass
 class SDPipelineOutput:
-    images: Optional[np.ndarray]  # [B, H, W, 3] float32 in [0, 1]
+    images: Optional[np.ndarray]  # [B, H, W, 3] float32 [0,1] ("np") or
+    #   uint8 [0,255] (output_type="uint8" — serving: 4x smaller fetch)
     latents: Optional[jax.Array]  # NHWC latents (when output_type="latents")
     seed: Union[int, List[int]]  # echoed; a list when per-sample seeds given
 
@@ -404,7 +405,7 @@ class StableDiffusionUnifiedPipeline:
     def __init__(
         self,
         do_cfg: bool = True,
-        output_type: str = "np",  # "np" (decoded [0,1]) | "latents"
+        output_type: str = "np",  # "np" ([0,1] f32) | "uint8" | "latents"
         dtype=None,  # compute dtype; default fp32 on CPU, bf16 on TPU
         mesh=None,  # optional jax.sharding.Mesh: shard the batch over `data`
         vae_dtype=None,  # e.g. jnp.bfloat16: run the VAE in that dtype
@@ -1459,6 +1460,14 @@ class StableDiffusionUnifiedPipeline:
                 force_upcast=model.vae_config.force_upcast,
                 dtype=self.vae_dtype,
             )
+        if output_type == "uint8" and crop is None:
+            # device-side quantize: the tunnel fetch is 4x smaller and the
+            # JPEG/PNG encoders want uint8 anyway (serving hot path)
+            return SDPipelineOutput(
+                images=np.asarray(img_utils.postprocess_uint8_device(images)),
+                latents=None,
+                seed=seed,
+            )
         images_np = img_utils.postprocess_image(np.asarray(images, np.float32))
         if crop is not None:
             images_np = np.stack(
@@ -1469,6 +1478,8 @@ class StableDiffusionUnifiedPipeline:
                     for im in images_np
                 ]
             )
+        if output_type == "uint8":  # crop path: overlay in float, then pack
+            images_np = (images_np * 255).round().astype(np.uint8)
         return SDPipelineOutput(images=images_np, latents=None, seed=seed)
 
     # -- helpers -------------------------------------------------------------

@@ -133,7 +133,14 @@ class Batcher:
 
     The worker drains the queue, groups compatible requests arrived within
     `window_ms` of the first (up to `max_batch`), and runs each group as one
-    merged Handler call."""
+    merged Handler call.
+
+    `adaptive=True` (default): the window is an upper bound, not a tax — the
+    worker stops waiting as soon as no other submit is in flight, so a single
+    interactive client pays ~0 ms of merge latency while concurrent clients
+    still coalesce (they queue up behind the in-progress merged call).
+    `adaptive=False` restores the fixed window (deterministic merge
+    composition; used by composition-exactness tests)."""
 
     def __init__(
         self,
@@ -142,12 +149,14 @@ class Batcher:
         window_ms: float = 25.0,
         max_queue: int = 64,
         timeout_s: float = 1800.0,
+        adaptive: bool = True,
     ):
         self.handler = handler
         self.max_batch = max_batch
         self.window_ms = window_ms
         self.max_queue = max_queue  # overload shedding threshold
         self.timeout_s = timeout_s
+        self.adaptive = adaptive
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._lock = threading.Lock()  # model-slot single-writer
         # live waiter count for shedding — Queue.qsize() is approximate and
@@ -216,10 +225,22 @@ class Batcher:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
+                # adaptive window: only keep waiting while other submits are
+                # actually in flight (self._pending counts increment-before-
+                # put, decrement-after-completion).  A single interactive
+                # client never pays the merge window; concurrent clients
+                # still coalesce.  Short poll, not a full-window block: an
+                # in-flight submit lands within microseconds of the count.
+                if self.adaptive:
+                    with self._pending_lock:
+                        in_flight = self._pending
+                    if in_flight <= len(batch) and self._q.empty():
+                        break
+                    remaining = min(remaining, 0.002)
                 try:
                     nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
-                    break
+                    continue
                 if nxt is None:  # close() during gather: finish then exit
                     self._q.put(None)
                     break

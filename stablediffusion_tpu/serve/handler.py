@@ -79,12 +79,14 @@ INFERENCE_ARG_KEYS = (
 
 
 def encode_images_b64(images01: np.ndarray, fmt: str = "JPEG") -> list:
-    """[B,H,W,3] in [0,1] -> list of base64 strings
+    """[B,H,W,3] in [0,1] float OR uint8 -> list of base64 strings
     (convert_pt_to_numpy + JPEG/base64, handler_logic.py:21-29,177-191)."""
     from PIL import Image
 
+    from stablediffusion_tpu.utils.images import as_uint8
+
     out = []
-    for im in (images01 * 255).round().astype(np.uint8):
+    for im in as_uint8(images01):
         buf = io.BytesIO()
         Image.fromarray(im).save(buf, format=fmt, quality=95)
         out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
@@ -346,10 +348,14 @@ class Handler:
             if dropped:
                 logger.warning("sd3: ignoring unsupported args %s", dropped)
             args = {k: v for k, v in args.items() if k in known}
-            return StableDiffusion3Pipeline(do_cfg=True, mesh=self.mesh)(
-                self.model, **args
-            )
-        pipe = StableDiffusionUnifiedPipeline(do_cfg=True, mesh=self.mesh)
+            return StableDiffusion3Pipeline(
+                do_cfg=True, mesh=self.mesh, output_type="uint8"
+            )(self.model, **args)
+        # output_type="uint8": quantize on device — the serving fetch is 4x
+        # smaller and every sink (JPEG b64, uploader, wandb) wants uint8
+        pipe = StableDiffusionUnifiedPipeline(
+            do_cfg=True, mesh=self.mesh, output_type="uint8"
+        )
         return pipe(self.model, **args)
 
     def warmup(

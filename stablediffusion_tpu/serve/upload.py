@@ -32,8 +32,10 @@ ENV_VAR = "BUCKET_ENDPOINT_URL"
 def _jpegs(images01: np.ndarray, quality: int = 95) -> List[bytes]:
     from PIL import Image
 
+    from stablediffusion_tpu.utils.images import as_uint8
+
     out = []
-    for im in (np.asarray(images01) * 255).round().astype(np.uint8):
+    for im in as_uint8(images01):
         buf = io.BytesIO()
         Image.fromarray(im).save(buf, format="JPEG", quality=quality)
         out.append(buf.getvalue())

@@ -131,6 +131,33 @@ def to_uint8(images: np.ndarray) -> np.ndarray:
     return (postprocess_image(images) * 255).round().astype(np.uint8)
 
 
+def postprocess_uint8_device(images):
+    """[-1,1] NHWC device array -> uint8 [0,255] ON DEVICE.
+
+    Serving fetches final pixels through a slow device->host tunnel; a
+    float32 fetch is 4x the bytes of the uint8 the JPEG encoder needs
+    anyway.  Numerics match to_uint8 (same fp32 clip/scale/round) to
+    within round-to-nearest ties."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _f(x):
+        x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.round(x * 255.0).astype(jnp.uint8)
+
+    return _f(images)
+
+
+def as_uint8(images: np.ndarray) -> np.ndarray:
+    """[0,1] float OR already-uint8 [0,255] -> uint8 (encode-side shim so
+    handlers/uploaders accept both pipeline output_types)."""
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        return arr
+    return (arr * 255).round().astype(np.uint8)
+
+
 def to_pil(images: np.ndarray):
     assert _HAS_PIL, "PIL unavailable"
     return [Image.fromarray(im) for im in to_uint8(images)]

@@ -171,46 +171,15 @@ def test_flash_streaming_vae_head_shape(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
-def test_flash_small_d_interpret_matches_xla(rng):
-    """The exp2/ones-column small-head kernel (D<128 long-KV regime): exact
-    vs the XLA reference, including ragged Sq/Skv (mask-free zero padding)
-    and bf16 inputs."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from stablediffusion_tpu.ops.flash_attention import flash_attention_small_d
-
-    for (B, Sq, Skv, H, D) in [
-        (2, 2048, 2048, 4, 40),   # multi-kv-block, SD15 head dim
-        (1, 520, 1030, 2, 64),    # ragged: pad rows must not leak
-        (1, 128, 128, 1, 80),
-    ]:
-        q = jnp.asarray(rng.standard_normal((B, Sq, H, D)).astype(np.float32))
-        k = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
-        v = jnp.asarray(rng.standard_normal((B, Skv, H, D)).astype(np.float32))
-        ref = attention_xla(q, k, v)
-        with pltpu.force_tpu_interpret_mode():
-            out = flash_attention_small_d(q, k, v)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), atol=3e-5,
-            err_msg=f"{(B, Sq, Skv, H, D)}",
-        )
-
-    q = jnp.asarray(rng.standard_normal((1, 256, 2, 40)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((1, 700, 2, 40)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((1, 700, 2, 40)), jnp.bfloat16)
-    ref = attention_xla(q, k, v).astype(np.float32)
-    with pltpu.force_tpu_interpret_mode():
-        out = flash_attention_small_d(q, k, v).astype(np.float32)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05)
-
-
 def test_attention_dispatch_routing(monkeypatch):
     """The shape->kernel routing table (ops/attention.attention), checked
     without hardware by faking _on_tpu and intercepting the kernel entries.
     Regimes (benchmarks/bench_longkv_attention.py, sweep_attention.py):
-      * short KV / D=40 big-batch  -> XLA fusion
-      * D>=64 self-attn S>=1024    -> library flash
-      * batch<=2 or S>=8192, D>=32 -> library flash (floor drops to 32)
+      * short KV (cross-attn)       -> XLA fusion
+      * D>=64 self-attn S>=1024     -> library flash
+      * batch<=2 or S>=8192, D>=32  -> library flash (floor drops to 32);
+        big-batch D=40 at S<8192 stays XLA: in-graph XLA loop-fuses the
+        whole attention at ~50 TF/s (round-4 trace), beating the kernel
       * S>=8192 with D outside [32,128] (VAE mid-block) -> streaming kernel
     """
     import importlib
@@ -243,10 +212,13 @@ def test_attention_dispatch_routing(monkeypatch):
         A.attention(q, kv, kv)
         return calls[0]
 
-    assert route(16, 4096, 8, 40) == "xla"        # SD15 L1 big batch
+    assert route(16, 4096, 8, 40) == "xla"        # SD15 L1 big batch: XLA
+    #   loop-fuses whole softmax(QK^T)V in-graph at 50 TF/s (r4 trace) —
+    #   beats the lib kernel there; standalone microbenches mislead
     assert route(16, 4096, 8, 40, Skv=77) == "xla"  # cross-attn short KV
     assert route(8, 4096, 10, 64) == "lib"        # SDXL L1
     assert route(2, 4096, 8, 40) == "lib"         # latency batch, floor 32
+    assert route(2, 1024, 8, 80) == "lib"         # SD15 L2 latency batch
     assert route(16, 9216, 8, 40) == "lib"        # long KV drops floor
     assert route(1, 16384, 1, 512) == "stream"    # VAE mid-block high-res
     assert route(1, 4096, 1, 512) == "xla"        # VAE mid-block 512² decode
@@ -255,18 +227,6 @@ def test_attention_dispatch_routing(monkeypatch):
     monkeypatch.setenv("SDTPU_PALLAS_ATTN", "1")
     assert route(16, 4096, 8, 40) == "stream"
     monkeypatch.delenv("SDTPU_PALLAS_ATTN")
-
-    # A/B flag: small-head long-KV through the exp2/ones-column kernel
-    monkeypatch.setattr(
-        FA, "flash_attention_small_d",
-        lambda q, k, v, scale=None: calls.append("smalld") or q,
-    )
-    monkeypatch.setenv("SDTPU_SMALLD_ATTN", "1")
-    assert route(16, 9216, 8, 40) == "smalld"
-    assert route(2, 4096, 8, 40) == "smalld"
-    assert route(1, 16384, 1, 512) == "stream"  # D=512 keeps streaming
-    assert route(16, 4096, 8, 40, Skv=77) == "xla"  # short KV unaffected
-    monkeypatch.delenv("SDTPU_SMALLD_ATTN")
 
     # kill switch: XLA everywhere
     monkeypatch.setenv("SDTPU_FLASH_ATTN", "0")

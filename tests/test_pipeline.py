@@ -257,6 +257,18 @@ def test_output_type_latents(pipe, sd15):
     assert out.latents.shape == (1, H // 2, W // 2, 4)
 
 
+def test_output_type_uint8_matches_float_path(pipe, sd15):
+    """output_type='uint8' (serving fetch path: device-side quantize) must
+    agree with the float path's to_uint8 quantization to the rounding tie."""
+    kw = dict(prompt="cat", height=H, width=W, num_inference_steps=2, seed=3)
+    f = pipe(sd15, **kw)
+    u = pipe(sd15, **kw, output_type="uint8")
+    assert u.images.dtype == np.uint8
+    assert u.images.shape == f.images.shape
+    ref = (f.images * 255).round().astype(np.int16)
+    assert np.abs(ref - u.images.astype(np.int16)).max() <= 1
+
+
 def test_negative_prompt_batch_mismatch(pipe, sd15):
     with pytest.raises(ValueError):
         pipe(

@@ -219,6 +219,16 @@ class TestSD3Pipeline:
         )
         np.testing.assert_allclose(out.images, again.images, atol=1e-6)
 
+    def test_output_type_uint8(self, model):
+        pipe = StableDiffusion3Pipeline()
+        kw = dict(prompt="a cat", num_inference_steps=2, height=16, width=16,
+                  seed=7, max_sequence_length=16)
+        f = pipe(model, **kw)
+        u = pipe(model, **kw, output_type="uint8")
+        assert u.images.dtype == np.uint8
+        ref = (f.images * 255).round().astype(np.int16)
+        assert np.abs(ref - u.images.astype(np.int16)).max() <= 1
+
     def test_txt2img_no_t5(self, model):
         """The T5-free serving configuration (text_encoder_3=None)."""
         m = dataclasses.replace(

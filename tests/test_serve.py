@@ -360,7 +360,7 @@ def test_batcher_merges_and_is_composition_invariant(handler):
 
     from stablediffusion_tpu.serve.batcher import Batcher
 
-    b = Batcher(handler, max_batch=4, window_ms=200.0)
+    b = Batcher(handler, max_batch=4, window_ms=200.0, adaptive=False)
     results = {}
 
     def go(seed):
@@ -437,7 +437,7 @@ def test_batcher_sd3(sd3_handler):
 
     from stablediffusion_tpu.serve.batcher import Batcher
 
-    b = Batcher(sd3_handler, max_batch=4, window_ms=200.0)
+    b = Batcher(sd3_handler, max_batch=4, window_ms=200.0, adaptive=False)
     results = {}
 
     def go(seed):
@@ -538,6 +538,84 @@ def test_batcher_abandoned_items_are_dropped(handler):
         b.close()
 
 
+def test_batcher_adaptive_single_client_skips_window(handler):
+    """adaptive=True (the default): a lone request dispatches immediately
+    instead of waiting out window_ms (the serving p50 at 1 client)."""
+    import time
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=4, window_ms=60_000.0)
+    try:
+        t0 = time.monotonic()
+        r = b.submit({**ARGS, "seed": 7}, "solo")
+        dt = time.monotonic() - t0
+        assert "error" not in r, r.get("traceback")
+        assert r["batched"] == 1
+        assert dt < 30.0, f"single request waited the merge window ({dt:.1f}s)"
+    finally:
+        b.close()
+
+
+def test_batcher_adaptive_still_merges_queued_backlog(handler):
+    """Adaptive mode must still coalesce: requests that queue up while the
+    worker is busy merge into one call when it frees (gate the handler so
+    the backlog forms deterministically)."""
+    import threading
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    ev_started, ev_release = threading.Event(), threading.Event()
+
+    class GateHandler:
+        # the merged path goes through handler._generate; gate THAT
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __getattr__(self, k):
+            return getattr(self.inner, k)
+
+        def __call__(self, *a, **kw):
+            return self.inner(*a, **kw)
+
+        def _generate(self, args):
+            ev_started.set()
+            assert ev_release.wait(60)
+            return self.inner._generate(args)
+
+    b = Batcher(GateHandler(handler), max_batch=4, window_ms=200.0)
+    try:
+        results = {}
+
+        def go(seed):
+            results[seed] = b.submit({**ARGS, "seed": seed}, f"a{seed}")
+
+        t0 = threading.Thread(target=go, args=(501,))
+        t0.start()
+        assert ev_started.wait(60)  # worker is inside the gated call
+        backlog = [threading.Thread(target=go, args=(s,))
+                   for s in (502, 503, 504)]
+        for t in backlog:
+            t.start()
+        deadline = threading.Event()  # poll until all three are queued
+        for _ in range(500):
+            if b._q.qsize() >= 3:
+                break
+            deadline.wait(0.01)
+        assert b._q.qsize() >= 3
+        ev_release.set()
+        t0.join(timeout=120)
+        for t in backlog:
+            t.join(timeout=120)
+        assert results[501]["batched"] == 1
+        for s in (502, 503, 504):
+            assert "error" not in results[s], results[s].get("traceback")
+            assert results[s]["batched"] == 3, results[s]
+    finally:
+        ev_release.set()
+        b.close()
+
+
 def test_model_generation_bumps(handler):
     g0 = handler.model_generation
     handler({**ARGS, "seed": 1, "model": {"scheduler": "DDIM"}}, "g1")
@@ -561,7 +639,7 @@ def test_mesh_serving_http_batch_bit_identical():
     mesh = make_mesh(data=8, tensor=1, devices=jax.devices()[:8])
     model = make_tiny_model("sd15")
     h_mesh = Handler(model=model, mesh=mesh)
-    b = Batcher(h_mesh, max_batch=8, window_ms=1000.0)
+    b = Batcher(h_mesh, max_batch=8, window_ms=1000.0, adaptive=False)
     seeds = list(range(1, 9))
     results = {}
 
