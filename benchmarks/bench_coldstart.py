@@ -1,0 +1,115 @@
+"""Serving cold-start: checkpoint -> first image (the serverless metric).
+
+The reference's whole deployment story is a runpod serverless worker that
+loads fp16 safetensors from the image at container start
+(/root/reference/runpod-worker/handler_logic.py, Dockerfile bakes weights);
+cold-start latency = model load + first-request compile.  This bench records
+our equivalents on the real chip:
+
+  * load_sec        — diffusers-layout folder -> SDModel with every param
+                      tree resident on device (mmap read + layout convert +
+                      tunnel transfer)
+  * first_image_sec — first 512² 20-step request (XLA compile + run)
+  * warm_image_sec  — the same request again (the steady-state p50)
+
+Weights are random full-size SD1.5 (no hub access) saved once to
+/tmp/coldstart_sd15 via save_sd_model — byte-for-byte the real layout
+(fp16 variant, torch layouts), so load cost is representative.
+
+Usage: python benchmarks/bench_coldstart.py [--dir /tmp/coldstart_sd15]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ensure_checkpoint(path: str) -> None:
+    if os.path.exists(os.path.join(path, "model_index.json")):
+        return
+    from stablediffusion_tpu.io.loader import save_sd_model
+    from stablediffusion_tpu.utils.testing import random_full_model
+
+    print("building random full-size SD1.5 checkpoint ...", flush=True)
+    model = random_full_model("sd15")
+    save_sd_model(model, path, variant="fp16")
+    del model
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dir", default="/tmp/coldstart_sd15")
+    p.add_argument("--steps", type=int, default=20)
+    args = p.parse_args(argv)
+
+    ensure_checkpoint(args.dir)
+
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusion_tpu.io.loader import load_sd_model
+    from stablediffusion_tpu.pipelines.unified import (
+        StableDiffusionUnifiedPipeline,
+    )
+    from stablediffusion_tpu.utils.bench_utils import record_result
+
+    size_gb = 0.0
+    for root, _, files in os.walk(args.dir):
+        size_gb += sum(
+            os.path.getsize(os.path.join(root, f)) for f in files
+        ) / 2**30
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    model = load_sd_model(args.dir, dtype=jnp.bfloat16)
+    host_load_sec = time.perf_counter() - t0
+    # force a device sync point WITHOUT compiling anything (a jnp.sum would
+    # bill its first-time remote compile to the load): round-trip one leaf
+    # per component tree through np.asarray.  Transfers ride one in-order
+    # stream on this backend, so fetching a leaf implies the queue drained
+    # up to it; any straggler is absorbed into first_image_sec anyway.
+    for tree in (model.unet_params, model.vae_params,
+                 model.text_encoder_params):
+        np.asarray(jax.tree.leaves(tree)[-1]).ravel()[0]
+    load_sec = time.perf_counter() - t0
+
+    pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
+    req = dict(prompt="a photograph of an astronaut riding a horse",
+               height=512, width=512, num_inference_steps=args.steps,
+               guidance_scale=7.5, seed=0, output_type="uint8")
+    t1 = time.perf_counter()
+    out = pipe(model, **req)
+    first_image_sec = time.perf_counter() - t1
+    assert out.images is not None
+    t2 = time.perf_counter()
+    pipe(model, **req)
+    warm_image_sec = time.perf_counter() - t2
+
+    payload = {
+        "metric": "coldstart_sd15_512px",
+        "unit": "sec",
+        "value": round(load_sec + first_image_sec, 2),
+        "detail": {
+            "checkpoint_gb": round(size_gb, 2),
+            "load_sec": round(load_sec, 2),
+            "host_load_sec": round(host_load_sec, 2),
+            "first_image_sec_incl_compile": round(first_image_sec, 2),
+            "warm_image_sec": round(warm_image_sec, 3),
+            "steps": args.steps,
+            "scope": "diffusers-layout fp16 folder -> device-resident "
+                     "SDModel -> first/warm 512² images",
+        },
+    }
+    record_result("coldstart_sd15", payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
