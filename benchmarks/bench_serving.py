@@ -137,9 +137,17 @@ def main(argv=None):
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
-    # warm the compiled graphs so the load numbers measure steady state
-    run_load(port, 1, 1, size, steps)
-    run_load(port, args.max_batch, 1, size, steps)
+    # warm every pow2 batch shape so the load numbers measure steady state
+    # (the batcher pads merged groups to pow2 — these are ALL the shapes a
+    # run can hit; a cold shape mid-run is a multi-minute tunnel compile)
+    n = 1
+    while n <= args.max_batch:
+        worker.HANDLER._generate({
+            "prompt": ["warmup"] * n, "negative_prompt": [""] * n,
+            "seed": list(range(n)), "num_inference_steps": steps,
+            "height": size, "width": size,
+        })
+        n *= 2
 
     results = {}
     for n in args.clients:

@@ -23,7 +23,7 @@ from stablediffusion_tpu.utils.bench_utils import hbm_stats
 
 
 
-def run(B, res, policy, split, vae_bf16=False, accum=1):
+def run(B, res, policy, split, vae_bf16=False, accum=1, accum_dtype=None):
     from stablediffusion_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -80,7 +80,8 @@ def run(B, res, policy, split, vae_bf16=False, accum=1):
         vae_microbatch=min(4, B),
     )
     optimizer = make_optimizer(
-        make_lr_schedule("constant", 1e-4), grad_accum_steps=accum
+        make_lr_schedule("constant", 1e-4), grad_accum_steps=accum,
+        accum_dtype=accum_dtype,
     )
     opt_state = optimizer.init(lora)
     step_fn = make_train_step(statics, DDPMScheduler(SDXL_SCHEDULER), optimizer)
@@ -153,4 +154,5 @@ if __name__ == "__main__":
     split = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
     vae_bf16 = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
     accum = int(sys.argv[6]) if len(sys.argv) > 6 else 1
-    run(B, res, policy, split, vae_bf16, accum)
+    accum_dtype = sys.argv[7] if len(sys.argv) > 7 else None
+    run(B, res, policy, split, vae_bf16, accum, accum_dtype)

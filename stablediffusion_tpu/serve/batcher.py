@@ -164,8 +164,15 @@ class Batcher:
         # them, so a stall would shed new requests on ghost entries
         self._pending = 0
         self._pending_lock = threading.Lock()
+        # hysteresis for the adaptive window: if the PREVIOUS gather had >1
+        # requests we are under concurrent load, so the next gather keeps the
+        # full window even when submits momentarily race (all N clients of a
+        # just-completed batch re-submit within a few ms of each other; the
+        # first one must not be dispatched alone)
+        self._last_gather = 1
         self.merged_calls = 0  # observability; test hook
         self.shed_requests = 0  # observability; overload-shed counter
+        self.padded_samples = 0  # observability; pow2 shape-padding counter
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -220,7 +227,14 @@ class Batcher:
             if first is None:
                 return
             batch = [first]
-            deadline = time.monotonic() + self.window_ms / 1e3
+            now = time.monotonic()
+            deadline = now + self.window_ms / 1e3
+            # hysteresis: under concurrent load (previous gather >1) the
+            # early break is disabled for the whole window — when a merged
+            # batch completes, its N clients re-submit within milliseconds
+            # of each other, and an eager break would dispatch the first
+            # racer alone (then the other N-1 as a second partial batch)
+            grace_until = deadline if self._last_gather > 1 else now
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -231,7 +245,7 @@ class Batcher:
                 # client never pays the merge window; concurrent clients
                 # still coalesce.  Short poll, not a full-window block: an
                 # in-flight submit lands within microseconds of the count.
-                if self.adaptive:
+                if self.adaptive and time.monotonic() >= grace_until:
                     with self._pending_lock:
                         in_flight = self._pending
                     if in_flight <= len(batch) and self._q.empty():
@@ -245,6 +259,7 @@ class Batcher:
                     self._q.put(None)
                     break
                 batch.append(nxt)
+            self._last_gather = len(batch)
             # group by bucket; each group is one merged call.  Nothing here
             # may kill the singleton worker thread — a dead loop would hang
             # every pending and future batchable request.
@@ -313,6 +328,22 @@ class Batcher:
                     else int(np.random.randint(0, int(1e9)))
                     for it in group
                 ]
+                # pad to the next power of two (<= max_batch) by repeating
+                # the last request: a partial batch (e.g. 7 of 8) must reuse
+                # an already-compiled XLA shape — a fresh shape recompiles
+                # for MINUTES through the TPU tunnel (measured: a stray
+                # batch-7 group cost 94 s p99 in bench_serving).  Per-sample
+                # seed streams make the duplicates inert for real outputs;
+                # the pads are sliced off below.
+                n_real = len(group)
+                n_padded = 1
+                while n_padded < n_real:
+                    n_padded *= 2
+                for k in ("prompt", "negative_prompt", "seed"):
+                    merged[k] = merged[k] + [merged[k][-1]] * (
+                        n_padded - n_real
+                    )
+                self.padded_samples += n_padded - n_real
                 self.merged_calls += 1
                 out = self.handler._generate(merged)
             for i, it in enumerate(group):

@@ -178,7 +178,13 @@ def main(argv=None):
         if handler.model is None:
             logger.warning("--warmup ignored: no model preloaded")
         else:
-            batches = (1,) if args.max_batch <= 1 else (1, args.max_batch)
+            # every power of two up to max_batch: the batcher pads merged
+            # groups to pow2 shapes, so these are exactly the shapes a
+            # serving process can ever compile
+            batches = [1]
+            while batches[-1] * 2 <= args.max_batch:
+                batches.append(batches[-1] * 2)
+            batches = tuple(batches)
             handler.warmup(
                 steps=args.warmup_steps, size=args.warmup_size, batches=batches
             )

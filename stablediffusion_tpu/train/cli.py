@@ -59,6 +59,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--num_train_epochs", type=int, default=100)
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--accum_dtype", choices=["fp32", "bf16"], default="fp32",
+                   help="gradient-accumulator precision; bf16 halves the "
+                        "accumulator tree (fits SDXL 1024\u00b2 accum on one chip)")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--remat_policy", type=str, default="",
                    choices=["", "none", "full", "dots", "offload"],
@@ -200,6 +203,7 @@ def main(argv=None):
     targs = SDTrainingArgs(
         train_batch_size=args.train_batch_size,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        accum_dtype=args.accum_dtype,
         mixed_precision=mixed,
         rank=args.rank,
         train_text_encoder=args.train_text_encoder,

@@ -42,6 +42,7 @@ class ControlNetTrainingArgs:
 
     train_batch_size: int = 4
     gradient_accumulation_steps: int = 1
+    accum_dtype: str = "fp32"  # "bf16": low-memory accumulator
     mixed_precision: str = "bf16"
     learning_rate: float = 5e-6  # train_controlnet.py default
     adam_beta1: float = 0.9
@@ -149,6 +150,7 @@ class ControlNetTrainer:
             args.max_grad_norm,
             args.gradient_accumulation_steps,
             use_8bit=getattr(args, "use_8bit_adam", False),
+            accum_dtype=getattr(args, "accum_dtype", None),
         )
         opt_state = optimizer.init(controlnet)
 

@@ -214,6 +214,7 @@ def sd3_lora_loss_fn(
 class SD3TrainingArgs:
     train_batch_size: int = 1
     gradient_accumulation_steps: int = 1
+    accum_dtype: str = "fp32"  # "bf16": low-memory accumulator
     mixed_precision: str = "bf16"
     rank: int = 16
     learning_rate: float = 1e-4
@@ -304,6 +305,7 @@ class SD3LoRATrainer:
             args.adam_weight_decay, args.max_grad_norm,
             args.gradient_accumulation_steps,
             use_8bit=getattr(args, "use_8bit_adam", False),
+            accum_dtype=getattr(args, "accum_dtype", None),
         )
         opt_state = optimizer.init(lora)
 

@@ -46,6 +46,9 @@ class SDTrainingArgs:
 
     train_batch_size: int = 4
     gradient_accumulation_steps: int = 1
+    # "fp32" (optax.MultiSteps) | "bf16" (multi_steps_lowmem: halves the
+    # accumulator tree - the 89 MiB that tips SDXL 1024² accum over 16 GB)
+    accum_dtype: str = "fp32"
     mixed_precision: str = "bf16"  # "bf16" | "no" (fp16 maps to bf16 on TPU)
     rank: int = 16
     train_text_encoder: bool = True
@@ -332,6 +335,7 @@ class SDLoRATrainer:
             args.max_grad_norm,
             args.gradient_accumulation_steps,
             use_8bit=args.use_8bit_adam,
+            accum_dtype=getattr(args, "accum_dtype", None),
         )
         opt_state = optimizer.init(lora)
 

@@ -616,6 +616,90 @@ def test_batcher_adaptive_still_merges_queued_backlog(handler):
         b.close()
 
 
+def test_batcher_pads_partial_batches_to_pow2(handler):
+    """A merged group of 3 must reach the pipeline as a batch of 4 (next
+    power of two): every compiled XLA batch shape must come from the tiny
+    {1,2,4,...,max_batch} set — a novel shape (e.g. a 7-of-8 partial batch)
+    recompiles for minutes through the TPU tunnel (bench_serving measured a
+    94 s p99 from exactly that).  The pad rows are duplicates of the last
+    request and are sliced off; per-sample seed streams keep real outputs
+    bit-identical (test_batcher_merges_and_is_composition_invariant)."""
+    import threading
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    seen_batch_sizes = []
+    real_generate = handler._generate
+
+    def spy_generate(args):
+        seen_batch_sizes.append(len(args["prompt"]))
+        return real_generate(args)
+
+    handler._generate = spy_generate
+    b = Batcher(handler, max_batch=8, window_ms=500.0, adaptive=False)
+    try:
+        results = {}
+
+        def go(seed):
+            results[seed] = b.submit({**ARGS, "seed": seed}, f"p{seed}")
+
+        threads = [threading.Thread(target=go, args=(s,))
+                   for s in (11, 22, 33)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert b.merged_calls == 1
+        assert seen_batch_sizes == [4], seen_batch_sizes  # 3 padded to 4
+        assert b.padded_samples == 1
+        for s in (11, 22, 33):
+            assert "error" not in results[s], results[s].get("traceback")
+            assert results[s]["seed"] == s
+            assert results[s]["batched"] == 3  # real group size, not padded
+    finally:
+        handler._generate = real_generate
+        b.close()
+
+
+def test_batcher_adaptive_hysteresis_after_merged_batch(handler):
+    """After a multi-request gather, the adaptive early break is disabled
+    for the next full window: when a merged batch completes, its N clients
+    re-submit within milliseconds of each other, and an eager break would
+    dispatch the first racer alone (1+7 split → a cold batch-7 compile on
+    the real chip)."""
+    import threading
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=4, window_ms=300.0)  # adaptive default on
+    try:
+        results = {}
+
+        def go(seed):
+            results[seed] = b.submit({**ARGS, "seed": seed}, f"h{seed}")
+
+        # simulate "a merged batch just completed" (setting the gather size
+        # directly keeps the test deterministic — reaching it through a real
+        # concurrent burst races against the adaptive break)
+        b._last_gather = 4
+        calls_before = b.merged_calls
+        # a re-submit burst with a straggler — the first request alone in
+        # the queue must NOT dispatch solo while its batch-mates are
+        # milliseconds behind (hysteresis holds the window open)
+        t_first = threading.Thread(target=go, args=(10,))
+        t_first.start()
+        deadline = threading.Event()
+        deadline.wait(0.05)  # straggler lag << window_ms
+        t_second = threading.Thread(target=go, args=(20,))
+        t_second.start()
+        t_first.join(timeout=120)
+        t_second.join(timeout=120)
+        assert b.merged_calls == calls_before + 1  # ONE merged call, not 1+1
+        assert results[10]["batched"] == 2 and results[20]["batched"] == 2
+    finally:
+        b.close()
+
+
 def test_model_generation_bumps(handler):
     g0 = handler.model_generation
     handler({**ARGS, "seed": 1, "model": {"scheduler": "DDIM"}}, "g1")
