@@ -150,10 +150,12 @@ class Batcher:
         max_queue: int = 64,
         timeout_s: float = 1800.0,
         adaptive: bool = True,
+        grace_ms: float = 5.0,
     ):
         self.handler = handler
         self.max_batch = max_batch
         self.window_ms = window_ms
+        self.grace_ms = grace_ms
         self.max_queue = max_queue  # overload shedding threshold
         self.timeout_s = timeout_s
         self.adaptive = adaptive
@@ -233,24 +235,41 @@ class Batcher:
             # early break is disabled for the whole window — when a merged
             # batch completes, its N clients re-submit within milliseconds
             # of each other, and an eager break would dispatch the first
-            # racer alone (then the other N-1 as a second partial batch)
-            grace_until = deadline if self._last_gather > 1 else now
+            # racer alone (then the other N-1 as a second partial batch).
+            # From an IDLE state the hysteresis hasn't kicked in yet, so a
+            # fresh concurrent burst would hit the same race on its very
+            # first batch (measured: {"1":1,"7":7} composition at 8 clients)
+            # — a few-ms grace floor lets near-simultaneous racers register
+            # their submits, at a negligible latency cost (grace_ms of a
+            # multi-hundred-ms generation) to a truly lone client.
+            if self._last_gather > 1:
+                grace_until = deadline
+            else:
+                grace_until = now + min(self.window_ms, self.grace_ms) / 1e3
             while len(batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
+                now2 = time.monotonic()
+                remaining = deadline - now2
                 if remaining <= 0:
                     break
                 # adaptive window: only keep waiting while other submits are
                 # actually in flight (self._pending counts increment-before-
                 # put, decrement-after-completion).  A single interactive
-                # client never pays the merge window; concurrent clients
-                # still coalesce.  Short poll, not a full-window block: an
-                # in-flight submit lands within microseconds of the count.
-                if self.adaptive and time.monotonic() >= grace_until:
-                    with self._pending_lock:
-                        in_flight = self._pending
-                    if in_flight <= len(batch) and self._q.empty():
-                        break
-                    remaining = min(remaining, 0.002)
+                # client never pays more than the grace floor; concurrent
+                # clients still coalesce.  Short poll, not a full-window
+                # block: an in-flight submit lands within microseconds of
+                # the count.
+                if self.adaptive:
+                    grace_left = grace_until - now2
+                    if grace_left <= 0:
+                        with self._pending_lock:
+                            in_flight = self._pending
+                        if in_flight <= len(batch) and self._q.empty():
+                            break
+                        remaining = min(remaining, 0.002)
+                    else:
+                        # during the grace period block only until it
+                        # expires so the quiet-check runs promptly after
+                        remaining = min(remaining, grace_left)
                 try:
                     nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
@@ -259,6 +278,10 @@ class Batcher:
                     self._q.put(None)
                     break
                 batch.append(nxt)
+                # concurrency detected mid-gather: commit to the full window
+                # so the rest of the burst coalesces into this batch instead
+                # of an early quiet-check splitting it
+                grace_until = deadline
             self._last_gather = len(batch)
             # group by bucket; each group is one merged call.  Nothing here
             # may kill the singleton worker thread — a dead loop would hang

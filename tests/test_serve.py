@@ -557,6 +557,41 @@ def test_batcher_adaptive_single_client_skips_window(handler):
         b.close()
 
 
+def test_batcher_cold_burst_grace_merges_first_batch(handler):
+    """From an IDLE state (_last_gather == 1, hysteresis not yet armed), a
+    racer arriving within grace_ms must join the first request's batch —
+    without the grace floor the first racer of a fresh concurrent burst is
+    dispatched alone and the rest become a padded second batch (measured
+    {"1":1,"7":7} composition at 8 clients on TPU)."""
+    import threading
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    # grace == window == huge: the ONLY way this test finishes quickly is
+    # batch-full dispatch at max_batch=2, i.e. the second submit joined the
+    # first gather instead of the worker early-breaking on the lone item
+    b = Batcher(handler, max_batch=2, window_ms=60_000.0, grace_ms=60_000.0)
+    try:
+        results = {}
+
+        def go(seed, delay):
+            if delay:
+                threading.Event().wait(delay)
+            results[seed] = b.submit({**ARGS, "seed": seed}, f"g{seed}")
+
+        t1 = threading.Thread(target=go, args=(601, 0.0))
+        t2 = threading.Thread(target=go, args=(602, 0.05))
+        t1.start()
+        t2.start()
+        t1.join(timeout=120)
+        t2.join(timeout=120)
+        for s in (601, 602):
+            assert "error" not in results[s], results[s].get("traceback")
+            assert results[s]["batched"] == 2, results[s]
+    finally:
+        b.close()
+
+
 def test_batcher_adaptive_still_merges_queued_backlog(handler):
     """Adaptive mode must still coalesce: requests that queue up while the
     worker is busy merge into one call when it frees (gate the handler so
