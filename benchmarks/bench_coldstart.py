@@ -42,6 +42,26 @@ def ensure_checkpoint(path: str) -> None:
     del model
 
 
+def ensure_quantized(fp_dir: str, q_dir: str, mode: str) -> None:
+    """Derive the int8-on-disk variant once (io/quantize_cli) — in a CPU
+    subprocess: this process's backend is the TPU, and quantizing offline
+    must not bill a 2.2 GB tunnel round-trip to the prep step."""
+    if os.path.exists(os.path.join(q_dir, "model_index.json")):
+        return
+    import subprocess
+
+    print(f"quantizing checkpoint -> {q_dir} ({mode}) ...", flush=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "from stablediffusion_tpu.io.quantize_cli import main; "
+         f"main({[fp_dir, q_dir, '--mode', mode]!r})"],
+        check=True, env=env)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dir", default="/tmp/coldstart_sd15")
@@ -49,9 +69,18 @@ def main(argv=None):
     p.add_argument("--record", default="coldstart_sd15",
                    help="RESULTS.json key (use coldstart_sd15_warmcache for "
                         "a second run against a populated compile cache)")
+    p.add_argument("--quantize", default=None, choices=(None, "w8", "w8a8"),
+                   help="load the int8-on-disk variant (~half the transfer "
+                        "bytes; derived once next to --dir)")
     args = p.parse_args(argv)
 
     ensure_checkpoint(args.dir)
+    if args.quantize:
+        q_dir = f"{args.dir.rstrip('/')}_{args.quantize}"
+        ensure_quantized(args.dir, q_dir, args.quantize)
+        args.dir = q_dir
+        if args.record == "coldstart_sd15":
+            args.record = f"coldstart_sd15_{args.quantize}"
 
     # the serving worker enables the persistent XLA cache at startup
     # (serve/worker.py) — a representative cold start does too.  First run
@@ -116,8 +145,11 @@ def main(argv=None):
             "first_image_sec_incl_compile": round(first_image_sec, 2),
             "warm_image_sec": round(warm_image_sec, 3),
             "steps": args.steps,
-            "scope": "diffusers-layout fp16 folder -> device-resident "
-                     "SDModel -> first/warm 512² images",
+            "quantize": args.quantize,
+            "scope": "diffusers-layout "
+                     + (f"int8({args.quantize})" if args.quantize else "fp16")
+                     + " folder -> device-resident SDModel -> first/warm "
+                       "512² images",
         },
     }
     record_result(args.record, payload)

@@ -209,7 +209,16 @@ def load_component_state(folder: str, variant="fp16", dtype=None) -> dict:
 
         def prep(item):
             f, name = item
-            arr = convert_tensor(name, f.tensor(name))
+            arr = f.tensor(name)
+            if f.metadata.get("sdtpu_layout") == "canonical":
+                # pre-converted checkpoint (int8-quantized saves): already
+                # canonical layouts.  Integer tensors (weight_int8) and the
+                # fp32 dequant scales must keep their dtypes.
+                if (np_dtype is not None and arr.dtype.kind not in "iub"
+                        and not name.endswith("_scale")):
+                    arr = np.asarray(arr, dtype=np_dtype)
+                return np.ascontiguousarray(arr)
+            arr = convert_tensor(name, arr)
             # cast/contiguify in the worker thread (numpy releases the GIL)
             # so the main thread only dispatches transfers
             return np.ascontiguousarray(
@@ -252,6 +261,15 @@ def _resolve_scheduler_name(path: str, scheduler_name: Optional[str]) -> str:
         if stype:
             return _CONVERTER_SCHEDULER_NAMES.get(stype, stype)
     return "DDIM"
+
+
+def _read_quant_mode(path: str) -> Optional[str]:
+    """int8-on-disk checkpoints record their mode in model_index.json
+    (save_sd_model(quantize=...)); the loaded model is quant_frozen."""
+    idx = os.path.join(path, "model_index.json")
+    if os.path.exists(idx):
+        return _read_json(idx).get("_sdtpu_quant")
+    return None
 
 
 def load_sd_model(
@@ -298,10 +316,13 @@ def load_sd_model(
             ),
         )
 
+    qmode = _read_quant_mode(path)
     model = SDModel(
         model_type=model_type,
         unet_config=unet_cfg,
         unet_params=_load("unet"),
+        quant_mode=qmode,
+        quant_frozen=qmode is not None,
         vae_config=vae_cfg,
         vae_params=_load("vae"),
         text_encoder_config=te_cfg,
@@ -393,9 +414,12 @@ def load_sd3_model(
             ),
         )
 
+    qmode = _read_quant_mode(path)
     return SD3Model(
         transformer_config=tf_cfg,
         transformer_params=_load("transformer"),
+        quant_mode=qmode,
+        quant_frozen=qmode is not None,
         vae_config=vae_cfg,
         vae_params=_load("vae"),
         text_encoder_config=te_cfg,
@@ -416,33 +440,78 @@ def load_sd3_model(
 def _dump_component(
     path: str, sub: str, params, cfg_dict: dict,
     fname: str = "diffusion_pytorch_model", variant: Optional[str] = None,
+    canonical: bool = False, metadata: Optional[Dict[str, str]] = None,
 ) -> None:
     """Write one diffusers component folder: torch-layout safetensors +
-    config.json (shared by save_sd_model / save_sd3_model / save_controlnet)."""
+    config.json (shared by save_sd_model / save_sd3_model / save_controlnet).
+
+    canonical=True keeps the repo's canonical layouts (HWIO / (in,out)) and
+    stamps `sdtpu_layout: canonical` so load_component_state skips the torch
+    conversion — used for int8-quantized saves, which have no torch
+    ecosystem interchange anyway (scales/int8 trees are sdtpu-specific)."""
     from stablediffusion_tpu.io.safetensors_io import save_safetensors
     from stablediffusion_tpu.io.torch_convert import deconvert_tensor, flatten
 
     d = os.path.join(path, sub)
     os.makedirs(d, exist_ok=True)
     flat = {
-        k: deconvert_tensor(k, np.asarray(v)) for k, v in flatten(params).items()
+        k: np.asarray(v) if canonical else deconvert_tensor(k, np.asarray(v))
+        for k, v in flatten(params).items()
     }
+    meta = dict(metadata or {})
+    if canonical:
+        meta.setdefault("sdtpu_layout", "canonical")
     suffix = f".{variant}" if variant else ""
-    save_safetensors(flat, os.path.join(d, f"{fname}{suffix}.safetensors"))
+    save_safetensors(flat, os.path.join(d, f"{fname}{suffix}.safetensors"),
+                     metadata=meta or None)
     with open(os.path.join(d, "config.json"), "w") as f:
         json.dump(cfg_dict, f, indent=2)
 
 
-def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> None:
+def _quantized_tree(model, attr: str, mode: str, skip_keys=None):
+    """Diffusion-tower params pre-quantized for an int8-on-disk save: reuse
+    the in-memory transform if it matches, quantize fresh from fp otherwise."""
+    if model.quant_mode not in (None, mode):
+        raise ValueError(
+            f"cannot write a {mode!r} checkpoint from a model quantized as "
+            f"{model.quant_mode!r}; load fp weights or model.quantize(None)")
+    tree = getattr(model, attr)
+    if model.quant_mode == mode:
+        return tree  # already the transformed tree (post any LoRA fusion)
+    from stablediffusion_tpu.ops.quant import quantize_params
+
+    kw = {"skip_keys": skip_keys} if skip_keys is not None else {}
+    return quantize_params(tree, mode, min_size=model.quant_min_size, **kw)
+
+
+def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None,
+                  quantize: Optional[str] = None) -> None:
     """Write a diffusers-layout folder (save_pretrained analog) readable by
-    the torch ecosystem: torch layouts, per-component subfolders + configs."""
+    the torch ecosystem: torch layouts, per-component subfolders + configs.
+
+    quantize="w8"|"w8a8" writes the UNet int8-on-disk instead (canonical
+    layout + per-channel scales, ~half the bytes — disk, cold-start
+    transfer, and HBM all halve; benchmarks/bench_coldstart.py --quantize).
+    Such checkpoints load transparently (model_index records _sdtpu_quant;
+    the loaded model is quant_frozen: no further LoRA fusion)."""
     import dataclasses
     import functools
+
+    if quantize is None and model.quant_mode is not None:
+        raise ValueError(
+            "model is int8-quantized in memory; pass quantize="
+            f"{model.quant_mode!r} to write an int8 checkpoint, or "
+            "model.quantize(None) first for an fp ecosystem checkpoint")
 
     os.makedirs(path, exist_ok=True)
     dump = functools.partial(_dump_component, path, variant=variant)
 
-    dump("unet", model.unet_params, _unet_cfg_dict(model.unet_config))
+    if quantize:
+        dump("unet", _quantized_tree(model, "unet_params", quantize),
+             _unet_cfg_dict(model.unet_config), canonical=True,
+             metadata={"sdtpu_quant": quantize})
+    else:
+        dump("unet", model.unet_params, _unet_cfg_dict(model.unet_config))
     dump("vae", model.vae_params, _vae_cfg_dict(model.vae_config))
     dump(
         "text_encoder",
@@ -467,25 +536,35 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None) -> N
     # record the active scheduler by registry name so load_sd_model's auto
     # resolution round-trips it (converted checkpoints use the converter's
     # lowercase choice names; both spellings resolve)
+    index = {
+        "_class_name": "StableDiffusionXLPipeline"
+        if model.is_sdxl
+        else "StableDiffusionPipeline",
+        "_scheduler_type": model.scheduler_name,
+    }
+    if quantize:
+        index["_sdtpu_quant"] = quantize
     with open(os.path.join(path, "model_index.json"), "w") as f:
-        json.dump(
-            {
-                "_class_name": "StableDiffusionXLPipeline"
-                if model.is_sdxl
-                else "StableDiffusionPipeline",
-                "_scheduler_type": model.scheduler_name,
-            },
-            f,
-        )
+        json.dump(index, f)
 
 
-def save_sd3_model(model, path: str, variant: Optional[str] = None) -> None:
+def save_sd3_model(model, path: str, variant: Optional[str] = None,
+                   quantize: Optional[str] = None) -> None:
     """Write a diffusers-layout SD3-family folder (save_pretrained analog):
     transformer/vae/text encoders as torch-layout safetensors + configs.
     Inverse of load_sd3_model for params/configs; tokenizer files (BPE
-    vocab/merges, spiece.model) are external artifacts the caller copies."""
+    vocab/merges, spiece.model) are external artifacts the caller copies.
+
+    quantize="w8"|"w8a8" writes the MMDiT int8-on-disk (canonical layout,
+    ~half the bytes); see save_sd_model."""
     import dataclasses
     import functools
+
+    if quantize is None and model.quant_mode is not None:
+        raise ValueError(
+            "model is int8-quantized in memory; pass quantize="
+            f"{model.quant_mode!r} to write an int8 checkpoint, or "
+            "model.quantize(None) first for an fp ecosystem checkpoint")
 
     os.makedirs(path, exist_ok=True)
     dump = functools.partial(_dump_component, path, variant=variant)
@@ -493,7 +572,13 @@ def save_sd3_model(model, path: str, variant: Optional[str] = None) -> None:
     tf_cfg = dataclasses.asdict(model.transformer_config)
     tf_cfg["dual_attention_layers"] = list(tf_cfg["dual_attention_layers"])
     tf_cfg["_class_name"] = "SD3Transformer2DModel"
-    dump("transformer", model.transformer_params, tf_cfg)
+    if quantize:
+        dump("transformer",
+             _quantized_tree(model, "transformer_params", quantize,
+                             skip_keys=model._QUANT_SKIP),
+             tf_cfg, canonical=True, metadata={"sdtpu_quant": quantize})
+    else:
+        dump("transformer", model.transformer_params, tf_cfg)
     dump("vae", model.vae_params, _vae_cfg_dict(model.vae_config))
     dump(
         "text_encoder",
@@ -519,8 +604,11 @@ def save_sd3_model(model, path: str, variant: Optional[str] = None) -> None:
     os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
     with open(os.path.join(path, "scheduler", "scheduler_config.json"), "w") as f:
         json.dump(dataclasses.asdict(model.scheduler_config), f, indent=2)
+    index = {"_class_name": "StableDiffusion3Pipeline"}
+    if quantize:
+        index["_sdtpu_quant"] = quantize
     with open(os.path.join(path, "model_index.json"), "w") as f:
-        json.dump({"_class_name": "StableDiffusion3Pipeline"}, f)
+        json.dump(index, f)
 
 
 def save_controlnet(params: dict, config: UNetConfig, path: str) -> None:

@@ -1,0 +1,93 @@
+"""Offline int8 checkpoint quantizer: fp diffusers-layout folder -> int8-on-
+disk folder (~half the bytes: disk, cold-start transfer, and weight HBM).
+
+    python -m stablediffusion_tpu.io.quantize_cli SRC DST --mode w8
+
+TPU-native extension (the reference serves fp16 torch with no quantized
+path, /root/reference/pipelines/sd_unified_pipeline.py:465-523).  The
+diffusion tower (UNet / MMDiT) is stored pre-quantized in canonical layout
+with per-output-channel fp32 scales (ops/quant.py); VAE / text encoders /
+tokenizers / scheduler stay fp for ecosystem interchange.  The output loads
+transparently through load_sd_model / load_sd3_model (model_index records
+`_sdtpu_quant`; the loaded model is quant_frozen — LoRA fusion needs the fp
+original).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+
+def _copy_tokenizer_dirs(src: str, dst: str) -> None:
+    for name in os.listdir(src):
+        if name.startswith("tokenizer"):
+            s, d = os.path.join(src, name), os.path.join(dst, name)
+            if os.path.isdir(s) and not os.path.isdir(d):
+                shutil.copytree(s, d)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("src", help="fp diffusers-layout checkpoint folder")
+    p.add_argument("dst", help="output folder")
+    p.add_argument("--mode", default="w8", choices=("w8", "w8a8"),
+                   help="w8: int8 weights, bf16 MXU (memory win); w8a8: "
+                        "int8 MXU contraction too (wide-shape speed win)")
+    p.add_argument("--model_type", default=None,
+                   choices=(None, "sd15", "sdxl", "sd3"),
+                   help="default: auto-detect (transformer/ folder => sd3)")
+    p.add_argument("--min_size", type=int, default=None,
+                   help="skip params with fewer elements (default 65536)")
+    p.add_argument("--variant", default="fp16",
+                   help="weights variant to read (falls back to unsuffixed)")
+    p.add_argument("--cpu", action="store_true", default=True,
+                   help="run on CPU (default: offline quantization needs no "
+                        "accelerator; pass --no-cpu to use the default "
+                        "platform)")
+    p.add_argument("--no-cpu", dest="cpu", action="store_false")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        try:  # no-op if a backend is already initialized (in-process use)
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
+    model_type = args.model_type
+    if model_type is None:
+        model_type = ("sd3" if os.path.isdir(
+            os.path.join(args.src, "transformer")) else None)
+
+    if model_type == "sd3":
+        from stablediffusion_tpu.io.loader import load_sd3_model, save_sd3_model
+
+        model = load_sd3_model(args.src, variant=args.variant)
+        if args.min_size is not None:
+            model.quant_min_size = int(args.min_size)
+        save_sd3_model(model, args.dst, quantize=args.mode)
+    else:
+        from stablediffusion_tpu.io.loader import load_sd_model, save_sd_model
+
+        model = load_sd_model(args.src, model_type=model_type,
+                              variant=args.variant)
+        if args.min_size is not None:
+            model.quant_min_size = int(args.min_size)
+        save_sd_model(model, args.dst, quantize=args.mode)
+    _copy_tokenizer_dirs(args.src, args.dst)
+
+    def _du(d):
+        total = 0
+        for root, _, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total / 2**30
+
+    print(f"quantized ({args.mode}) {args.src} ({_du(args.src):.2f} GB) "
+          f"-> {args.dst} ({_du(args.dst):.2f} GB)")
+
+
+if __name__ == "__main__":
+    main()

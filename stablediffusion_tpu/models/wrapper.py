@@ -398,6 +398,17 @@ class SDModel:
     # from the pristine fp base (ops/quant.py: quantize AFTER LoRA fusion)
     quant_mode: Optional[str] = None
     quant_min_size: int = 65536
+    # True when loaded from an int8-on-disk checkpoint (io/loader.py
+    # save_sd_model(quantize=...)): the fp base no longer exists, so
+    # re-quantization and LoRA fusion are impossible and raise
+    quant_frozen: bool = False
+
+    def _check_not_frozen(self, op: str) -> None:
+        if self.quant_frozen:
+            raise ValueError(
+                f"{op} requires fp weights, but this model was loaded from "
+                "an int8-quantized checkpoint (no fp base on disk); load "
+                "the original fp checkpoint instead")
 
     def quantize(self, mode: Optional[str] = "w8a8",
                  min_size: Optional[int] = None) -> None:
@@ -410,6 +421,7 @@ class SDModel:
         pristine fp weights (re-fusing any active adapters).  Approximate:
         conv_in/conv_out/time-embed/norms stay fp (ops/quant.py skip list).
         """
+        self._check_not_frozen("quantize()")
         self._ensure_base()
         self.quant_mode = mode
         if min_size is not None:
@@ -443,6 +455,7 @@ class SDModel:
     def load_lora_weights(self, name: str, adapter: Dict[str, Dict[str, dict]]):
         """Register a parsed adapter ({component: {module_path: factors}})
         under `name` (load_lora_weights analog)."""
+        self._check_not_frozen("LoRA fusion")
         self._ensure_base()
         self._adapter_store[name] = adapter
 
@@ -451,6 +464,7 @@ class SDModel:
         (set_adapters analog; replaces any previous fusion)."""
         from stablediffusion_tpu.lora.core import fuse
 
+        self._check_not_frozen("LoRA fusion")
         self._ensure_base()
         unknown = [n for n in weights if n not in self._adapter_store]
         if unknown:

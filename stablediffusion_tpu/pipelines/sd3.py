@@ -68,6 +68,9 @@ class SD3Model:
     # adapter swaps, same contract as SDModel.quant_mode
     quant_mode: Optional[str] = None
     quant_min_size: int = 65536
+    # True when loaded from an int8-on-disk checkpoint (no fp base exists;
+    # re-quantization / LoRA fusion raise) — see SDModel.quant_frozen
+    quant_frozen: bool = False
 
     @property
     def scheduler(self) -> BaseScheduler:
@@ -106,7 +109,15 @@ class SD3Model:
         if self._adapter_store is None:
             self._adapter_store = {}
 
+    def _check_not_frozen(self, op: str) -> None:
+        if self.quant_frozen:
+            raise ValueError(
+                f"{op} requires fp weights, but this model was loaded from "
+                "an int8-quantized checkpoint (no fp base on disk); load "
+                "the original fp checkpoint instead")
+
     def load_lora_weights(self, name: str, adapter: dict):
+        self._check_not_frozen("LoRA fusion")
         self._ensure_base()
         self._adapter_store[name] = adapter
 
@@ -114,6 +125,7 @@ class SD3Model:
         """Re-fuse the named adapters from pristine base params (no drift)."""
         from stablediffusion_tpu.lora.core import fuse
 
+        self._check_not_frozen("LoRA fusion")
         self._ensure_base()
         unknown = [n for n in weights if n not in self._adapter_store]
         if unknown:
@@ -162,6 +174,7 @@ class SD3Model:
                  min_size: Optional[int] = None) -> None:
         """Opt-in int8 MMDiT quantization ("w8a8" | "w8" | None to revert);
         see SDModel.quantize / ops/quant.py for semantics."""
+        self._check_not_frozen("quantize()")
         self._ensure_base()
         self.quant_mode = mode
         if min_size is not None:
