@@ -108,6 +108,16 @@ def main(argv=None):
 
     import numpy as np
 
+    # First device round-trip pays a large VARIABLE backend-attach cost on
+    # the tunneled chip (70-460 s observed across fresh processes for a
+    # single 1 MB put+fetch — benchmarks/probe_load4.py; after it, puts run
+    # 57-75 MB/s).  Production TPU VMs attach locally and have no such
+    # phase, so measure it separately instead of letting it pollute
+    # load_sec.
+    t0 = time.perf_counter()
+    np.asarray(jnp.asarray(np.ones(2**19, np.float16))).ravel()[0]
+    backend_init_sec = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     model = load_sd_model(args.dir, dtype=jnp.bfloat16)
     host_load_sec = time.perf_counter() - t0
@@ -140,6 +150,7 @@ def main(argv=None):
         "value": round(load_sec + first_image_sec, 2),
         "detail": {
             "checkpoint_gb": round(size_gb, 2),
+            "backend_init_sec": round(backend_init_sec, 2),
             "load_sec": round(load_sec, 2),
             "host_load_sec": round(host_load_sec, 2),
             "first_image_sec_incl_compile": round(first_image_sec, 2),
