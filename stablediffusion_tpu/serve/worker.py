@@ -157,7 +157,15 @@ def main(argv=None):
     p.add_argument("--warmup_steps", type=int, default=25)
     p.add_argument("--warmup_size", type=int, default=None,
                    help="square warmup resolution (default: model native)")
+    p.add_argument("--warmup_only", action="store_true",
+                   help="exit after --warmup instead of serving: bake the "
+                        "persistent XLA compile cache into a serving image "
+                        "at build time (Dockerfile pattern), so cold starts "
+                        "skip the first-request compile entirely (measured: "
+                        "81.5 -> 15.2 s first image, bench_coldstart.py)")
     args = p.parse_args(argv)
+    if args.warmup_only:
+        args.warmup = True
     logging.basicConfig(level=logging.INFO)
 
     mesh = (
@@ -188,6 +196,9 @@ def main(argv=None):
             handler.warmup(
                 steps=args.warmup_steps, size=args.warmup_size, batches=batches
             )
+    if args.warmup_only:
+        logger.info("--warmup_only: compile cache populated, exiting")
+        return
 
     try:
         import runpod  # serverless platform, if present

@@ -807,6 +807,23 @@ def test_warmup_precompiles_hot_path(handler):
     assert "error" not in resp, resp.get("traceback")
 
 
+def test_worker_warmup_only_exits(handler, monkeypatch):
+    """--warmup_only warms then returns without serving (the bake-the-
+    compile-cache-into-the-image pattern)."""
+    from stablediffusion_tpu.serve import worker
+
+    called = {}
+    monkeypatch.setattr(worker, "get_handler", lambda **kw: handler)
+    monkeypatch.setattr(
+        handler, "warmup",
+        lambda **kw: called.setdefault("warmup", kw) or 1.0)
+    monkeypatch.setattr(
+        worker, "serve_http",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("served")))
+    worker.main(["--warmup_only", "--warmup_steps", "2", "--max_batch", "4"])
+    assert called["warmup"]["batches"] == (1, 2, 4)
+
+
 def test_sd3_inpaint_through_handler(sd3_handler):
     """SD3 inpaint over the serving surface: b64 image + mask decode, the
     signature filter passes mask_image through to the SD3 pipeline."""
