@@ -57,7 +57,10 @@ def test_full_finetune_moves_unet_and_saves_diffusers_layout(
     data_dir, tmp_path
 ):
     model = make_tiny_model("sd15")
-    orig = jax.tree_util.tree_map(lambda x: x, model.unet_params)
+    # materialize to host: the non-EMA train step DONATES its param buffers
+    # (4d09a4f), so device-array references taken before .train() are dead
+    # after the first step
+    orig = jax.tree_util.tree_map(lambda x: np.asarray(x), model.unet_params)
     args = _args(tmp_path)
     trained = SDLoRATrainer(model, args, data_dir).train()
     assert _l1(trained, orig) > 0.0
@@ -84,7 +87,10 @@ def test_full_finetune_moves_unet_and_saves_diffusers_layout(
 
 def test_full_finetune_with_ema_saves_ema(data_dir, tmp_path):
     model = make_tiny_model("sd15")
-    orig = jax.tree_util.tree_map(lambda x: x, model.unet_params)
+    # materialize to host: the non-EMA train step DONATES its param buffers
+    # (4d09a4f), so device-array references taken before .train() are dead
+    # after the first step
+    orig = jax.tree_util.tree_map(lambda x: np.asarray(x), model.unet_params)
     args = _args(tmp_path, use_ema=True, ema_decay=0.5)
     trained = SDLoRATrainer(model, args, data_dir).train()
     # the returned (and installed) weights are the EMA: between orig and raw
@@ -103,7 +109,10 @@ def test_full_finetune_with_ema_saves_ema(data_dir, tmp_path):
 
 def test_full_finetune_with_8bit_adam(data_dir, tmp_path):
     model = make_tiny_model("sd15")
-    orig = jax.tree_util.tree_map(lambda x: x, model.unet_params)
+    # materialize to host: the non-EMA train step DONATES its param buffers
+    # (4d09a4f), so device-array references taken before .train() are dead
+    # after the first step
+    orig = jax.tree_util.tree_map(lambda x: np.asarray(x), model.unet_params)
     args = _args(tmp_path, use_8bit_adam=True,
                  output_dir=str(tmp_path / "o8"))
     trained = SDLoRATrainer(model, args, data_dir).train()
