@@ -30,14 +30,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def ensure_checkpoint(path: str) -> None:
+def ensure_checkpoint(path: str, model_type: str = "sd15") -> None:
     if os.path.exists(os.path.join(path, "model_index.json")):
         return
     from stablediffusion_tpu.io.loader import save_sd_model
     from stablediffusion_tpu.utils.testing import random_full_model
 
-    print("building random full-size SD1.5 checkpoint ...", flush=True)
-    model = random_full_model("sd15")
+    print(f"building random full-size {model_type} checkpoint ...", flush=True)
+    model = random_full_model(model_type)
     save_sd_model(model, path, variant="fp16")
     del model
 
@@ -64,23 +64,34 @@ def ensure_quantized(fp_dir: str, q_dir: str, mode: str) -> None:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--dir", default="/tmp/coldstart_sd15")
+    p.add_argument("--model", default="sd15", choices=("sd15", "sdxl"))
+    p.add_argument("--dir", default=None,
+                   help="checkpoint folder (default /tmp/coldstart_<model>)")
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--record", default="coldstart_sd15",
-                   help="RESULTS.json key (use coldstart_sd15_warmcache for "
-                        "a second run against a populated compile cache)")
+    p.add_argument("--size", type=int, default=None,
+                   help="square output (default: model native 512/1024)")
+    p.add_argument("--record", default=None,
+                   help="RESULTS.json key (default coldstart_<model>; use "
+                        "..._warmcache for a second run against a populated "
+                        "compile cache)")
     p.add_argument("--quantize", default=None, choices=(None, "w8", "w8a8"),
                    help="load the int8-on-disk variant (~half the transfer "
                         "bytes; derived once next to --dir)")
     args = p.parse_args(argv)
+    if args.dir is None:
+        args.dir = f"/tmp/coldstart_{args.model}"
+    if args.record is None:
+        args.record = f"coldstart_{args.model}"
+    if args.size is None:
+        args.size = 512 if args.model == "sd15" else 1024
 
-    ensure_checkpoint(args.dir)
+    ensure_checkpoint(args.dir, args.model)
     if args.quantize:
         q_dir = f"{args.dir.rstrip('/')}_{args.quantize}"
         ensure_quantized(args.dir, q_dir, args.quantize)
         args.dir = q_dir
-        if args.record == "coldstart_sd15":
-            args.record = f"coldstart_sd15_{args.quantize}"
+        if args.record == f"coldstart_{args.model}":
+            args.record = f"coldstart_{args.model}_{args.quantize}"
 
     # the serving worker enables the persistent XLA cache at startup
     # (serve/worker.py) — a representative cold start does too.  First run
@@ -133,7 +144,8 @@ def main(argv=None):
 
     pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
     req = dict(prompt="a photograph of an astronaut riding a horse",
-               height=512, width=512, num_inference_steps=args.steps,
+               height=args.size, width=args.size,
+               num_inference_steps=args.steps,
                guidance_scale=7.5, seed=0, output_type="uint8")
     t1 = time.perf_counter()
     out = pipe(model, **req)
@@ -143,9 +155,10 @@ def main(argv=None):
     pipe(model, **req)
     warm_image_sec = time.perf_counter() - t2
 
+    prefix = f"coldstart_{args.model}"
     payload = {
-        "metric": args.record.replace("coldstart_sd15", "coldstart_sd15_512px", 1)
-        if args.record.startswith("coldstart_sd15") else args.record,
+        "metric": args.record.replace(prefix, f"{prefix}_{args.size}px", 1)
+        if args.record.startswith(prefix) else args.record,
         "unit": "sec",
         "value": round(load_sec + first_image_sec, 2),
         "detail": {
@@ -160,7 +173,7 @@ def main(argv=None):
             "scope": "diffusers-layout "
                      + (f"int8({args.quantize})" if args.quantize else "fp16")
                      + " folder -> device-resident SDModel -> first/warm "
-                       "512² images",
+                       f"{args.size}² images",
         },
     }
     record_result(args.record, payload)
