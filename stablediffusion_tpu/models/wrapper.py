@@ -525,6 +525,10 @@ class SDModel:
 
         from stablediffusion_tpu.lora.formats import load_lora_file
 
+        # fail with the real reason before touching the filesystem: a
+        # quantized-on-disk base can never fuse, whatever files exist
+        self._check_not_frozen("LoRA fusion")
+
         if isinstance(loras, str):
             loras = {loras: 1.0}
         elif isinstance(loras, (list, tuple)):

@@ -220,6 +220,10 @@ class SD3Model:
 
         from stablediffusion_tpu.lora.formats import load_lora_file
 
+        # fail with the real reason before touching the filesystem (see
+        # SDModel.load_loras)
+        self._check_not_frozen("LoRA fusion")
+
         if isinstance(loras, str):
             loras = {loras: 1.0}
         elif isinstance(loras, (list, tuple)):

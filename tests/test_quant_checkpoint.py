@@ -154,3 +154,34 @@ def test_sd3_quantized_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-5)
     with pytest.raises(ValueError, match="int8-quantized checkpoint"):
         loaded.load_lora_weights("a", {"transformer": {}})
+
+
+def test_int8_checkpoint_through_serving(tmp_path):
+    """int8-on-disk checkpoint hot-loads transparently through the serving
+    handler (model dir registry convention), generates, and surfaces the
+    LoRA-on-frozen-base error through the request error channel."""
+    from stablediffusion_tpu.serve.handler import Handler
+
+    src = make_tiny_model("sd15")
+    src.quant_min_size = 1
+    d = str(tmp_path / "sd15_TinyW8")
+    save_sd_model(src, d, quantize="w8")
+    _write_tokenizer_files(os.path.join(d, "tokenizer"))
+
+    h = Handler(model_dir=str(tmp_path))
+    req = dict(prompt="a cat", height=32, width=32, num_inference_steps=2,
+               seed=5, model={"type": "sd15", "name": "TinyW8"})
+    resp = h(req, "req-q1")
+    assert "error" not in resp, resp.get("traceback")
+    assert h.model.quant_frozen and h.model.quant_mode == "w8"
+
+    # same-mode quantize request: no-op, still serves
+    resp = h({**req, "model": {"type": "sd15", "name": "TinyW8",
+                               "quantize": "w8"}}, "req-q2")
+    assert "error" not in resp, resp.get("traceback")
+
+    # LoRA fusion on the frozen base is a request error, not a crash
+    resp = h({**req, "model": {"type": "sd15", "name": "TinyW8",
+                               "loras": {"x": 1.0}}}, "req-q3")
+    assert "error" in resp
+    assert "int8-quantized checkpoint" in resp["error"]
