@@ -141,6 +141,7 @@ def quantize_params(
     min_size: int = 65536,
     skip_keys: tuple = ("norm", "time_emb", "label_emb", "conv_in",
                         "conv_out", "pos_embed"),
+    a8_min_out: int = 0,
 ) -> Any:
     """Transform a params pytree: every {"weight": ...} dict whose weight is
     a 2-D (in, out) linear or 4-D HWIO conv with >= min_size elements is
@@ -150,7 +151,14 @@ def quantize_params(
     left untouched — norms (their affine params are not matmuls), the
     time/label embedding MLPs (tiny, numerically sensitive), and the pixel
     boundary convs conv_in/conv_out (first/last-layer quantization is the
-    classic quality cliff in W8A8 diffusion literature)."""
+    classic quality cliff in W8A8 diffusion literature).
+
+    `a8_min_out` (mode="w8a8" only): layers with fewer output channels fall
+    back to weight-only w8.  The int8-MXU path only beats bf16 on wide-N
+    shapes (RESULTS.json["int8_mxu"]: K1280->N10240 +20%, small-K/N
+    neutral-to-worse), so a mixed tree captures the wide-layer win without
+    paying activation-quant error/overhead on narrow layers.  The mode
+    lives per-leaf in tree structure, so mixing is free at dispatch."""
     if mode not in ("w8", "w8a8"):
         raise ValueError(f"unknown quant mode {mode!r}")
 
@@ -169,7 +177,10 @@ def quantize_params(
             out = {k: v for k, v in node.items() if k != "weight"}
             wq, scale = quantize_weight(w, axes)
             out["weight_int8"] = wq
-            out[f"{mode}_scale"] = scale
+            leaf_mode = mode
+            if mode == "w8a8" and w.shape[-1] < a8_min_out:
+                leaf_mode = "w8"
+            out[f"{leaf_mode}_scale"] = scale
             return out
         if isinstance(node, dict):
             return {k: walk(v, path + [str(k)]) for k, v in node.items()}

@@ -317,3 +317,31 @@ def test_quantized_tree_tp_sharding_matches(mode, atol):
     b = unet.apply(sharded, m.unet_config, lat, jnp.asarray(500), ctx)
     np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(b, np.float32), atol=atol)
+
+
+def test_quantize_params_a8_min_out_mixes_modes():
+    """a8_min_out: wide-output layers get the int8-MXU (w8a8) structure,
+    narrow ones fall back to weight-only (w8) — per-leaf, one tree."""
+    rng = np.random.default_rng(9)
+
+    def wdict(shape):
+        return {"weight": jnp.asarray(rng.standard_normal(shape) * 0.1,
+                                      jnp.float32)}
+
+    params = {
+        "wide": wdict((64, 256)),
+        "narrow": wdict((64, 64)),
+        "conv_wide": wdict((3, 3, 8, 256)),
+        "conv_narrow": wdict((3, 3, 8, 64)),
+    }
+    q = quantize_params({"m": params}, "w8a8", min_size=1, a8_min_out=128)["m"]
+    assert "w8a8_scale" in q["wide"] and "w8a8_scale" in q["conv_wide"]
+    assert "w8_scale" in q["narrow"] and "w8_scale" in q["conv_narrow"]
+    # the mixed tree runs through the autodetecting ops under jit
+    y = jax.jit(lambda t, x: basic.linear(t["narrow"],
+                                          basic.linear(t["wide"], x)[..., :64]))(
+        q, jnp.ones((2, 64), jnp.float32))
+    assert np.isfinite(np.asarray(y)).all()
+    # w8 everywhere when mode is w8 regardless of a8_min_out
+    q2 = quantize_params({"m": params}, "w8", min_size=1, a8_min_out=128)["m"]
+    assert "w8_scale" in q2["wide"]
