@@ -74,9 +74,10 @@ def main(argv=None):
                    help="RESULTS.json key (default coldstart_<model>; use "
                         "..._warmcache for a second run against a populated "
                         "compile cache)")
-    p.add_argument("--quantize", default=None, choices=(None, "w8", "w8a8"),
-                   help="load the int8-on-disk variant (~half the transfer "
-                        "bytes; derived once next to --dir)")
+    p.add_argument("--quantize", default=None,
+                   help="load the int8-on-disk variant: w8 | w8a8 | w8a8:N "
+                        "(~half the transfer bytes; derived once next to "
+                        "--dir)")
     args = p.parse_args(argv)
     if args.dir is None:
         args.dir = f"/tmp/coldstart_{args.model}"

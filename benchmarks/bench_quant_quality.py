@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = (None, "w8", "w8a8")
+MODES = (None, "w8", "w8a8", "w8a8:2048")  # last = mixed (wide-N int8 MXU)
 
 
 def _psnr(mse: float) -> float:

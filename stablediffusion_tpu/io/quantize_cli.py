@@ -32,9 +32,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("src", help="fp diffusers-layout checkpoint folder")
     p.add_argument("dst", help="output folder")
-    p.add_argument("--mode", default="w8", choices=("w8", "w8a8"),
+    p.add_argument("--mode", default="w8",
                    help="w8: int8 weights, bf16 MXU (memory win); w8a8: "
-                        "int8 MXU contraction too (wide-shape speed win)")
+                        "int8 MXU contraction everywhere; w8a8:N (mixed): "
+                        "int8 MXU only for layers with >= N output channels "
+                        "— w8a8:2048 measured 1.11x fp on SDXL batch-1 "
+                        "denoise vs 0.66x for full w8a8")
     p.add_argument("--model_type", default=None,
                    choices=(None, "sd15", "sdxl", "sd3"),
                    help="default: auto-detect (transformer/ folder => sd3)")

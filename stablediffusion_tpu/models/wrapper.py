@@ -417,9 +417,13 @@ class SDModel:
         /root/reference/pipelines/sd_unified_pipeline.py:465-523).
 
         "w8a8" contracts the big matmuls/convs on the doubled-rate int8
-        MXU path; "w8" halves weight HBM reads only.  None reverts to the
-        pristine fp weights (re-fusing any active adapters).  Approximate:
-        conv_in/conv_out/time-embed/norms stay fp (ops/quant.py skip list).
+        MXU path; "w8" halves weight HBM reads only; "w8a8:N" (mixed) uses
+        the int8 MXU only for layers with >= N output channels — the regime
+        where it actually wins ("w8a8:2048" measured 1.11x fp on the SDXL
+        batch-1 denoise vs 0.66x for full w8a8, bench_int8_mixed.py).  None
+        reverts to the pristine fp weights (re-fusing any active adapters).
+        Approximate: conv_in/conv_out/time-embed/norms stay fp (ops/quant.py
+        skip list).
         """
         self._check_not_frozen("quantize()")
         self._ensure_base()

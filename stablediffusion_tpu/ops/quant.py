@@ -158,7 +158,16 @@ def quantize_params(
     shapes (RESULTS.json["int8_mxu"]: K1280->N10240 +20%, small-K/N
     neutral-to-worse), so a mixed tree captures the wide-layer win without
     paying activation-quant error/overhead on narrow layers.  The mode
-    lives per-leaf in tree structure, so mixing is free at dispatch."""
+    lives per-leaf in tree structure, so mixing is free at dispatch.
+    Measured on the real SDXL B=1 1024² denoise (bench_int8_mixed.py):
+    full w8a8 0.66x fp, "w8a8:2048" (ff.in projections only) **1.11x fp**.
+
+    `mode` may carry the threshold inline as "w8a8:N" — the spelling used
+    by SDModel.quantize / the serving `model.quantize` key / the int8
+    checkpoint metadata."""
+    if ":" in mode:
+        mode, _, thr = mode.partition(":")
+        a8_min_out = max(int(a8_min_out), int(thr))
     if mode not in ("w8", "w8a8"):
         raise ValueError(f"unknown quant mode {mode!r}")
 

@@ -172,8 +172,8 @@ class SD3Model:
 
     def quantize(self, mode: Optional[str] = "w8a8",
                  min_size: Optional[int] = None) -> None:
-        """Opt-in int8 MMDiT quantization ("w8a8" | "w8" | None to revert);
-        see SDModel.quantize / ops/quant.py for semantics."""
+        """Opt-in int8 MMDiT quantization ("w8a8" | "w8" | "w8a8:N" mixed |
+        None to revert); see SDModel.quantize / ops/quant.py for semantics."""
         self._check_not_frozen("quantize()")
         self._ensure_base()
         self.quant_mode = mode

@@ -237,8 +237,9 @@ class Handler:
             else:
                 self.model.unload_ip_adapter()
         if "quantize" in model_cfg:
-            # opt-in int8 UNet ("w8a8" | "w8" | null to revert); declarative
-            # like the other keys — idempotent when unchanged
+            # opt-in int8 UNet ("w8a8" | "w8" | "w8a8:N" mixed | null to
+            # revert); declarative like the other keys — idempotent when
+            # unchanged
             q = model_cfg["quantize"] or None
             if not hasattr(self.model, "quantize"):
                 if q:
@@ -247,7 +248,8 @@ class Handler:
                         f"{getattr(self.model, 'model_type', '?')!r}"
                     )
             elif q != self.model.quant_mode:
-                if q not in (None, "w8", "w8a8"):
+                base = str(q).partition(":")[0] if q else None
+                if base not in (None, "w8", "w8a8"):
                     raise ValueError(f"unknown quantize mode {q!r}")
                 self.model.quantize(q)
 

@@ -185,3 +185,40 @@ def test_int8_checkpoint_through_serving(tmp_path):
                                "loras": {"x": 1.0}}}, "req-q3")
     assert "error" in resp
     assert "int8-quantized checkpoint" in resp["error"]
+
+
+def test_mixed_mode_string_roundtrip(tmp_path):
+    """"w8a8:N" (mixed wide-N int8-MXU) flows through quantize -> save ->
+    load -> serving idempotency as one mode string."""
+    src = make_tiny_model("sd15")
+    src.quant_min_size = 1
+    src.quantize("w8a8:100000")  # absurd threshold -> every leaf falls to w8
+    assert _leaf_count(src.unet_params, "w8_scale") > 0
+    assert _leaf_count(src.unet_params, "w8a8_scale") == 0
+    src.quantize("w8a8:32")  # most tiny widths >= 16 -> some w8a8 leaves
+    assert _leaf_count(src.unet_params, "w8a8_scale") > 0
+    src.quantize(None)
+
+    d = str(tmp_path / "mixed")
+    save_sd_model(src, d, quantize="w8a8:32")
+    _write_tokenizer_files(os.path.join(d, "tokenizer"))
+    loaded = load_sd_model(d, variant=None)
+    assert loaded.quant_mode == "w8a8:32" and loaded.quant_frozen
+    assert _leaf_count(loaded.unet_params, "w8a8_scale") > 0
+    assert _leaf_count(loaded.unet_params, "w8_scale") > 0
+
+    out = StableDiffusionUnifiedPipeline()(
+        loaded, prompt="x", height=32, width=32, num_inference_steps=2,
+        seed=2)
+    assert np.isfinite(out.images).all()
+
+    # serving: same mode string is a no-op, unknown base rejected
+    from stablediffusion_tpu.serve.handler import Handler
+
+    h = Handler(model=loaded)
+    resp = h(dict(prompt="x", height=32, width=32, num_inference_steps=2,
+                  seed=1, model={"quantize": "w8a8:32"}), "req-m1")
+    assert "error" not in resp, resp.get("traceback")
+    resp = h(dict(prompt="x", height=32, width=32, num_inference_steps=2,
+                  model={"quantize": "int4:16"}), "req-m2")
+    assert "error" in resp and "unknown quantize mode" in resp["error"]
