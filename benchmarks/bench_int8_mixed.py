@@ -25,11 +25,22 @@ STEPS = 4
 ITERS = 8  # 8 x 4-step scans per timing sample; 3 samples, min
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sdxl", choices=("sd15", "sdxl"))
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
-    from stablediffusion_tpu.core.config import SDXL_UNET, SchedulerConfig
+    from stablediffusion_tpu.core.config import (
+        SD15_UNET,
+        SDXL_UNET,
+        SchedulerConfig,
+    )
     from stablediffusion_tpu.models import unet
     from stablediffusion_tpu.ops.quant import quantize_params
     from stablediffusion_tpu.pipelines.unified import _denoise
@@ -38,20 +49,27 @@ def main():
     from stablediffusion_tpu.utils.testing import random_model_params
 
     dt = jnp.bfloat16
-    B = 1
-    fp = random_model_params(unet.init_params, SDXL_UNET, dtype=dt)
+    B = args.batch
+    sdxl = args.model == "sdxl"
+    cfgobj = SDXL_UNET if sdxl else SD15_UNET
+    lat_hw = 128 if sdxl else 64
+    ctx_dim = 2048 if sdxl else 768
+    fp = random_model_params(unet.init_params, cfgobj, dtype=dt)
     scheduler = make_scheduler("DDIM", SchedulerConfig())
     plan = scheduler.plan(STEPS)
-    latents = jax.random.normal(jax.random.key(0), (B, 128, 128, 4), dt)
-    embeds = jax.random.normal(jax.random.key(1), (2 * B, 77, 2048), dt)
-    added = {
-        "text_embeds": jax.random.normal(jax.random.key(3), (2 * B, 1280), dt),
-        "time_ids": jnp.tile(
-            jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32),
-            (2 * B, 1)),
-    }
+    latents = jax.random.normal(jax.random.key(0), (B, lat_hw, lat_hw, 4), dt)
+    embeds = jax.random.normal(jax.random.key(1), (2 * B, 77, ctx_dim), dt)
+    added = None
+    if sdxl:
+        added = {
+            "text_embeds": jax.random.normal(
+                jax.random.key(3), (2 * B, 1280), dt),
+            "time_ids": jnp.tile(
+                jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32),
+                (2 * B, 1)),
+        }
     keys = jax.random.split(jax.random.key(2), STEPS)
-    kw = dict(unet_config=SDXL_UNET, scheduler=scheduler, do_cfg=True,
+    kw = dict(unet_config=cfgobj, scheduler=scheduler, do_cfg=True,
               inpaint_mode="none", use_rescale=False)
 
     def run(params, lat):
@@ -88,13 +106,15 @@ def main():
     for name, row in rows.items():
         row["vs_fp"] = round(base / row["ms_per_step"], 4)
 
+    px = lat_hw * 8
     payload = {
-        "metric": "int8_mixed_sdxl_b1_denoise",
-        "unit": "ms/step (B=1 1024², 4-step scan, min of 3x8 iters)",
+        "metric": f"int8_mixed_{args.model}_b{B}_denoise",
+        "unit": f"ms/step (B={B} {px}², 4-step scan, min of 3x8 iters)",
         "value": rows["mixed_a8min2048"]["ms_per_step"],
         "detail": rows,
     }
-    record_result("int8_mixed_sdxl", payload)
+    record_result(f"int8_mixed_{args.model}" + (f"_b{B}" if B != 1 else ""),
+                  payload)
     print(json.dumps(payload))
 
 
