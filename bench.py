@@ -28,6 +28,7 @@ baseline constant is the commonly reported ~2.0 images/sec for batched SD1.5
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_BASELINE_IMG_PER_SEC = 2.0
@@ -58,6 +59,14 @@ def build(batch: int):
 
     dtype = jnp.bfloat16
     unet_params = random_model_params(unet.init_params, SD15_UNET, dtype=dtype)
+    # opt-in approximate variant (SDTPU_BENCH_QUANTIZE=w8a8|w8|w8a8:N):
+    # quantized UNet through the same measured span — the headline driver
+    # run never sets this, so the default metric stays exact fp
+    qmode = os.environ.get("SDTPU_BENCH_QUANTIZE")
+    if qmode:
+        from stablediffusion_tpu.ops.quant import quantize_params
+
+        unet_params = quantize_params(unet_params, qmode)
     # bf16 decode: TPU-native policy (bf16 carries fp32's exponent range, so
     # diffusers' fp16-overflow force_upcast rationale doesn't apply; ~2x
     # faster than the fp32 decode on v5e, see pipelines/unified._vae_decode)
@@ -200,15 +209,22 @@ def main():
     # tokenization, <1 ms, is outside the measured program); vs_baseline
     # divides by the self-chosen 2.0 img/s A100 fp16 estimate (BASELINE.md)
     detail["scope"] = "clip_encode+denoise+vae_decode; host tokenize excluded; vae bf16"
+    qmode = os.environ.get("SDTPU_BENCH_QUANTIZE")
+    metric = "sd15_512px_20step_images_per_sec_per_chip"
+    record_key = "sd15_txt2img"
+    if qmode:
+        detail["scope"] += f"; int8 UNet ({qmode}, approximate opt-in)"
+        metric += f"_int8_{qmode}"
+        record_key += "_int8"
     payload = {
-        "metric": "sd15_512px_20step_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(best_ips, 4),
         "unit": "images/sec",
         "vs_baseline": round(best_ips / A100_BASELINE_IMG_PER_SEC, 4),
         "detail": detail,
     }
     try:
-        record_result("sd15_txt2img", payload)
+        record_result(record_key, payload)
     except Exception:
         pass  # the one JSON line below is the driver contract
     print(json.dumps(payload))

@@ -468,6 +468,16 @@ def _dump_component(
         json.dump(cfg_dict, f, indent=2)
 
 
+def _check_fp_save(model, quantize) -> None:
+    """Shared save_sd_model/save_sd3_model guard: an fp ecosystem save of an
+    in-memory-quantized model would silently mix layouts."""
+    if quantize is None and model.quant_mode is not None:
+        raise ValueError(
+            "model is int8-quantized in memory; pass quantize="
+            f"{model.quant_mode!r} to write an int8 checkpoint, or "
+            "model.quantize(None) first for an fp ecosystem checkpoint")
+
+
 def _quantized_tree(model, attr: str, mode: str, skip_keys=None):
     """Diffusion-tower params pre-quantized for an int8-on-disk save: reuse
     the in-memory transform if it matches, quantize fresh from fp otherwise."""
@@ -497,12 +507,7 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None,
     import dataclasses
     import functools
 
-    if quantize is None and model.quant_mode is not None:
-        raise ValueError(
-            "model is int8-quantized in memory; pass quantize="
-            f"{model.quant_mode!r} to write an int8 checkpoint, or "
-            "model.quantize(None) first for an fp ecosystem checkpoint")
-
+    _check_fp_save(model, quantize)
     os.makedirs(path, exist_ok=True)
     dump = functools.partial(_dump_component, path, variant=variant)
 
@@ -560,12 +565,7 @@ def save_sd3_model(model, path: str, variant: Optional[str] = None,
     import dataclasses
     import functools
 
-    if quantize is None and model.quant_mode is not None:
-        raise ValueError(
-            "model is int8-quantized in memory; pass quantize="
-            f"{model.quant_mode!r} to write an int8 checkpoint, or "
-            "model.quantize(None) first for an fp ecosystem checkpoint")
-
+    _check_fp_save(model, quantize)
     os.makedirs(path, exist_ok=True)
     dump = functools.partial(_dump_component, path, variant=variant)
 

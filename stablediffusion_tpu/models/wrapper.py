@@ -425,7 +425,10 @@ class SDModel:
         Approximate: conv_in/conv_out/time-embed/norms stay fp (ops/quant.py
         skip list).
         """
+        from stablediffusion_tpu.ops.quant import validate_quant_mode
+
         self._check_not_frozen("quantize()")
+        validate_quant_mode(mode)  # before any state mutation
         self._ensure_base()
         self.quant_mode = mode
         if min_size is not None:

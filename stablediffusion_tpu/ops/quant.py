@@ -130,6 +130,19 @@ def int8_conv2d(
     return y
 
 
+def validate_quant_mode(mode) -> None:
+    """Raise on an unknown mode string ("w8" | "w8a8" | "w8a8:N" | None).
+
+    Callers that persist the mode (SDModel/SD3Model.quantize, the serving
+    handler) validate BEFORE mutating state, so a bad request can't leave a
+    poisoned quant_mode behind a fp tree."""
+    if mode is None:
+        return
+    base, _, thr = str(mode).partition(":")
+    if base not in ("w8", "w8a8") or (thr and not thr.isdigit()):
+        raise ValueError(f"unknown quant mode {mode!r}")
+
+
 def _is_weight_leafdict(d: Any) -> bool:
     return isinstance(d, dict) and "weight" in d and hasattr(
         d["weight"], "ndim")

@@ -174,7 +174,10 @@ class SD3Model:
                  min_size: Optional[int] = None) -> None:
         """Opt-in int8 MMDiT quantization ("w8a8" | "w8" | "w8a8:N" mixed |
         None to revert); see SDModel.quantize / ops/quant.py for semantics."""
+        from stablediffusion_tpu.ops.quant import validate_quant_mode
+
         self._check_not_frozen("quantize()")
+        validate_quant_mode(mode)  # before any state mutation
         self._ensure_base()
         self.quant_mode = mode
         if min_size is not None:

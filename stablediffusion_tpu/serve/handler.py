@@ -248,9 +248,9 @@ class Handler:
                         f"{getattr(self.model, 'model_type', '?')!r}"
                     )
             elif q != self.model.quant_mode:
-                base = str(q).partition(":")[0] if q else None
-                if base not in (None, "w8", "w8a8"):
-                    raise ValueError(f"unknown quantize mode {q!r}")
+                # model.quantize validates the mode string BEFORE mutating
+                # state (ops/quant.validate_quant_mode), so a bad request
+                # surfaces as a clean error with the model untouched
                 self.model.quantize(q)
 
     # -- entry ----------------------------------------------------------------

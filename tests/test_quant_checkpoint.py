@@ -32,16 +32,7 @@ def _folder_bytes(d):
     return total
 
 
-def _leaf_count(tree, key):
-    n = 0
-    if isinstance(tree, dict):
-        n += int(key in tree)
-        for v in tree.values():
-            n += _leaf_count(v, key)
-    elif isinstance(tree, (list, tuple)):
-        for v in tree:
-            n += _leaf_count(v, key)
-    return n
+from test_quant import _leaf_count  # noqa: E402
 
 
 @pytest.mark.parametrize("mode", ["w8", "w8a8"])
@@ -219,6 +210,13 @@ def test_mixed_mode_string_roundtrip(tmp_path):
     resp = h(dict(prompt="x", height=32, width=32, num_inference_steps=2,
                   seed=1, model={"quantize": "w8a8:32"}), "req-m1")
     assert "error" not in resp, resp.get("traceback")
+    # frozen base: any re-quantization request is refused with that reason
     resp = h(dict(prompt="x", height=32, width=32, num_inference_steps=2,
                   model={"quantize": "int4:16"}), "req-m2")
-    assert "error" in resp and "unknown quantize mode" in resp["error"]
+    assert "error" in resp and "int8-quantized checkpoint" in resp["error"]
+    # non-frozen model: a bad mode string is rejected BEFORE mutating state
+    h2 = Handler(model=make_tiny_model("sd15"))
+    resp = h2(dict(prompt="x", height=32, width=32, num_inference_steps=2,
+                   model={"quantize": "int4:16"}), "req-m3")
+    assert "error" in resp and "unknown quant mode" in resp["error"]
+    assert h2.model.quant_mode is None  # state untouched by the bad request
