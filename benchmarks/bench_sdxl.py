@@ -5,6 +5,7 @@ full-size SDXL UNet (random bf16 weights; identical FLOPs/traffic to real).
 """
 
 import json
+import os
 import time
 
 STEPS = 30
@@ -32,6 +33,14 @@ def main():
     dt = jnp.bfloat16
     B = 1
     unet_params = random_model_params(unet.init_params, SDXL_UNET, dtype=dt)
+    # opt-in approximate variant (SDTPU_BENCH_QUANTIZE=w8a8:2048 is the
+    # batch-1 winner: 1.11x fp denoise, bench_int8_mixed.py); the default
+    # run stays exact fp
+    qmode = os.environ.get("SDTPU_BENCH_QUANTIZE")
+    if qmode:
+        from stablediffusion_tpu.ops.quant import quantize_params
+
+        unet_params = quantize_params(unet_params, qmode)
     vae_params = random_model_params(vae.init_params, SDXL_VAE, dtype=jnp.float32)
 
     scheduler = make_scheduler("euler", SchedulerConfig())
@@ -74,8 +83,13 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
+    metric = "sdxl_1024px_30step_p50_latency"
+    record_key = "sdxl_txt2img_p50"
+    if qmode:
+        metric += f"_int8_{qmode}"
+        record_key += "_int8"
     payload = {
-        "metric": "sdxl_1024px_30step_p50_latency",
+        "metric": metric,
         "value": round(p50, 3),
         "unit": "sec/image",
         "detail": {
@@ -83,7 +97,7 @@ def main():
             **flops_fields(flops, p50, per=B),
         },
     }
-    record_result("sdxl_txt2img_p50", payload)
+    record_result(record_key, payload)
     print(json.dumps(payload))
 
 
