@@ -3,6 +3,7 @@ scan + fp32 VAE decode, batch 1, random bf16 weights — identical
 FLOPs/traffic to real weights; text encoding excluded, as in bench.py)."""
 
 import json
+import os
 import time
 
 STEPS = 28
@@ -30,6 +31,14 @@ def main():
     dt = jnp.bfloat16
     B = 1
     tf_params = random_model_params(mmdit.init_params, SD3_MEDIUM, dtype=dt)
+    # opt-in approximate int8 variant (same toggle as bench.py/bench_sdxl)
+    qmode = os.environ.get("SDTPU_BENCH_QUANTIZE")
+    if qmode:
+        from stablediffusion_tpu.ops.quant import quantize_params
+        from stablediffusion_tpu.pipelines.sd3 import SD3Model
+
+        tf_params = quantize_params(tf_params, qmode,
+                                    skip_keys=SD3Model._QUANT_SKIP)
     vae_params = random_model_params(vae.init_params, SD3_VAE, dtype=jnp.float32)
 
     scheduler = FlowMatchEulerScheduler(SchedulerConfig(shift=3.0))
@@ -64,7 +73,8 @@ def main():
     times.sort()
     p50 = times[len(times) // 2]
     payload = {
-        "metric": "sd3m_1024px_28step_p50_latency",
+        "metric": "sd3m_1024px_28step_p50_latency"
+        + (f"_int8_{qmode}" if qmode else ""),
         "value": round(p50, 3),
         "unit": "sec/image",
         "detail": {
@@ -72,7 +82,7 @@ def main():
             **flops_fields(flops, p50, per=B),
         },
     }
-    record_result("sd3m_txt2img_p50", payload)
+    record_result("sd3m_txt2img_p50" + ("_int8" if qmode else ""), payload)
     print(json.dumps(payload))
 
 
