@@ -908,3 +908,22 @@ def test_tp_placement_survives_lora_fuse():
     w = model.unet_params["down_blocks"]["0"]["attentions"]["0"][
         "transformer_blocks"]["0"]["attn1"]["to_q"]["weight"]
     assert not w.sharding.is_fully_replicated
+
+
+def test_worker_startup_quantize(handler, monkeypatch):
+    """--quantize applies the int8 mode to the preloaded model before
+    warmup (so the warmed programs are the quantized ones) and before
+    serving."""
+    from stablediffusion_tpu.serve import worker
+
+    order = []
+    monkeypatch.setattr(worker, "get_handler", lambda **kw: handler)
+    monkeypatch.setattr(
+        handler, "warmup",
+        lambda **kw: order.append(("warmup", handler.model.quant_mode)) or 1.0)
+    handler.model.quant_min_size = 1
+    # no --model_name: the fixture handler already has a model preloaded
+    worker.main(["--warmup_only", "--quantize", "w8a8:32"])
+    assert handler.model.quant_mode == "w8a8:32"
+    assert order and order[0] == ("warmup", "w8a8:32")
+    handler.model.quantize(None)  # restore the shared fixture
