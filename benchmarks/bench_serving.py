@@ -115,6 +115,10 @@ def main(argv=None):
                    help="requests per client")
     p.add_argument("--clients", type=int, nargs="+", default=[1, 8, 32])
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--quantize", default=None,
+                   help="int8 mode applied to the model before serving "
+                        "(w8 | w8a8 | w8a8:N) — the serve worker's "
+                        "--quantize flag, measured under load")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -130,6 +134,8 @@ def main(argv=None):
     from stablediffusion_tpu.utils.bench_utils import record_result
 
     model, size, steps = _make_model(args.tiny)
+    if args.quantize:
+        model.quantize(args.quantize)
     worker.HANDLER = Handler(model=model)
     worker.BATCHER = Batcher(worker.HANDLER, max_batch=args.max_batch,
                              window_ms=25.0)
@@ -156,6 +162,8 @@ def main(argv=None):
         print(json.dumps({f"clients{n}": row}), flush=True)
 
     mode = "tiny_cpu_overhead" if args.tiny else "sd15_512px_tpu"
+    if args.quantize:
+        mode += f"_int8_{args.quantize}"
     payload = {
         "metric": "serving_under_load",
         "unit": "sec (client latency)",
