@@ -30,15 +30,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def ensure_checkpoint(path: str, model_type: str = "sd15") -> None:
+def ensure_checkpoint(path: str, model_type: str = "sd15",
+                      with_t5: bool = False) -> None:
     if os.path.exists(os.path.join(path, "model_index.json")):
         return
-    from stablediffusion_tpu.io.loader import save_sd_model
+    from stablediffusion_tpu.io.loader import save_sd3_model, save_sd_model
     from stablediffusion_tpu.utils.testing import random_full_model
 
     print(f"building random full-size {model_type} checkpoint ...", flush=True)
-    model = random_full_model(model_type)
-    save_sd_model(model, path, variant="fp16")
+    if model_type == "sd3":
+        # with_t5=False is the documented T5-free serving configuration
+        # (load_sd3_model's optional text_encoder_3); --t5 adds the 4.7B
+        # T5-XXL tower + fabricated-unigram tokenizer_3
+        model = random_full_model("sd3", with_t5=with_t5)
+        save_sd3_model(model, path, variant="fp16")
+    else:
+        model = random_full_model(model_type)
+        save_sd_model(model, path, variant="fp16")
     del model
 
 
@@ -64,7 +72,10 @@ def ensure_quantized(fp_dir: str, q_dir: str, mode: str) -> None:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="sd15", choices=("sd15", "sdxl"))
+    p.add_argument("--model", default="sd15", choices=("sd15", "sdxl", "sd3"))
+    p.add_argument("--t5", action="store_true",
+                   help="sd3 only: include the full T5-XXL tower (+9.5 GB "
+                        "fp16) instead of the T5-free serving configuration")
     p.add_argument("--dir", default=None,
                    help="checkpoint folder (default /tmp/coldstart_<model>)")
     p.add_argument("--steps", type=int, default=20)
@@ -79,20 +90,23 @@ def main(argv=None):
                         "(~half the transfer bytes; derived once next to "
                         "--dir)")
     args = p.parse_args(argv)
+    if args.t5 and args.model != "sd3":
+        p.error("--t5 applies to --model sd3 only")
+    suffix = "_t5" if args.t5 else ""
     if args.dir is None:
-        args.dir = f"/tmp/coldstart_{args.model}"
+        args.dir = f"/tmp/coldstart_{args.model}{suffix}"
     if args.record is None:
-        args.record = f"coldstart_{args.model}"
+        args.record = f"coldstart_{args.model}{suffix}"
     if args.size is None:
         args.size = 512 if args.model == "sd15" else 1024
 
-    ensure_checkpoint(args.dir, args.model)
+    ensure_checkpoint(args.dir, args.model, with_t5=args.t5)
     if args.quantize:
         q_dir = f"{args.dir.rstrip('/')}_{args.quantize}"
         ensure_quantized(args.dir, q_dir, args.quantize)
         args.dir = q_dir
-        if args.record == f"coldstart_{args.model}":
-            args.record = f"coldstart_{args.model}_{args.quantize}"
+        if args.record == f"coldstart_{args.model}{suffix}":
+            args.record = f"coldstart_{args.model}{suffix}_{args.quantize}"
 
     # the serving worker enables the persistent XLA cache at startup
     # (serve/worker.py) — a representative cold start does too.  First run
@@ -131,19 +145,34 @@ def main(argv=None):
     backend_init_sec = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    model = load_sd_model(args.dir, dtype=jnp.bfloat16)
+    if args.model == "sd3":
+        from stablediffusion_tpu.io.loader import load_sd3_model
+
+        model = load_sd3_model(args.dir, dtype=jnp.bfloat16)
+        sync_trees = [model.transformer_params, model.vae_params,
+                      model.text_encoder_params, model.text_encoder_2_params]
+        if model.text_encoder_3_params is not None:
+            sync_trees.append(model.text_encoder_3_params)
+    else:
+        model = load_sd_model(args.dir, dtype=jnp.bfloat16)
+        sync_trees = [model.unet_params, model.vae_params,
+                      model.text_encoder_params]
     host_load_sec = time.perf_counter() - t0
     # force a device sync point WITHOUT compiling anything (a jnp.sum would
     # bill its first-time remote compile to the load): round-trip one leaf
     # per component tree through np.asarray.  Transfers ride one in-order
     # stream on this backend, so fetching a leaf implies the queue drained
     # up to it; any straggler is absorbed into first_image_sec anyway.
-    for tree in (model.unet_params, model.vae_params,
-                 model.text_encoder_params):
+    for tree in sync_trees:
         np.asarray(jax.tree.leaves(tree)[-1]).ravel()[0]
     load_sec = time.perf_counter() - t0
 
-    pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
+    if args.model == "sd3":
+        from stablediffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
+
+        pipe = StableDiffusion3Pipeline(do_cfg=True)
+    else:
+        pipe = StableDiffusionUnifiedPipeline(do_cfg=True)
     req = dict(prompt="a photograph of an astronaut riding a horse",
                height=args.size, width=args.size,
                num_inference_steps=args.steps,
@@ -156,7 +185,7 @@ def main(argv=None):
     pipe(model, **req)
     warm_image_sec = time.perf_counter() - t2
 
-    prefix = f"coldstart_{args.model}"
+    prefix = f"coldstart_{args.model}{suffix}"
     payload = {
         "metric": args.record.replace(prefix, f"{prefix}_{args.size}px", 1)
         if args.record.startswith(prefix) else args.record,
@@ -173,8 +202,11 @@ def main(argv=None):
             "quantize": args.quantize,
             "scope": "diffusers-layout "
                      + (f"int8({args.quantize})" if args.quantize else "fp16")
-                     + " folder -> device-resident SDModel -> first/warm "
-                       f"{args.size}² images",
+                     + " folder -> device-resident "
+                     + ("SD3Model"
+                        + (" (with T5-XXL)" if args.t5 else " (T5-free)")
+                        if args.model == "sd3" else "SDModel")
+                     + f" -> first/warm {args.size}² images",
         },
     }
     record_result(args.record, payload)

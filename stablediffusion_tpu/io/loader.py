@@ -556,9 +556,11 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None,
 def save_sd3_model(model, path: str, variant: Optional[str] = None,
                    quantize: Optional[str] = None) -> None:
     """Write a diffusers-layout SD3-family folder (save_pretrained analog):
-    transformer/vae/text encoders as torch-layout safetensors + configs.
-    Inverse of load_sd3_model for params/configs; tokenizer files (BPE
-    vocab/merges, spiece.model) are external artifacts the caller copies.
+    transformer/vae/text encoders as torch-layout safetensors + configs,
+    plus tokenizer folders when the attached tokenizers can serialize
+    themselves (first-party CLIPTokenizer / SentencePieceUnigramTokenizer
+    both do) — making the folder fully self-loading via load_sd3_model.
+    Adapter-wrapped external tokenizers remain caller-copied artifacts.
 
     quantize="w8"|"w8a8" writes the MMDiT int8-on-disk (canonical layout,
     ~half the bytes); see save_sd_model."""
@@ -601,6 +603,14 @@ def save_sd3_model(model, path: str, variant: Optional[str] = None,
             t5_cfg,
             fname="model",
         )
+    if hasattr(model.tokenizer, "save_pretrained"):
+        model.tokenizer.save_pretrained(os.path.join(path, "tokenizer"))
+    if hasattr(model.tokenizer_2, "save_pretrained"):
+        model.tokenizer_2.save_pretrained(os.path.join(path, "tokenizer_2"))
+    if model.text_encoder_3_params is not None and hasattr(
+        model.tokenizer_3, "save_pretrained"
+    ):
+        model.tokenizer_3.save_pretrained(os.path.join(path, "tokenizer_3"))
     os.makedirs(os.path.join(path, "scheduler"), exist_ok=True)
     with open(os.path.join(path, "scheduler", "scheduler_config.json"), "w") as f:
         json.dump(dataclasses.asdict(model.scheduler_config), f, indent=2)

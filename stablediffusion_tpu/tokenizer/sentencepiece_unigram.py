@@ -271,6 +271,37 @@ class SentencePieceUnigramTokenizer:
             f"no spiece.model or tokenizer.json under {path}"
         )
 
+    def save_pretrained(self, path: str) -> None:
+        """Write ``tokenizer.json`` in the HF Unigram layout that
+        ``from_tokenizer_json`` reads back (pieces+scores, ``unk_id``,
+        sentinels as tail ``added_tokens``) — the inverse needed so
+        ``save_sd3_model`` can emit a complete self-loading folder.
+
+        Round-trip contract: eos/pad are recovered by piece NAME
+        (``</s>``/``<pad>``), matching how transformers' T5 tokenizer.json
+        encodes them; vocabularies whose control pieces use other names
+        round-trip the ids via the defaults only if they sit at 1/0."""
+        os.makedirs(path, exist_ok=True)
+        spec = {
+            "model": {
+                "type": "Unigram",
+                "vocab": [
+                    [p, s] for p, s in zip(self.pieces, self.scores)
+                ],
+                "unk_id": self.unk_id,
+            },
+            "added_tokens": [
+                {"id": i, "content": tok, "special": True}
+                for tok, i in sorted(
+                    self.special_to_id.items(), key=lambda kv: kv[1]
+                )
+            ],
+        }
+        with open(
+            os.path.join(path, "tokenizer.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(spec, f, ensure_ascii=False)
+
     # -- segmentation --------------------------------------------------------
     def _viterbi(self, text: str) -> List[int]:
         """Max-total-score segmentation; unknown chars score unk_score and

@@ -2,6 +2,7 @@
 MMDiT pipeline e2e (the MMDiT forward anchor lives in test_torch_mirror)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -469,3 +470,39 @@ def test_sd3_save_load_roundtrip(tmp_path):
     assert len(flat_src) == len(flat_new)
     for a_, b_ in zip(flat_src, flat_new):
         np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+
+def test_sd3_self_loading_folder(tmp_path):
+    """save_sd3_model writes the tokenizer folders itself when the attached
+    tokenizers can serialize (first-party CLIP BPE save_pretrained +
+    SentencePieceUnigramTokenizer.save_pretrained): the folder loads with
+    NO manual tokenizer copying, T5 ids round-trip exactly through the
+    written tokenizer.json, and the loaded pipeline reproduces the source.
+    This is the bench_coldstart --model sd3 prep path."""
+    from stablediffusion_tpu.io.loader import load_sd3_model, save_sd3_model
+    from stablediffusion_tpu.tokenizer.sentencepiece_unigram import (
+        SentencePieceUnigramTokenizer,
+    )
+    from stablediffusion_tpu.utils.testing import bench_t5_tokenizer
+
+    src = dataclasses.replace(
+        make_tiny_sd3_model(), tokenizer_3=bench_t5_tokenizer(extra_ids=4)
+    )
+    d = str(tmp_path / "sd3-auto")
+    save_sd3_model(src, d)
+    for sub in ("tokenizer", "tokenizer_2", "tokenizer_3"):
+        assert os.path.isdir(os.path.join(d, sub)), sub
+    loaded = load_sd3_model(d, variant=None)
+    assert isinstance(loaded.tokenizer_3, SentencePieceUnigramTokenizer)
+    text = "a photograph of an astronaut riding a horse <extra_id_0>"
+    np.testing.assert_array_equal(
+        src.tokenizer_3(text, max_length=24),
+        loaded.tokenizer_3(text, max_length=24),
+    )
+    assert loaded.tokenizer_3.vocab_size == src.tokenizer_3.vocab_size
+    pipe = StableDiffusion3Pipeline()
+    kw = dict(num_inference_steps=2, height=16, width=16, seed=5,
+              max_sequence_length=16)
+    a = pipe(src, "an astronaut", **kw)
+    b = pipe(loaded, "an astronaut", **kw)
+    np.testing.assert_allclose(a.images, b.images, atol=1e-5)
