@@ -256,3 +256,29 @@ def test_sd3_pipeline_contract(ours):
     ids = out[0].tolist()
     n = ids.index(ours.eos_id)
     assert all(i == ours.pad_id for i in ids[n + 1 :])
+
+
+def test_save_pretrained_roundtrip(tmp_path):
+    """save_pretrained -> from_pretrained reproduces ids exactly for a
+    spiece-derived vocab (mixed scripts, sentinels, unknown chars) — the
+    serialization save_sd3_model relies on for self-loading folders."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _write_spiece_model(str(src_dir / "spiece.model"), make_vocab())
+    src = SentencePieceUnigramTokenizer.from_pretrained(str(src_dir))
+
+    out_dir = tmp_path / "saved"
+    src.save_pretrained(str(out_dir))
+    loaded = SentencePieceUnigramTokenizer.from_pretrained(str(out_dir))
+
+    assert loaded.vocab_size == src.vocab_size
+    assert loaded.unk_id == src.unk_id
+    assert loaded.eos_id == src.eos_id
+    assert loaded.pad_id == src.pad_id
+    for text in (
+        "the cat running", "a photo of 猫", "snowy mountain \U0001F600",
+        "zebra?!", "<extra_id_0> the <extra_id_99>",
+    ):
+        np.testing.assert_array_equal(
+            src(text, max_length=24), loaded(text, max_length=24)
+        )
