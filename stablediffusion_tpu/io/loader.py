@@ -507,6 +507,10 @@ def save_sd_model(model: SDModel, path: str, variant: Optional[str] = None,
     import dataclasses
     import functools
 
+    from stablediffusion_tpu.ops.quant import resolve_quant_mode
+
+    quantize = resolve_quant_mode(quantize)  # "auto" -> b1 optimum;
+    # sdtpu-quantize --expected_batch resolves throughput targets upstream
     _check_fp_save(model, quantize)
     os.makedirs(path, exist_ok=True)
     dump = functools.partial(_dump_component, path, variant=variant)
@@ -567,6 +571,9 @@ def save_sd3_model(model, path: str, variant: Optional[str] = None,
     import dataclasses
     import functools
 
+    from stablediffusion_tpu.ops.quant import resolve_quant_mode
+
+    quantize = resolve_quant_mode(quantize)
     _check_fp_save(model, quantize)
     os.makedirs(path, exist_ok=True)
     dump = functools.partial(_dump_component, path, variant=variant)

@@ -37,7 +37,13 @@ def main(argv=None):
                         "int8 MXU contraction everywhere; w8a8:N (mixed): "
                         "int8 MXU only for layers with >= N output channels "
                         "— w8a8:2048 measured 1.11x fp on SDXL batch-1 "
-                        "denoise vs 0.66x for full w8a8")
+                        "denoise vs 0.66x for full w8a8; auto: pick the "
+                        "measured optimum for --expected_batch")
+    p.add_argument("--expected_batch", type=int, default=1,
+                   help="serving batch the checkpoint is destined for; only "
+                        "used to resolve --mode auto (b>=8 -> full w8a8, "
+                        "else mixed w8a8:2048). The resolved concrete mode "
+                        "is what lands in the checkpoint metadata.")
     p.add_argument("--model_type", default=None,
                    choices=(None, "sd15", "sdxl", "sd3"),
                    help="default: auto-detect (transformer/ folder => sd3)")
@@ -51,6 +57,14 @@ def main(argv=None):
                         "platform)")
     p.add_argument("--no-cpu", dest="cpu", action="store_false")
     args = p.parse_args(argv)
+
+    from stablediffusion_tpu.ops.quant import (
+        resolve_quant_mode,
+        validate_quant_mode,
+    )
+
+    validate_quant_mode(args.mode)
+    args.mode = resolve_quant_mode(args.mode, args.expected_batch)
 
     if args.cpu:
         import jax

@@ -411,7 +411,8 @@ class SDModel:
                 "the original fp checkpoint instead")
 
     def quantize(self, mode: Optional[str] = "w8a8",
-                 min_size: Optional[int] = None) -> None:
+                 min_size: Optional[int] = None,
+                 expected_batch: int = 1) -> None:
         """Opt-in int8 UNet quantization (TPU-native extension; the
         reference serves fp16 torch with no quantized path,
         /root/reference/pipelines/sd_unified_pipeline.py:465-523).
@@ -420,15 +421,22 @@ class SDModel:
         MXU path; "w8" halves weight HBM reads only; "w8a8:N" (mixed) uses
         the int8 MXU only for layers with >= N output channels — the regime
         where it actually wins ("w8a8:2048" measured 1.11x fp on the SDXL
-        batch-1 denoise vs 0.66x for full w8a8, bench_int8_mixed.py).  None
-        reverts to the pristine fp weights (re-fusing any active adapters).
+        batch-1 denoise vs 0.66x for full w8a8, bench_int8_mixed.py).
+        "auto" picks the measured optimum for `expected_batch` (b1 →
+        "w8a8:2048", b>=8 → full "w8a8"; ops/quant.resolve_quant_mode) —
+        quant_mode stores the RESOLVED concrete string.  None reverts to
+        the pristine fp weights (re-fusing any active adapters).
         Approximate: conv_in/conv_out/time-embed/norms stay fp (ops/quant.py
         skip list).
         """
-        from stablediffusion_tpu.ops.quant import validate_quant_mode
+        from stablediffusion_tpu.ops.quant import (
+            resolve_quant_mode,
+            validate_quant_mode,
+        )
 
         self._check_not_frozen("quantize()")
         validate_quant_mode(mode)  # before any state mutation
+        mode = resolve_quant_mode(mode, expected_batch)
         self._ensure_base()
         self.quant_mode = mode
         if min_size is not None:

@@ -131,16 +131,45 @@ def int8_conv2d(
 
 
 def validate_quant_mode(mode) -> None:
-    """Raise on an unknown mode string ("w8" | "w8a8" | "w8a8:N" | None).
+    """Raise on an unknown mode string
+    ("auto" | "w8" | "w8a8" | "w8a8:N" | None).
 
     Callers that persist the mode (SDModel/SD3Model.quantize, the serving
     handler) validate BEFORE mutating state, so a bad request can't leave a
     poisoned quant_mode behind a fp tree."""
-    if mode is None:
+    if mode is None or mode == "auto":
         return
     base, _, thr = str(mode).partition(":")
     if base not in ("w8", "w8a8") or (thr and not thr.isdigit()):
         raise ValueError(f"unknown quant mode {mode!r}")
+
+
+# The measured regime optima behind quantize="auto" (bench_int8_mixed.py on
+# real v5e, RESULTS.json["int8_mixed_sdxl"/"int8_mixed_sd15_b8"]):
+#   batch 1 (latency serving): full w8a8 is a 0.66x SLOWDOWN on the SDXL
+#     1024² denoise (activation-quant overhead on narrow compute-starved
+#     layers), while "w8a8:2048" — int8-MXU only for >=2048-out-channel
+#     layers, w8 elsewhere — is 1.11x fp.
+#   batch >= 8 (throughput serving): the narrow layers become compute-bound
+#     too, and FULL "w8a8" wins (sd15 b8 106.2 vs fp 117.7 ms/step = 1.108x;
+#     "w8a8:2048" captures only 1.013x there).
+# Both operating points measure w8-grade quality (sd15 52.8 dB, sdxl 51.5).
+AUTO_QUANT_SMALL_BATCH = "w8a8:2048"
+AUTO_QUANT_LARGE_BATCH = "w8a8"
+AUTO_QUANT_BATCH_THRESHOLD = 8
+
+
+def resolve_quant_mode(mode, expected_batch: int = 1):
+    """Map "auto" to the measured best mode for the expected serving batch
+    (see the table above); any other mode passes through unchanged.  Called
+    at the EDGES (SDModel/SD3Model.quantize, serving handler, quantize CLI)
+    so the stored/persisted quant_mode is always a concrete string — the
+    dispatch layer and int8 checkpoint metadata never see "auto"."""
+    if mode != "auto":
+        return mode
+    if int(expected_batch) >= AUTO_QUANT_BATCH_THRESHOLD:
+        return AUTO_QUANT_LARGE_BATCH
+    return AUTO_QUANT_SMALL_BATCH
 
 
 def _is_weight_leafdict(d: Any) -> bool:

@@ -171,13 +171,20 @@ class SD3Model:
     _QUANT_SKIP = ("norm", "embedder", "pos_embed", "proj_out")
 
     def quantize(self, mode: Optional[str] = "w8a8",
-                 min_size: Optional[int] = None) -> None:
-        """Opt-in int8 MMDiT quantization ("w8a8" | "w8" | "w8a8:N" mixed |
-        None to revert); see SDModel.quantize / ops/quant.py for semantics."""
-        from stablediffusion_tpu.ops.quant import validate_quant_mode
+                 min_size: Optional[int] = None,
+                 expected_batch: int = 1) -> None:
+        """Opt-in int8 MMDiT quantization ("auto" | "w8a8" | "w8" |
+        "w8a8:N" mixed | None to revert); see SDModel.quantize /
+        ops/quant.py for semantics ("auto" resolves against
+        `expected_batch` and quant_mode stores the concrete string)."""
+        from stablediffusion_tpu.ops.quant import (
+            resolve_quant_mode,
+            validate_quant_mode,
+        )
 
         self._check_not_frozen("quantize()")
         validate_quant_mode(mode)  # before any state mutation
+        mode = resolve_quant_mode(mode, expected_batch)
         self._ensure_base()
         self.quant_mode = mode
         if min_size is not None:
@@ -686,10 +693,15 @@ class StableDiffusion3Pipeline:
             images = _sd3_vae_decode(
                 model.vae_params, latents, config=model.vae_config
             )
-        if output_type == "uint8":
-            # device-side quantize: 4x smaller device->host tunnel fetch
+        if output_type in ("uint8", "uint8_device"):
+            # device-side quantize: 4x smaller device->host tunnel fetch.
+            # "uint8_device" skips the fetch entirely (async device array;
+            # the serving batcher fetches on its postprocess thread).
+            dev = img_utils.postprocess_uint8_device(images)
+            if output_type == "uint8_device":
+                return SDPipelineOutput(images=dev, latents=None, seed=seed)
             return SDPipelineOutput(
-                images=np.asarray(img_utils.postprocess_uint8_device(images)),
+                images=np.asarray(dev),
                 latents=None,
                 seed=seed,
             )

@@ -1460,11 +1460,18 @@ class StableDiffusionUnifiedPipeline:
                 force_upcast=model.vae_config.force_upcast,
                 dtype=self.vae_dtype,
             )
-        if output_type == "uint8" and crop is None:
+        if output_type in ("uint8", "uint8_device") and crop is None:
             # device-side quantize: the tunnel fetch is 4x smaller and the
-            # JPEG/PNG encoders want uint8 anyway (serving hot path)
+            # JPEG/PNG encoders want uint8 anyway (serving hot path).
+            # "uint8_device" additionally skips the host fetch and returns
+            # the (async-dispatched) device array — the serving batcher
+            # fetches it on a postprocess thread so the NEXT device batch
+            # dispatches while this one still computes/encodes.
+            dev = img_utils.postprocess_uint8_device(images)
+            if output_type == "uint8_device":
+                return SDPipelineOutput(images=dev, latents=None, seed=seed)
             return SDPipelineOutput(
-                images=np.asarray(img_utils.postprocess_uint8_device(images)),
+                images=np.asarray(dev),
                 latents=None,
                 seed=seed,
             )
@@ -1478,7 +1485,9 @@ class StableDiffusionUnifiedPipeline:
                     for im in images_np
                 ]
             )
-        if output_type == "uint8":  # crop path: overlay in float, then pack
+        # crop path: overlay in float, then pack (uint8_device degrades to a
+        # fetched uint8 here — the overlay is host-side work anyway)
+        if output_type in ("uint8", "uint8_device"):
             images_np = (images_np * 255).round().astype(np.uint8)
         return SDPipelineOutput(images=images_np, latents=None, seed=seed)
 

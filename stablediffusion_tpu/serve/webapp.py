@@ -43,7 +43,7 @@ INDEX_HTML = """<!DOCTYPE html>
  <label>Textual inversions (path[:token],..)</label><input id="ti" placeholder="embeds/thing.pt:mytoken"><br>
  <label>Scheduler</label><select id="scheduler">{sched_options}</select><br>
  <label>Quantize (int8, approximate)</label>
- <select id="quantize"><option value="">off</option><option>w8</option><option>w8a8</option><option>w8a8:2048</option></select>
+ <select id="quantize"><option value="">off</option><option>auto</option><option>w8</option><option>w8a8</option><option>w8a8:2048</option></select>
 </fieldset>
 <fieldset><legend>Task</legend>
  <label><input type="radio" name="task" value="txt2img" checked> Text-To-Image</label>
@@ -382,7 +382,7 @@ def launch_gradio(handler, port: int = 7860):  # pragma: no cover - optional dep
                 scheduler = gr.Dropdown(sched_names, value="DPM++ 2M Karras",
                                         label="Scheduler")
                 quantize = gr.Dropdown(
-                    ["", "w8", "w8a8", "w8a8:2048"], value="",
+                    ["", "auto", "w8", "w8a8", "w8a8:2048"], value="",
                     label="Quantize (int8, approximate)")
             with gr.Group():
                 task = gr.Radio(["txt2img", "img2img", "inpaint"],

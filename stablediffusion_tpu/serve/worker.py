@@ -124,6 +124,9 @@ def serve_http(
     max_batch=1 restores the reference's strictly serial behavior."""
     global BATCHER
     handler = get_handler(**handler_kw)
+    # quantize="auto" resolves against the merge-batch regime the server
+    # actually runs (b>=8 → full w8a8, else mixed w8a8:2048)
+    handler.expected_batch = max(1, int(max_batch))
     if max_batch > 1:
         from stablediffusion_tpu.serve.batcher import Batcher
 
@@ -152,9 +155,10 @@ def main(argv=None):
                         "chips (tensor parallel; devices used = dp*tp)")
     p.add_argument("--quantize", default=None,
                    help="int8 UNet mode applied to the preloaded model at "
-                        "startup (w8 | w8a8 | w8a8:N mixed — w8a8:2048 is "
-                        "the batch-1 winner, w8a8 the batch-8 winner, both "
-                        "~1.11x fp; requests can still override per-call). "
+                        "startup (auto | w8 | w8a8 | w8a8:N mixed — "
+                        "w8a8:2048 is the batch-1 winner, w8a8 the batch-8 "
+                        "winner, both ~1.11x fp; 'auto' picks by "
+                        "--max_batch; requests can still override per-call). "
                         "Applied before --warmup so the warmed programs are "
                         "the quantized ones.")
     p.add_argument("--warmup", action="store_true",
@@ -185,6 +189,9 @@ def main(argv=None):
     handler = get_handler(
         model_dir=args.model_dir, lora_dir=args.lora_dir, mesh=mesh
     )
+    # set BEFORE --quantize so "--quantize auto" resolves to the serving
+    # regime's measured optimum (see ops/quant.resolve_quant_mode)
+    handler.expected_batch = max(1, int(args.max_batch))
     if args.model_name:
         handler.maybe_reload_model(
             {"type": args.model_type, "name": args.model_name}

@@ -345,3 +345,53 @@ def test_quantize_params_a8_min_out_mixes_modes():
     # w8 everywhere when mode is w8 regardless of a8_min_out
     q2 = quantize_params({"m": params}, "w8", min_size=1, a8_min_out=128)["m"]
     assert "w8_scale" in q2["wide"]
+
+
+def test_resolve_quant_mode_auto_matches_measured_optima():
+    """"auto" must resolve to the regime winners recorded in
+    RESULTS.json["int8_mixed_sdxl"/"int8_mixed_sd15_b8"] (b1: full w8a8 is
+    a 0.66x slowdown, mixed w8a8:2048 is 1.11x; b8: full w8a8 1.108x)."""
+    from stablediffusion_tpu.ops.quant import (
+        resolve_quant_mode,
+        validate_quant_mode,
+    )
+
+    validate_quant_mode("auto")  # accepted at the edges
+    assert resolve_quant_mode("auto", 1) == "w8a8:2048"
+    assert resolve_quant_mode("auto", 4) == "w8a8:2048"
+    assert resolve_quant_mode("auto", 8) == "w8a8"
+    assert resolve_quant_mode("auto", 32) == "w8a8"
+    # pass-through for every concrete spelling and None
+    for m in (None, "w8", "w8a8", "w8a8:2048"):
+        assert resolve_quant_mode(m, 8) == m
+
+
+def test_model_quantize_auto_stores_concrete_mode():
+    m = make_tiny_model("sd15")
+    m.quantize("auto")  # latency default
+    assert m.quant_mode == "w8a8:2048"
+    m.quantize("auto", expected_batch=8)
+    assert m.quant_mode == "w8a8"
+    m.quantize(None)
+    assert m.quant_mode is None
+
+
+def test_handler_quantize_auto_resolves_and_is_idempotent():
+    """A client sending quantize:"auto" every request must quantize ONCE at
+    the serving regime's optimum — the handler resolves before the
+    idempotence comparison."""
+    from stablediffusion_tpu.serve.handler import Handler
+
+    m = make_tiny_model("sd15")
+    h = Handler(model=m)
+    h.expected_batch = 8  # what serve_http sets from --max_batch
+    h.maybe_reload_model({"quantize": "auto"})
+    assert m.quant_mode == "w8a8"
+    # repeat request: mode already concrete-equal, no re-quantize churn
+    base_tree = m.unet_params
+    h.maybe_reload_model({"quantize": "auto"})
+    assert m.unet_params is base_tree
+    # latency server resolves to the mixed mode instead
+    h2 = Handler(model=make_tiny_model("sd15"))
+    h2.maybe_reload_model({"quantize": "auto"})
+    assert h2.model.quant_mode == "w8a8:2048"

@@ -509,7 +509,8 @@ def test_batcher_stale_generation_falls_back_serial(handler):
             {**ARGS, "seed": 10}, "fresh", generation=gen0 + 1
         )
         b._run_group([stale, fresh])
-        assert stale.event.is_set() and fresh.event.is_set()
+        # the merged item's fetch+encode rides the postprocess thread now
+        assert stale.event.wait(30) and fresh.event.wait(30)
         # stale item went through the serial handler (no 'batched' marker)
         assert "error" not in stale.result, stale.result
         assert "batched" not in stale.result
