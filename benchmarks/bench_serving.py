@@ -135,8 +135,9 @@ def main(argv=None):
 
     model, size, steps = _make_model(args.tiny)
     if args.quantize:
-        model.quantize(args.quantize)
+        model.quantize(args.quantize, expected_batch=args.max_batch)
     worker.HANDLER = Handler(model=model)
+    worker.HANDLER.expected_batch = args.max_batch
     worker.BATCHER = Batcher(worker.HANDLER, max_batch=args.max_batch,
                              window_ms=25.0)
     server = ThreadingHTTPServer(("127.0.0.1", 0), worker._HTTPHandler)

@@ -166,6 +166,10 @@ class SentencePieceUnigramTokenizer:
             for k in range(extra_ids)
         }
         control = set(control_ids or (pad_id, eos_id))
+        # kept for save_pretrained: control pieces must survive a
+        # save/reload round-trip (advisor round-4 finding — they used to be
+        # recovered only by the literal names '</s>'/'<pad>')
+        self.control_ids = tuple(sorted(control))
         self.piece_to_id = {}
         for i, p in enumerate(self.pieces):
             # control pieces (<pad>, </s>) never match raw text; unknown
@@ -246,17 +250,29 @@ class SentencePieceUnigramTokenizer:
                     f"of {len(vocab)})"
                 )
             vocab = vocab[: len(vocab) - len(sentinel_pos)]
-        extra_ids = len(added) or 100
-        eos_id = next(
-            (i for i, (p, _) in enumerate(vocab) if p == "</s>"), 1
-        )
-        pad_id = next(
-            (i for i, (p, _) in enumerate(vocab) if p == "<pad>"), 0
-        )
+        # an explicitly-present added_tokens list is authoritative, even
+        # when EMPTY: a tokenizer saved with extra_ids=0 must not reload
+        # with 100 sentinels (the old `len(added) or 100` silently shifted
+        # vocab_size by 100 — advisor round-4 finding)
+        extra_ids = len(added) if "added_tokens" in spec else 100
+        # exact round-trip metadata written by save_pretrained (ignored by
+        # third-party HF `tokenizers` loads); fall back to the
+        # transformers-compatible name-based recovery without it
+        meta = spec.get("sdtpu", {})
+        eos_id = meta.get("eos_id")
+        if eos_id is None:
+            eos_id = next(
+                (i for i, (p, _) in enumerate(vocab) if p == "</s>"), 1
+            )
+        pad_id = meta.get("pad_id")
+        if pad_id is None:
+            pad_id = next(
+                (i for i, (p, _) in enumerate(vocab) if p == "<pad>"), 0
+            )
         return cls(
             vocab, unk_id=unk_id, eos_id=eos_id, pad_id=pad_id,
             extra_ids=extra_ids,
-            control_ids=(pad_id, eos_id),
+            control_ids=tuple(meta.get("control_ids", (pad_id, eos_id))),
         )
 
     @classmethod
@@ -277,12 +293,60 @@ class SentencePieceUnigramTokenizer:
         sentinels as tail ``added_tokens``) — the inverse needed so
         ``save_sd3_model`` can emit a complete self-loading folder.
 
-        Round-trip contract: eos/pad are recovered by piece NAME
-        (``</s>``/``<pad>``), matching how transformers' T5 tokenizer.json
-        encodes them; vocabularies whose control pieces use other names
-        round-trip the ids via the defaults only if they sit at 1/0."""
+        Round-trip contract: an ``sdtpu`` metadata block records
+        eos/pad/control ids EXACTLY, so ``from_tokenizer_json`` restores
+        them for any vocabulary (including extra_ids=0 and non-standard
+        control-piece names).  Third-party HF ``tokenizers`` loads ignore
+        that block and recover eos/pad by piece NAME (``</s>``/``<pad>``) —
+        a warning is emitted when that interchange path would differ.
+
+        The normalizer/pre_tokenizer/decoder sections carry a standard
+        NFKC + whitespace-collapse + Metaspace stack so third-party loads
+        tokenize ~like this class does (real T5 tokenizer.json uses a
+        Precompiled NMT-NFKC charsmap instead; the NMT char-removal rules
+        are the only divergence — see ``nmt_nfkc_normalize``)."""
+        import warnings
+
         os.makedirs(path, exist_ok=True)
+        nonstandard = (
+            (0 <= self.eos_id < len(self.pieces)
+             and self.pieces[self.eos_id] != "</s>")
+            or (0 <= self.pad_id < len(self.pieces)
+                and self.pieces[self.pad_id] != "<pad>")
+            or set(self.control_ids) - {self.pad_id, self.eos_id}
+        )
+        if nonstandard:
+            warnings.warn(
+                "save_pretrained: control pieces are not the standard "
+                "'</s>'/'<pad>' pair; the folder round-trips exactly via "
+                "from_tokenizer_json (sdtpu metadata) but third-party HF "
+                "tokenizers loads would recover different eos/pad ids",
+                stacklevel=2,
+            )
         spec = {
+            "version": "1.0",
+            "normalizer": {
+                "type": "Sequence",
+                "normalizers": [
+                    {"type": "NFKC"},
+                    {"type": "Replace",
+                     "pattern": {"Regex": " {2,}"}, "content": " "},
+                    {"type": "Strip", "strip_left": True,
+                     "strip_right": True},
+                ],
+            },
+            "pre_tokenizer": {
+                "type": "Metaspace",
+                "replacement": METASPACE,
+                "prepend_scheme": "always",
+                "split": False,
+            },
+            "decoder": {
+                "type": "Metaspace",
+                "replacement": METASPACE,
+                "prepend_scheme": "always",
+                "split": False,
+            },
             "model": {
                 "type": "Unigram",
                 "vocab": [
@@ -296,6 +360,11 @@ class SentencePieceUnigramTokenizer:
                     self.special_to_id.items(), key=lambda kv: kv[1]
                 )
             ],
+            "sdtpu": {
+                "eos_id": self.eos_id,
+                "pad_id": self.pad_id,
+                "control_ids": list(self.control_ids),
+            },
         }
         with open(
             os.path.join(path, "tokenizer.json"), "w", encoding="utf-8"

@@ -282,3 +282,69 @@ def test_save_pretrained_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             src(text, max_length=24), loaded(text, max_length=24)
         )
+
+
+def test_save_pretrained_extra_ids_zero_roundtrip(tmp_path):
+    """A tokenizer with NO sentinels must reload with extra_ids=0: an
+    explicitly-present-but-empty added_tokens list is authoritative (the
+    old `len(added) or 100` silently re-added 100 sentinels, shifting
+    vocab_size — advisor round-4 finding)."""
+    tok = SentencePieceUnigramTokenizer(make_vocab(), extra_ids=0)
+    out = tmp_path / "tok0"
+    tok.save_pretrained(str(out))
+    loaded = SentencePieceUnigramTokenizer.from_pretrained(str(out))
+    assert loaded.extra_ids == 0
+    assert loaded.vocab_size == tok.vocab_size
+    for text in CORPUS:
+        assert loaded.tokenize_ids(text) == tok.tokenize_ids(text)
+
+
+def test_save_pretrained_nonstandard_controls_roundtrip(tmp_path):
+    """Control pieces with non-T5 names (or extra control ids) round-trip
+    exactly through the sdtpu metadata block, with an interchange warning
+    (advisor round-4 finding: name-based recovery used to reset eos/pad to
+    1/0 and made former control pieces matchable in raw text)."""
+    import warnings
+
+    vocab = [("[PAD]", 0.0), ("[STOP]", 0.0), ("<unk>", 0.0),
+             ("[CTRL]", 0.0)]
+    vocab += [(p, s) for p, s in make_vocab()[3:]]
+    tok = SentencePieceUnigramTokenizer(
+        vocab, unk_id=2, eos_id=1, pad_id=0, extra_ids=4,
+        control_ids=(0, 1, 3),
+    )
+    out = tmp_path / "tokc"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tok.save_pretrained(str(out))
+    assert any("control pieces" in str(x.message) for x in w)
+    loaded = SentencePieceUnigramTokenizer.from_pretrained(str(out))
+    assert loaded.eos_id == 1 and loaded.pad_id == 0
+    assert loaded.control_ids == (0, 1, 3)
+    # the [CTRL] control piece must NOT be matchable in raw text
+    assert "[CTRL]" not in loaded.piece_to_id
+    for text in ("the cat [CTRL] runs", "a dog"):
+        assert loaded.tokenize_ids(text) == tok.tokenize_ids(text)
+
+
+def test_save_pretrained_emits_hf_interchange_sections(tmp_path):
+    """The emitted tokenizer.json carries version/normalizer/pre_tokenizer/
+    decoder so a third-party HF `tokenizers` load applies NFKC + Metaspace
+    instead of tokenizing raw text (advisor round-4 finding)."""
+    out = tmp_path / "tokhf"
+    SentencePieceUnigramTokenizer(make_vocab()).save_pretrained(str(out))
+    spec = json.loads((out / "tokenizer.json").read_text())
+    assert spec["version"] == "1.0"
+    kinds = [n["type"] for n in spec["normalizer"]["normalizers"]]
+    assert "NFKC" in kinds
+    assert spec["pre_tokenizer"]["type"] == "Metaspace"
+    assert spec["pre_tokenizer"]["replacement"] == METASPACE
+    assert spec["decoder"]["type"] == "Metaspace"
+    # standard T5-shaped controls: no interchange warning
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SentencePieceUnigramTokenizer(make_vocab()).save_pretrained(
+            str(tmp_path / "tokhf2"))
+    assert not [x for x in w if "control pieces" in str(x.message)]
