@@ -142,9 +142,14 @@ def run(B, res, policy, split, vae_bf16=False, accum=1, accum_dtype=None):
         },
     }
     print(json.dumps(payload), flush=True)
+    import os
+
     from stablediffusion_tpu.utils.bench_utils import record_result
 
-    record_result(f"sdxl_{res}_lora_train", payload)
+    # SDTPU_RECORD_KEY: record under a different RESULTS.json key (e.g. the
+    # accum probes must not overwrite the canonical accum=1 anchor)
+    record_result(os.environ.get("SDTPU_RECORD_KEY")
+                  or f"sdxl_{res}_lora_train", payload)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "their native aspect (one XLA compile per bucket)")
     p.add_argument("--bucket_step", type=int, default=64)
     p.add_argument("--max_bucket_ar", type=float, default=2.0)
+    p.add_argument("--max_buckets", type=int, default=None,
+                   help="cap OCCUPIED bucket shapes (each is one extra "
+                        "XLA train-step compile, 1-15 min on a remote-"
+                        "compile TPU); smallest buckets merge into the "
+                        "nearest aspect ratio")
     # optimization
     p.add_argument("--train_batch_size", type=int, default=16)
     p.add_argument("--num_train_epochs", type=int, default=100)
@@ -229,6 +234,7 @@ def main(argv=None):
         aspect_ratio_bucketing=args.aspect_ratio_bucketing,
         bucket_step=args.bucket_step,
         max_bucket_ar=args.max_bucket_ar,
+        max_buckets=args.max_buckets,
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
         resume_from_checkpoint=args.resume_from_checkpoint,

@@ -186,6 +186,7 @@ class SDLoRADataset:
         aspect_ratio_bucketing: bool = False,
         bucket_step: int = 64,
         max_bucket_ar: float = 2.0,
+        max_buckets: Optional[int] = None,
     ):
         """`conditioning_dir` (ControlNet training): a sibling folder holding
         the control image for each training image under the SAME filename.
@@ -195,7 +196,13 @@ class SDLoRADataset:
         area resolution^2; every batch is drawn from ONE bucket, so non-
         square images train at their native aspect instead of being center-
         mutilated.  Each distinct bucket shape costs one extra XLA compile
-        of the train step (the step is shape-polymorphic under jit)."""
+        of the train step (the step is shape-polymorphic under jit).
+
+        `max_buckets` caps the number of OCCUPIED buckets (each one is a
+        separate multi-minute XLA train-step compile on a remote-compile
+        TPU; benchmarks/bench_bucket_compile.py records the per-bucket
+        bill): smallest buckets merge into the nearest-aspect survivor
+        (items re-crop to the surviving shape) until the cap holds."""
         self.data_dir = data_dir
         self.resolution = resolution
         self.random_flip = random_flip
@@ -231,6 +238,33 @@ class SDLoRADataset:
                 with Image.open(path) as im:
                     w, h = im.size
                 self.bucket_items[assign_bucket(h, w, self.buckets)].append(i)
+            if max_buckets is not None:
+                self._merge_buckets(int(max_buckets))
+
+    def _merge_buckets(self, max_buckets: int) -> None:
+        """Merge the smallest occupied buckets into their nearest-aspect
+        (log-space) occupied neighbor until at most `max_buckets` remain.
+        Compile cost scales with OCCUPIED shapes only, so empties are free
+        and ignored."""
+        if max_buckets < 1:
+            raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+
+        def occupied():
+            return [b for b, it in enumerate(self.bucket_items) if it]
+
+        while len(occupied()) > max_buckets:
+            occ = occupied()
+            src = min(occ, key=lambda b: len(self.bucket_items[b]))
+            sh, sw = self.buckets[src]
+            a = np.log(sw / sh)
+            dst = min(
+                (b for b in occ if b != src),
+                key=lambda b: abs(
+                    np.log(self.buckets[b][1] / self.buckets[b][0]) - a
+                ),
+            )
+            self.bucket_items[dst].extend(self.bucket_items[src])
+            self.bucket_items[src] = []
 
     def _conditioning_path(self, img_path: str) -> Optional[str]:
         if self.conditioning_dir is None:

@@ -75,6 +75,9 @@ class SDTrainingArgs:
     aspect_ratio_bucketing: bool = False
     bucket_step: int = 64
     max_bucket_ar: float = 2.0
+    # cap OCCUPIED bucket shapes (one XLA compile each); smallest merge
+    # into the nearest aspect (dataset._merge_buckets)
+    max_buckets: int = None
     gradient_checkpointing: bool = False
     # "" | "none" | "full" | "dots" | "offload" — see TrainStatics.remat_policy
     remat_policy: str = ""
@@ -314,6 +317,7 @@ class SDLoRATrainer:
             aspect_ratio_bucketing=args.aspect_ratio_bucketing,
             bucket_step=args.bucket_step,
             max_bucket_ar=args.max_bucket_ar,
+            max_buckets=args.max_buckets,
         )
         if args.aspect_ratio_bucketing and not getattr(dataset, "buckets", None):
             raise ValueError(

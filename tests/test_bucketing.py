@@ -147,3 +147,47 @@ def test_bucketed_train_loop_tiny(tmp_path):
     trainer = SDLoRATrainer(model, args, data_dir=d)
     lora = trainer.train()
     assert "unet" in lora
+
+
+def test_max_buckets_merges_smallest_into_nearest_aspect(tmp_path):
+    """--max_buckets caps OCCUPIED bucket shapes (each one is a separate
+    multi-minute XLA compile on a remote-compile TPU): smallest buckets
+    merge into the nearest-aspect survivor, items retained."""
+    d = str(tmp_path)
+    # 6 wide, 6 tall, 2 square (the square bucket is smallest -> merged)
+    _write_images(d, [(100, 50)] * 6 + [(50, 100)] * 6 + [(80, 80)] * 2)
+    ds_free = SDLoRADataset(
+        d, resolution=64, seed=0, aspect_ratio_bucketing=True,
+        bucket_step=16, max_bucket_ar=2.0,
+    )
+    occ_free = [b for b in ds_free.bucket_items if b]
+    assert len(occ_free) >= 3
+
+    ds = SDLoRADataset(
+        d, resolution=64, seed=0, aspect_ratio_bucketing=True,
+        bucket_step=16, max_bucket_ar=2.0, max_buckets=2,
+    )
+    occ = [i for i, b in enumerate(ds.bucket_items) if b]
+    assert len(occ) == 2
+    assert sum(len(b) for b in ds.bucket_items) == 14  # nothing lost
+    # batches only ever use the surviving shapes
+    shapes = set()
+    for batch in ds.batches(2, epochs=1, num_workers=1):
+        shapes.add(batch["pixel_values"].shape[1:3])
+    assert len(shapes) <= 2
+    for h, w in shapes:
+        assert (int(h), int(w)) in [ds.buckets[i] for i in occ]
+
+    # cap of 1 collapses to one shape; everything still trains
+    ds1 = SDLoRADataset(
+        d, resolution=64, seed=0, aspect_ratio_bucketing=True,
+        bucket_step=16, max_bucket_ar=2.0, max_buckets=1,
+    )
+    assert sum(1 for b in ds1.bucket_items if b) == 1
+    assert sum(len(b) for b in ds1.bucket_items) == 14
+
+    with pytest.raises(ValueError):
+        SDLoRADataset(
+            d, resolution=64, seed=0, aspect_ratio_bucketing=True,
+            bucket_step=16, max_buckets=0,
+        )
