@@ -269,6 +269,21 @@ def test_output_type_uint8_matches_float_path(pipe, sd15):
     assert np.abs(ref - u.images.astype(np.int16)).max() <= 1
 
 
+def test_output_type_uint8_device_matches_uint8(pipe, sd15):
+    """output_type='uint8_device' (batcher overlap path) returns the
+    UN-fetched device array — bit-identical to 'uint8' after np.asarray,
+    so the serving postprocess thread sees exactly the serial bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    kw = dict(prompt="cat", height=H, width=W, num_inference_steps=2, seed=3)
+    u = pipe(sd15, **kw, output_type="uint8")
+    d = pipe(sd15, **kw, output_type="uint8_device")
+    assert isinstance(d.images, jax.Array)
+    assert d.images.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(d.images), u.images)
+
+
 def test_negative_prompt_batch_mismatch(pipe, sd15):
     with pytest.raises(ValueError):
         pipe(
