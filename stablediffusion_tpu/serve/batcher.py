@@ -156,6 +156,15 @@ class Batcher:
         self.max_batch = max_batch
         self.window_ms = window_ms
         self.grace_ms = grace_ms
+        # bound on how long a PARTIAL gather may stay open waiting for an
+        # in-flight postprocess release burst (see _loop); generous vs the
+        # sub-second encode+turnaround it bridges, small vs the seconds-long
+        # device batch a cohesive merge saves
+        self.max_gather_s = 2.0
+        # after a release, its clients still need one host turnaround (HTTP
+        # response write + next POST) before resubmits hit the queue — the
+        # gather treats this window like an in-flight burst
+        self.release_grace_ms = 75.0
         self.max_queue = max_queue  # overload shedding threshold
         self.timeout_s = timeout_s
         self.adaptive = adaptive
@@ -166,6 +175,11 @@ class Batcher:
         # them, so a stall would shed new requests on ghost entries
         self._pending = 0
         self._pending_lock = threading.Lock()
+        # batches currently between device dispatch and response release:
+        # while > 0 a release burst is imminent and partial gathers wait
+        # for it (burst cohesion, see _loop)
+        self._post_inflight = 0
+        self._last_release = float("-inf")
         # hysteresis for the adaptive window: if the PREVIOUS gather had >1
         # requests we are under concurrent load, so the next gather keeps the
         # full window even when submits momentarily race (all N clients of a
@@ -243,6 +257,7 @@ class Batcher:
                 return
             batch = [first]
             now = time.monotonic()
+            t_first = now
             deadline = now + self.window_ms / 1e3
             # hysteresis: under concurrent load (previous gather >1) the
             # early break is disabled for the whole window — when a merged
@@ -261,6 +276,32 @@ class Batcher:
                 grace_until = now + min(self.window_ms, self.grace_ms) / 1e3
             while len(batch) < self.max_batch:
                 now2 = time.monotonic()
+                # burst cohesion: with postprocess off the worker thread
+                # (round-5 overlap), the worker is free to gather WHILE a
+                # finished batch's responses are still being encoded and
+                # released — its clients then resubmit staggered by host
+                # turnaround, and a fixed window would catch only the first
+                # few (measured: clients8 split {8,5,3}, p50 2.9 -> 4.6 s).
+                # While any release burst is in flight, hold a PARTIAL
+                # gather's window open (bounded by max_gather_s) so the
+                # whole burst coalesces; full batches exit by size and are
+                # never delayed.
+                post_busy = False
+                if self.adaptive:
+                    with self._pending_lock:
+                        post_busy = self._post_inflight > 0
+                    # released clients need a host turnaround (HTTP write +
+                    # next POST) before their resubmits are visible — bridge
+                    # that gap too, not just the encode span
+                    if not post_busy and (
+                        now2 - self._last_release
+                    ) * 1e3 < self.release_grace_ms:
+                        post_busy = True
+                    if post_busy:
+                        deadline = min(
+                            max(deadline, now2 + self.window_ms / 1e3),
+                            t_first + self.max_gather_s,
+                        )
                 remaining = deadline - now2
                 if remaining <= 0:
                     break
@@ -276,7 +317,10 @@ class Batcher:
                     if grace_left <= 0:
                         with self._pending_lock:
                             in_flight = self._pending
-                        if in_flight <= len(batch) and self._q.empty():
+                        # post_busy suppresses the quiet break: the burst's
+                        # clients are mid-turnaround, not absent
+                        if (not post_busy and in_flight <= len(batch)
+                                and self._q.empty()):
                             break
                         remaining = min(remaining, 0.002)
                     else:
@@ -387,8 +431,15 @@ class Batcher:
                 # and the NEXT batch can dispatch while this one computes.
                 out = self.handler._generate(merged, output_type="uint8_device")
             # fetch + encode + respond happen on the postprocess worker,
-            # off the device critical path
-            self._post.submit(self._postprocess, group, out)
+            # off the device critical path.  Only MULTI-request groups mark
+            # the release-burst state: a lone client's own completed
+            # request must not make its next gather wait out the bridge
+            # (that would tax every interactive request ~release_grace_ms)
+            is_burst = len(group) > 1
+            if is_burst:
+                with self._pending_lock:
+                    self._post_inflight += 1
+            self._post.submit(self._postprocess, group, out, is_burst)
         except Exception as e:  # error channel per request
             logger.error("batched group failed: %s", e)
             tb = traceback.format_exc()
@@ -400,11 +451,16 @@ class Batcher:
                     }
                     it.event.set()
 
-    def _postprocess(self, group, out):
+    def _postprocess(self, group, out, is_burst=True):
         """Device->host fetch, per-request JPEG/b64 (or upload), respond.
         Runs on the single `_post` worker; a device-side runtime error
         (e.g. RESOURCE_EXHAUSTED after compile) surfaces at the fetch and
-        is routed to each request's error channel."""
+        is routed to each request's error channel.
+
+        All results are encoded FIRST and released TOGETHER: per-item
+        release would stagger the clients' resubmits across the whole
+        encode span and shred the next gather's batch composition (burst
+        cohesion, see _loop)."""
         import numpy as np
 
         try:
@@ -426,14 +482,23 @@ class Batcher:
                     "batched": len(group),
                     "time_sec": round(time.time() - it.t0, 3),
                 }
-                it.event.set()
         except Exception as e:
             logger.error("batched postprocess failed: %s", e)
             tb = traceback.format_exc()
             for it in group:
-                if not it.event.is_set():
+                if it.result is None:
                     it.result = {
                         "error": f"{type(e).__name__}: {e}",
                         "traceback": tb,
                     }
+        finally:
+            # grouped release, and only THEN drop the inflight marker so a
+            # gathering worker keeps its window open until the whole burst
+            # of resubmits is on its way
+            for it in group:
+                if not it.event.is_set():
                     it.event.set()
+            if is_burst:
+                with self._pending_lock:
+                    self._post_inflight -= 1
+                    self._last_release = time.monotonic()

@@ -614,10 +614,10 @@ def test_batcher_adaptive_still_merges_queued_backlog(handler):
         def __call__(self, *a, **kw):
             return self.inner(*a, **kw)
 
-        def _generate(self, args):
+        def _generate(self, args, output_type="uint8"):
             ev_started.set()
             assert ev_release.wait(60)
-            return self.inner._generate(args)
+            return self.inner._generate(args, output_type=output_type)
 
     b = Batcher(GateHandler(handler), max_batch=4, window_ms=200.0)
     try:
@@ -667,9 +667,9 @@ def test_batcher_pads_partial_batches_to_pow2(handler):
     seen_batch_sizes = []
     real_generate = handler._generate
 
-    def spy_generate(args):
+    def spy_generate(args, output_type="uint8"):
         seen_batch_sizes.append(len(args["prompt"]))
-        return real_generate(args)
+        return real_generate(args, output_type=output_type)
 
     handler._generate = spy_generate
     b = Batcher(handler, max_batch=8, window_ms=500.0, adaptive=False)
