@@ -28,7 +28,7 @@ import sys
 import threading
 import time
 import urllib.request
-from http.server import ThreadingHTTPServer
+# make_server (worker._Server) sizes the accept backlog for load
 
 import numpy as np
 
@@ -140,7 +140,7 @@ def main(argv=None):
     worker.HANDLER.expected_batch = args.max_batch
     worker.BATCHER = Batcher(worker.HANDLER, max_batch=args.max_batch,
                              window_ms=25.0)
-    server = ThreadingHTTPServer(("127.0.0.1", 0), worker._HTTPHandler)
+    server = worker.make_server(("127.0.0.1", 0))
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 

@@ -31,6 +31,17 @@ HANDLER: Optional[Handler] = None
 BATCHER = None  # serve/batcher.Batcher when HTTP micro-batching is enabled
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default accept backlog is 5: a 32-client burst on a busy
+    # single-core host overflows it and clients see ECONNRESET (observed in
+    # bench_serving clients32); size it for serving under load
+    request_queue_size = 128
+
+
+def make_server(addr) -> ThreadingHTTPServer:
+    return _Server(addr, _HTTPHandler)
+
+
 def get_handler(**kw) -> Handler:
     global HANDLER
     if HANDLER is None:
@@ -131,7 +142,7 @@ def serve_http(
         from stablediffusion_tpu.serve.batcher import Batcher
 
         BATCHER = Batcher(handler, max_batch=max_batch, window_ms=batch_window_ms)
-    server = ThreadingHTTPServer(("0.0.0.0", port), _HTTPHandler)
+    server = make_server(("0.0.0.0", port))
     logger.info("serving on :%d (max_batch=%d)", port, max_batch)
     server.serve_forever()
 
