@@ -928,3 +928,78 @@ def test_worker_startup_quantize(handler, monkeypatch):
     assert handler.model.quant_mode == "w8a8:32"
     assert order and order[0] == ("warmup", "w8a8:32")
     handler.model.quantize(None)  # restore the shared fixture
+
+
+def test_batcher_partial_gather_waits_for_release_burst(handler):
+    """Burst cohesion (round 5): while a multi-request release burst is in
+    flight (postprocess encoding responses), a PARTIAL gather must hold its
+    window open so the burst's resubmits coalesce instead of dispatching a
+    shredded batch — and requests arriving during the hold merge."""
+    import threading
+    import time as _time
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=4, window_ms=10.0, adaptive=True)
+    try:
+        # simulate an in-flight release burst
+        with b._pending_lock:
+            b._post_inflight += 1
+        results = {}
+
+        def go(seed, delay):
+            _time.sleep(delay)
+            results[seed] = b.submit({**ARGS, "seed": seed}, f"p{seed}")
+
+        threads = [
+            threading.Thread(target=go, args=(41, 0.0)),
+            # arrives well past the 10 ms window — only the cohesion hold
+            # can merge it into the first request's batch
+            threading.Thread(target=go, args=(42, 0.25)),
+        ]
+        t0 = _time.monotonic()
+        for t in threads:
+            t.start()
+        _time.sleep(0.5)  # hold the burst marker through both arrivals
+        with b._pending_lock:
+            b._post_inflight -= 1
+            b._last_release = float("-inf")  # skip the turnaround bridge
+        for t in threads:
+            t.join(timeout=120)
+        held = _time.monotonic() - t0
+        for s in (41, 42):
+            assert "error" not in results[s], results[s]
+            assert results[s]["batched"] == 2, results[s]
+        assert held >= 0.5  # the gather really waited out the hold
+    finally:
+        b.close()
+
+
+def test_batcher_full_batch_dispatches_despite_release_burst(handler):
+    """The cohesion hold only delays PARTIAL gathers: a full batch exits by
+    size immediately even while a release burst is marked in flight."""
+    import threading
+
+    from stablediffusion_tpu.serve.batcher import Batcher
+
+    b = Batcher(handler, max_batch=2, window_ms=10.0, adaptive=True)
+    try:
+        with b._pending_lock:
+            b._post_inflight += 1  # never cleared during the submits
+        results = {}
+
+        def go(seed):
+            results[seed] = b.submit({**ARGS, "seed": seed}, f"p{seed}")
+
+        threads = [threading.Thread(target=go, args=(s,)) for s in (51, 52)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)  # completes: the full batch never waited
+        for s in (51, 52):
+            assert "error" not in results[s], results[s]
+            assert results[s]["batched"] == 2
+    finally:
+        with b._pending_lock:
+            b._post_inflight -= 1
+        b.close()
