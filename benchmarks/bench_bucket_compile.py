@@ -71,7 +71,7 @@ def main(argv=None):
     }
     statics = TrainStatics(
         unet_config=SD15_UNET, vae_config=SD15_VAE,
-        text_config=SD15_TEXT_ENCODER,
+        text_config=SD15_TEXT_ENCODER, text_config_2=None,
         scheduler_config=SchedulerConfig(),
         train_text_encoder=False, snr_gamma=5.0, compute_dtype=dt,
     )
