@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _make_model(tiny: bool):
+def _make_model(tiny: bool, family: str = "sd15"):
     if tiny:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -46,7 +46,8 @@ def _make_model(tiny: bool):
     from stablediffusion_tpu.utils.testing import random_full_model
 
     # random full-size weights: FLOPs/memory identical to real ones
-    return random_full_model("sd15"), 512, 20
+    size = 512 if family == "sd15" else 1024
+    return random_full_model(family), size, 20
 
 
 def run_load(port: int, n_clients: int, n_requests: int, size: int,
@@ -119,6 +120,10 @@ def main(argv=None):
                    help="int8 mode applied to the model before serving "
                         "(w8 | w8a8 | w8a8:N) — the serve worker's "
                         "--quantize flag, measured under load")
+    p.add_argument("--model", default="sd15", choices=("sd15", "sdxl"),
+                   help="family for the full-TPU mode (sdxl serves 1024²; "
+                        "use a smaller --max_batch there: each pow2 batch "
+                        "shape is one multi-minute 1024² compile)")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -133,7 +138,7 @@ def main(argv=None):
     from stablediffusion_tpu.serve.handler import Handler
     from stablediffusion_tpu.utils.bench_utils import record_result
 
-    model, size, steps = _make_model(args.tiny)
+    model, size, steps = _make_model(args.tiny, args.model)
     if args.quantize:
         model.quantize(args.quantize, expected_batch=args.max_batch)
     worker.HANDLER = Handler(model=model)
@@ -162,7 +167,8 @@ def main(argv=None):
         results[f"clients{n}"] = row
         print(json.dumps({f"clients{n}": row}), flush=True)
 
-    mode = "tiny_cpu_overhead" if args.tiny else "sd15_512px_tpu"
+    mode = ("tiny_cpu_overhead" if args.tiny
+            else f"{args.model}_{size}px_tpu")
     if args.quantize:
         mode += f"_int8_{args.quantize}"
     payload = {
