@@ -46,6 +46,7 @@ def _make_model(tiny: bool, family: str = "sd15"):
     from stablediffusion_tpu.utils.testing import random_full_model
 
     # random full-size weights: FLOPs/memory identical to real ones
+    # (sd3 is the T5-free single-chip serving config, see bench_coldstart)
     size = 512 if family == "sd15" else 1024
     return random_full_model(family), size, 20
 
@@ -120,10 +121,12 @@ def main(argv=None):
                    help="int8 mode applied to the model before serving "
                         "(w8 | w8a8 | w8a8:N) — the serve worker's "
                         "--quantize flag, measured under load")
-    p.add_argument("--model", default="sd15", choices=("sd15", "sdxl"),
-                   help="family for the full-TPU mode (sdxl serves 1024²; "
-                        "use a smaller --max_batch there: each pow2 batch "
-                        "shape is one multi-minute 1024² compile)")
+    p.add_argument("--model", default="sd15",
+                   choices=("sd15", "sdxl", "sd3"),
+                   help="family for the full-TPU mode (sdxl/sd3 serve "
+                        "1024²; use a smaller --max_batch there: each pow2 "
+                        "batch shape is one multi-minute 1024² compile, "
+                        "and b4 decode OOMs beside the weights)")
     args = p.parse_args(argv)
 
     if args.tiny:
