@@ -439,7 +439,16 @@ class Batcher:
             if is_burst:
                 with self._pending_lock:
                     self._post_inflight += 1
-            self._post.submit(self._postprocess, group, out, is_burst)
+            try:
+                self._post.submit(self._postprocess, group, out, is_burst)
+            except RuntimeError:
+                # executor already shut down (close() racing a last group):
+                # don't leak the burst marker; the outer except routes the
+                # group to its error channel
+                if is_burst:
+                    with self._pending_lock:
+                        self._post_inflight -= 1
+                raise
         except Exception as e:  # error channel per request
             logger.error("batched group failed: %s", e)
             tb = traceback.format_exc()
